@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at sf0.01 on Spark AND its DuckDB oracle,
+then compares row count, column-name set, and an order-insensitive
+value comparison (columns aligned by sorted name, rows sorted).
+
+Usage:
+    python tools/check_oracle.py            # all queries
+    python tools/check_oracle.py q_join_inner q_agg_count
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of the double — exact parity expected for our queries
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def run_one(spark, con, name, spec, verbose=False):
+    sdf = spec.fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        return ("ROWS_ONLY", len(srows), None)
+    ores = con.execute(spec.oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        ns, no = normalize(srows, scols), normalize(orows, ocols)
+        if ns != no:
+            ndiff = sum(1 for a, b in zip(ns, no) if a != b)
+            problems.append(f"values differ ({ndiff}/{len(ns)} rows)")
+            if verbose:
+                shown = 0
+                for a, b in zip(ns, no):
+                    if a != b and shown < 5:
+                        print(f"    spark : {a}\n    oracle: {b}")
+                        shown += 1
+    if problems:
+        return ("FAIL", len(srows), "; ".join(problems))
+    return ("OK", len(srows), None)
+
+
+def main():
+    from binancedatapipelineinaws_spark.registry import all_specs
+    from binancedatapipelineinaws_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    specs = all_specs()
+    if only:
+        specs = {k: v for k, v in specs.items() if k in only}
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_ok = n_fail = 0
+    for name in sorted(specs):
+        try:
+            status, nrows, msg = run_one(spark, con, name, specs[name], verbose=True)
+        except Exception as e:  # noqa: BLE001
+            status, nrows, msg = "ERROR", -1, f"{type(e).__name__}: {str(e)[:300]}"
+        tag = {"OK": "ok", "ROWS_ONLY": "ok(rows-only)"}.get(status, status)
+        print(f"{name:28s} {tag:14s} rows={nrows}" + (f"  {msg}" if msg else ""))
+        if status in ("OK", "ROWS_ONLY"):
+            n_ok += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} failing")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
