@@ -1,0 +1,244 @@
+"""Aggregation surface (SURVEY.md §2.3).
+
+The reference delegates all aggregation to Aurora MySQL 5.7
+(start_all_pipeline.py:504-520); the canonical downstream query over its
+BTCUSDT table is the 1-minute OHLCV candle — the same buckets the ingest
+files are keyed by (main.py:36).  Everything here is built-in Catalyst:
+partial + final HashAggregate with map-side combine, AQE-coalesced
+shuffles; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.canonical import BTCUSDT_CTE, btcusdt
+from binancedatapipelineinaws_spark.operators._util import dec, dec_avg, dec_sum
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+
+@register(
+    "q_agg_count",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows, count(l_orderkey) AS n_keys
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("n_keys"),
+    )
+
+
+@register(
+    "q_agg_sum_avg_minmax",
+    oracle="""
+SELECT l_returnflag,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / count(l_extendedprice) AS avg_price,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),  # integer-valued: exact in double
+        dec_sum("l_extendedprice").alias("sum_price"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "q_agg_ohlcv_1min",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, ranked AS (
+  SELECT date_trunc('minute', "time") AS m, price, quantity,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time", bid) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time" DESC, bid DESC) AS rn_d
+  FROM btcusdt
+)
+SELECT m AS minute_start,
+       max(CASE WHEN rn_a = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rn_d = 1 THEN price END) AS close,
+       CAST(sum(CAST(quantity AS DECIMAL(18,5))) AS DOUBLE) AS volume,
+       count(*) AS trades
+FROM ranked
+GROUP BY 1
+""",
+)
+def q_agg_ohlcv_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLCV candle: open/close tie-broken deterministically by
+    (time, bid) — trade id disambiguates trades in the same second,
+    mirroring the TSV line order of the reference writer (main.py:61-67).
+    """
+    prepare(spark)
+    df = btcusdt(spark, sf_dir)
+    order_key = F.struct(F.col("time"), F.col("bid"))
+    return (
+        df.groupBy(F.window("time", "1 minute").start.alias("minute_start"))
+        .agg(
+            F.min_by("price", order_key).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", order_key).alias("close"),
+            dec_sum("quantity", 5).alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)  # HLL sketch: engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for q_agg_distinct: HyperLogLog++ sketch, one pass,
+    no per-group hash set.  Rows-only check (sketch estimates are
+    engine-specific by design)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
+@register(
+    "q_agg_groupby_multi",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+SELECT maker, date_trunc('hour', "time") AS hour_start,
+       count(*) AS trades,
+       CAST(sum(CAST(quantity AS DECIMAL(18,5))) AS DOUBLE) AS volume
+FROM btcusdt GROUP BY 1, 2
+""",
+)
+def q_agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    df = btcusdt(spark, sf_dir)
+    return df.groupBy(
+        "maker", F.date_trunc("hour", "time").alias("hour_start")
+    ).agg(
+        F.count("*").alias("trades"),
+        dec_sum("quantity", 5).alias("volume"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 15
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(l_quantity) AS sum_qty,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "q_agg_stddev_var",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(var_samp(l_quantity), 6) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over integer-valued l_quantity: both engines' stable one-pass
+    moment algorithms agree far beyond 6 dp there."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )

@@ -1,0 +1,303 @@
+"""Join surface (SURVEY.md §2.4).
+
+The reference delegates joins to MySQL 5.7 (inner/left/right/cross,
+semi/anti via IN/EXISTS; no FULL OUTER — the engine supersets it).
+All joins are declared; Catalyst + AQE pick broadcast vs shuffled-hash
+vs sort-merge at runtime.  Dim tables (region/nation/supplier) get
+explicit broadcast hints — at 100 TB the fact side never shuffles for
+those.  The as-of join (time-series idiom for the BTCUSDT data) is a
+composition: union + last(ignorenulls) over an event-time window — one
+shuffle on the join key, no per-row range probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.operators._util import dec_sum
+from binancedatapipelineinaws_spark.plans.flagship import (
+    FLAGSHIP_ORACLE,
+    local_supplier_revenue,
+)
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT l_orderkey, l_linenumber, o_orderstatus, o_orderpriority,
+       l_quantity, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_orderpriority",
+        "l_quantity", "o_totalprice",
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 400000
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000),
+        "left",
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, c_custkey, c_mktsegment
+FROM customer RIGHT JOIN orders
+  ON c_custkey = o_custkey AND c_acctbal > 9000
+""",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000),
+        "right",
+    ).select("o_orderkey", "o_orderstatus", "c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+WITH cust_n AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+), supp_n AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT coalesce(cust_n.nk, supp_n.nk) AS nationkey, n_cust, n_supp
+FROM cust_n FULL OUTER JOIN supp_n ON cust_n.nk = supp_n.nk
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT n_name, r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dims: BroadcastHashJoin, zero shuffle of
+    the customer side (asserted in tests)."""
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+WITH bands AS (
+  SELECT range AS band_id,
+         range * 10000.0 AS lo,
+         (range + 1) * 10000.0 AS hi
+  FROM range(11)
+)
+SELECT band_id, count(*) AS n_items, min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: price bands.  The band table is tiny, so
+    Spark plans BroadcastNestedLoopJoin — each row tests ~11 bands,
+    no shuffle.  At 100 TB this stays a broadcast."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(11).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10000.0).alias("lo"),
+        ((F.col("id") + 1) * 10000.0).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+WITH clicks AS (      -- dedupe equal timestamps deterministically
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.value,
+       c.click_id AS last_click_id, c.ts AS last_click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: no built-in exists, so compose it as
+    union + last(ignorenulls) over an event-time window — one shuffle on
+    (user_id), linear scan per key, no per-row range probe.  This is the
+    scale-out formulation (a range join would be quadratic per key).
+
+    Semantics = DuckDB ASOF LEFT JOIN: for each purchase, the latest
+    click of the same user with click.ts <= purchase.ts.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("side"))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(1).alias("side"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+    )
+    # ties: click sorts before purchase at equal ts => inclusive (<=) match
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "ts",
+        "side",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_click_ts"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "purchase_id", "user_id", "value", "last_click_id", "last_click_ts"
+    )
+
+
+@register("q_join_multiway", oracle=FLAGSHIP_ORACLE)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 6-table chain (plans/flagship.py)."""
+    prepare(spark)
+    return local_supplier_revenue(spark, sf_dir)
