@@ -1,0 +1,401 @@
+"""Deduplication operators over `documents` (BASELINE.json north-star:
+LLM-training-data pipeline ops; not present in the reference, which has
+no dedup at all — duplicate trades pass straight through, SURVEY §2.8).
+
+Four tiers, all engine-portable (deterministic md5-derived hashing so
+the DuckDB oracle computes the identical signatures):
+
+- exact          : content-hash groupBy                      (one shuffle)
+- MinHash + LSH  : shingle -> 16-perm signature -> banded
+                   bucket-join -> exact-Jaccard verify       (the 100 TB path:
+                   candidates only, never all pairs)
+- SimHash        : 32-bit signed-projection fingerprint,
+                   near-dup = small Hamming distance
+- n-gram Jaccard : exact pairwise baseline (quadratic; kept as the
+                   correctness oracle for the LSH path)
+
+Scale notes: at 100 TB the LSH plan is
+shingle-explode (map-only) -> groupBy doc (signature, map-side combined)
+-> explode 4 band keys -> groupBy band key (bucket join) -> verify pairs.
+Every stage is a single hash shuffle on a uniformly-distributed key; the
+quadratic `q_ext_dedup_ngram` baseline is what it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 4
+
+
+# --- portable deterministic hashing -----------------------------------------
+# 32-bit integer from the first 8 hex chars of md5 — identical in Spark
+# (conv) and DuckDB (unrolled hex-digit arithmetic).
+
+
+def hex32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def duck_hex32(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+# --- shingling ---------------------------------------------------------------
+# Word trigrams.  The corpus vocabulary is tiny (~31 words), so word
+# *sets* are degenerate (~all docs identical); trigram sequences are
+# discriminative (planted near-dup pairs sit at J>=0.8, everything else
+# <0.3).
+
+
+def shingles(text: Column) -> Column:
+    w = F.split(text, " ")
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    "_", F.element_at(w, i), F.element_at(w, i + 1),
+                    F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+DUCK_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i + 1] || '_' ||
+                string_split(text, ' ')[i + 2] || '_' ||
+                string_split(text, ' ')[i + 3]
+         )) AS sl
+  FROM documents
+),
+shingle AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+doc_size AS (SELECT doc_id, len(sl) AS n FROM sh)
+"""
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+@register(
+    "q_ext_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, deterministic
+    survivor (min doc_id).  One shuffle on an uniform key — the 100 TB
+    plan is the same plan."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --- MinHash signatures ------------------------------------------------------
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> h0..h15: min over shingles of 16 md5-derived hash fns."""
+    rows = shingle_rows(spark, sf_dir)
+    aggs = [
+        F.min(hex32(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    return rows.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_sig_cte() -> str:
+    mins = ",\n         ".join(
+        f"min({duck_hex32(repr(str(j) + '|') + ' || s')}) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingle GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q_ext_dedup_minhash",
+    oracle="WITH "
+    + DUCK_SHINGLES_CTE
+    + ","
+    + _duck_sig_cte()
+    + "SELECT * FROM sig",
+)
+def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature table itself (oracle-checked bit-for-bit)."""
+    prepare(spark)
+    return minhash_signature(spark, sf_dir)
+
+
+# --- LSH banding + verify ----------------------------------------------------
+
+
+def _band_key(j: int) -> Column:
+    cols = [
+        F.col(f"h{j * ROWS_PER_BAND + k}").cast("string")
+        for k in range(ROWS_PER_BAND)
+    ]
+    return F.md5(F.concat_ws("_", *cols))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Explode each signature into its band keys, self-join per bucket:
+    only same-bucket pairs are ever compared."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{j}:"), _band_key(j)) for j in range(N_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_ext_dedup_near",
+    oracle="WITH "
+    + DUCK_SHINGLES_CTE
+    + ","
+    + _duck_sig_cte()
+    + ","
+    + "".join(
+        f"""
+band{j} AS (
+  SELECT doc_id, md5(concat_ws('_', {", ".join(
+      f"CAST(h{j * ROWS_PER_BAND + k} AS VARCHAR)" for k in range(ROWS_PER_BAND)
+  )})) AS bk FROM sig
+),"""
+        for j in range(N_BANDS)
+    )
+    + """
+cand AS (
+"""
+    + "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band{j} a JOIN band{j} b ON a.bk = b.bk AND a.doc_id < b.doc_id"""
+        for j in range(N_BANDS)
+    )
+    + f"""
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN shingle sa ON sa.doc_id = c.doc_a
+  JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN doc_size na ON na.doc_id = i.doc_a
+JOIN doc_size nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection end-to-end: signatures -> banded
+    bucket join -> exact-Jaccard verification of candidates only."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir)
+    cand = lsh_candidate_pairs(sig)
+    sh = shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    )
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+@register(
+    "q_ext_dedup_simhash",
+    oracle="WITH "
+    + DUCK_SHINGLES_CTE
+    + f""",
+hashed AS (
+  SELECT doc_id, {duck_hex32("s")} AS h FROM shingle
+),
+sim AS (
+  SELECT doc_id,
+         {" + ".join(
+             f"(CASE WHEN sum(CASE WHEN (h // {1 << k}) % 2 = 1 "
+             f"THEN 1 ELSE -1 END) > 0 THEN {1 << k} ELSE 0 END)"
+             for k in range(SIMHASH_BITS)
+         )} AS simhash
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+""",
+)
+def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signed-projection fingerprint per doc;
+    near-dups differ in <= 4 bits.  Fingerprinting is one groupBy; the
+    pair scan here is brute-force (fine at this SF) — at scale, bucket
+    by bit-masked prefixes like the LSH path."""
+    prepare(spark)
+    rows = shingle_rows(spark, sf_dir).withColumn("h", hex32(F.col("s")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    per_doc = rows.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        [
+            F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(0)
+            for k in range(SIMHASH_BITS)
+        ],
+        start=F.lit(0),
+    ).cast("long")
+    sim = per_doc.select("doc_id", simhash.alias("simhash"))
+    a = sim.alias("a")
+    b = sim.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= HAMMING_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard baseline ------------------------------------------
+
+
+@register(
+    "q_ext_dedup_ngram",
+    oracle="WITH "
+    + DUCK_SHINGLES_CTE
+    + """,
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+  FROM shingle sa JOIN shingle sb
+    ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN doc_size na ON na.doc_id = i.doc_a
+JOIN doc_size nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.3
+""",
+)
+def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over all sharing pairs (the quadratic
+    baseline the LSH path replaces; only pairs sharing >= 1 shingle
+    materialize, via the shingle-equijoin)."""
+    prepare(spark)
+    sh = shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    )
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

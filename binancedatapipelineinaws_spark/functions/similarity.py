@@ -1,0 +1,261 @@
+"""Similarity search over `embeddings` (array<float>, 64-dim) —
+BASELINE.json north-star ops.
+
+Float-parity discipline: dot products are sequential left-folds
+(`F.aggregate` in Spark, `list_reduce` in DuckDB) so both engines add in
+the same order — float32 inputs widen exactly to double, products and
+ordered sums are then bit-identical.  Results are additionally rounded
+to 6 dp as a guard.
+
+Scale notes (100 TB): brute-force top-k is the correctness baseline —
+one broadcast of the query set, map-side partial top-k per partition,
+driver merge (TakeOrderedAndProject shape).  The LSH variant buckets
+vectors by signed random-hyperplane projections so candidate sets are
+~1/2^planes of the corpus; REPOSE/Odyssey-style pruning (PAPERS.md) is
+the published extension of the same idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.functions.dedup import duck_hex32, hex32
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+DIM = 64
+N_QUERY = 20  # vec_id < 20 are the query vectors
+TOP_K = 5
+N_PLANES = 6
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic addition order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+        f"i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_DUCK_COS = (
+    f"({duck_dot('q.embedding', 'c.embedding')} / "
+    f"(sqrt({duck_dot('q.embedding', 'q.embedding')}) * "
+    f"sqrt({duck_dot('c.embedding', 'c.embedding')})))"
+)
+
+
+@register(
+    "q_ext_cosine_knn",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERY}
+   AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_ext_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus, per-partition scoring, windowed top-k."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+    )
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# --- LSH-bucketed ANN --------------------------------------------------------
+# Hyperplane p (p < N_PLANES) has deterministic ±1 weights per dimension:
+# sign of bit 0 of hex32(md5("p_d")).  bucket(v) = bitmap of sign(w_p · v).
+
+
+def _plane_weight(p: int, d_col: Column) -> Column:
+    return F.when(
+        hex32(F.concat(F.lit(f"{p}_"), d_col.cast("string"))).bitwiseAND(1) == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """LSH bucket id: sequential-fold projections, deterministic in both
+    engines."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: _plane_weight(p, d) * F.element_at(emb, d + 1).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("long")
+
+
+def _duck_plane_weight(p: int, d: str) -> str:
+    return (
+        f"(CASE WHEN {duck_hex32(f_string(p, d))} % 2 = 1 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def f_string(p: int, d: str) -> str:
+    return f"'{p}_' || CAST({d} AS VARCHAR)"
+
+
+def _duck_bucket(vec: str) -> str:
+    parts = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+            f"d -> {_duck_plane_weight(p, 'd')} * CAST({vec}[d + 1] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "q_ext_ann_lsh",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.bucket AS bucket, {_DUCK_COS} AS cos_sim
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < {N_QUERY} AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, bucket, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, bucket, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket once (map-only), compare
+    only same-bucket pairs, exact-cosine rerank of the candidates."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+    )
+    cand = (
+        q.join(
+            c,
+            (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "bucket", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "bucket", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "q_ext_embed_neardup",
+    oracle=f"""
+SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, q.label AS label_a,
+       c.label AS label_b, round({_DUCK_COS}, 6) AS cos_sim
+FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+WHERE {_DUCK_COS} >= 0.9
+""",
+)
+def q_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) — the
+    semantic-dedup tier for training pipelines."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+    )
+    return (
+        q.join(c, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.9)
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b",
+            F.round("cos_sim_raw", 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis operators over `documents` — BASELINE.json north-star
+ops for LLM-training-data pipelines: quality scoring, language ID,
+token counting, fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen); ratios divide
+exact integers so doubles match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+# marker-word scoring profiles (the standard n-gram/stopword heuristic;
+# this corpus is synthetic English-vocabulary for every lang label, so
+# the honest prediction is 'en' throughout — mechanics are what count)
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "row"),
+    "de": ("der", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "de"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+TOKEN_RE = "[a-z]+|[A-Z]+|[0-9]+"
+
+
+@register(
+    "q_ext_text_stats",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split(text, ' ') AS words
+  FROM documents
+)
+SELECT doc_id, lang,
+       length(text) AS text_len,
+       n_chars AS declared_chars,
+       len(words) AS n_words,
+       len(list_distinct(words)) AS n_distinct_words,
+       CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS ttr,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words)
+         AS avg_word_len,
+       len(list_filter(words, x -> x IN {STOPWORDS})) AS n_stopwords,
+       CAST(len(list_filter(words, x -> x IN {STOPWORDS})) AS DOUBLE)
+         / len(words) AS stopword_ratio,
+       CASE WHEN len(words) BETWEEN 20 AND 1000
+             AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words) > 0.1
+            THEN 1 ELSE 0 END AS quality_pass
+FROM w
+""",
+)
+def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: lengths, type-token ratio, stopword
+    ratio, and a composite quality gate."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    ttr = n_distinct.cast("double") / n_words
+    n_stop = F.size(
+        F.filter(words, lambda x: x.isin(*STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("text_len"),
+        F.col("n_chars").alias("declared_chars"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        ttr.alias("ttr"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_words
+        ).alias("avg_word_len"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        F.when(
+            n_words.between(20, 1000) & (ttr > 0.1), 1
+        ).otherwise(0).alias("quality_pass"),
+    )
+
+
+def _lang_score(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda x: x.isin(*markers)))
+
+
+@register(
+    "q_ext_lang_id",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang AS declared_lang, string_split(text, ' ') AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, declared_lang,
+         len(list_filter(words, x -> x IN ('the', 'a', 'value', 'row'))) AS s_en,
+         len(list_filter(words, x -> x IN ('der', 'und', 'nicht', 'ist'))) AS s_de,
+         len(list_filter(words, x -> x IN ('el', 'la', 'que', 'de'))) AS s_es,
+         len(list_filter(words, x -> x IN ('le', 'la', 'et', 'est'))) AS s_fr
+  FROM w
+)
+SELECT doc_id, declared_lang, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+""",
+)
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax over per-language scores with a
+    deterministic preference order)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scores = {
+        lang: _lang_score(words, markers).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"), *scores.values()
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "q_ext_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_pair_estimate
+FROM documents
+""",
+)
+def q_ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex (BPE-ish pre-tokenizer)
+    tokens, and the bytes/4 LLM heuristic."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_pair_estimate"),
+    )
+
+
+@register(
+    "q_ext_fingerprint",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)))
+           AS codes
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(codes, (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM chars
+""",
+)
+def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint
+    (acc*31 + charcode mod 1e9+7) — order-sensitive, unlike the md5
+    content hash, so it supports windowed/winnowed chunk comparison."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -51,6 +51,7 @@ def _load_all() -> None:
     from binancedatapipelineinaws_spark.sources import tsv  # noqa: F401
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
         dedup,
+        multimodal,
         similarity,
         text,
     )
