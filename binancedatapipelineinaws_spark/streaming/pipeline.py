@@ -1,0 +1,204 @@
+"""Structured Streaming parity for the reference ingest pipeline
+(SURVEY.md §2.8, §3).
+
+The reference runs two cooperating processes:
+
+- EP1 (main.py): WebSocket ticks -> per-record transform -> one TSV file
+  per event-time minute, uploaded on rotation (main.py:26-47);
+- EP2 (lambda_function.py): S3 PUT event -> bulk LOAD into the table ->
+  archive the file (lambda_function.py:11-53).
+
+Here both collapse into ONE streaming query: file source (the recorded
+tick stream; Kafka in production) -> canonicalize projection ->
+event-time windowing with a watermark -> partitioned sink + table
+append, exactly-once via checkpoint + the file-sink commit log.  The
+`_spark_metadata` commit log provides the atomic visibility the S3 PUT
+gave; `cleanSource=archive` replaces the Lambda's copy-then-delete.
+
+Documented divergences (strict improvements, SURVEY §2.8):
+- late data: the reference re-opens and silently overwrites a closed
+  minute file (rotation is `!=`, main.py:38); the engine drops events
+  older than the watermark instead of corrupting closed windows.
+- crash durability: the reference loses the in-flight minute
+  (no fsync, main.py:29); checkpoint recovery here is exactly-once.
+- the Lambda is not idempotent (retry double-loads); the commit log is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from binancedatapipelineinaws_spark.canonical import canonicalize_btcusdt
+
+# Wire-format schema of a recorded tick file (FIXTURES.md A1 /
+# main.py:36,56-66 fields).
+TICKS_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("trade_id", T.LongType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price_str", T.StringType()),
+        T.StructField("qty_str", T.StringType()),
+        T.StructField("trade_time_ms", T.LongType()),
+        T.StructField("is_buyer_maker", T.BooleanType()),
+    ]
+)
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    source_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source tick stream: directory listing replaces the S3 event
+    notification (prefix/suffix filter -> pathGlobFilter), micro-batch
+    trigger replaces the Lambda invocation.  With `archive_dir`,
+    processed files move aside like data_1_min/ -> data_finished/
+    (lambda_function.py:38-48)."""
+    reader = (
+        spark.readStream.schema(TICKS_WIRE_SCHEMA)
+        .option("sep", "\t")
+        .option("pathGlobFilter", "*.tsv")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    return reader.csv(source_dir)
+
+
+def canonical_stream(ticks: DataFrame) -> DataFrame:
+    """The same canonicalization projection as batch (canonical.py) —
+    one logical plan, two execution modes."""
+    return canonicalize_btcusdt(ticks)
+
+
+def minute_file_sink(
+    canonical: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """EP1 parity: per-minute TSV output.  The reference names files by
+    the minute's epoch second (main.py:40-41); here the minute bucket is
+    a partition column, so readers prune by it and the commit log makes
+    each minute's files appear atomically."""
+    from binancedatapipelineinaws_spark.sources.tsv import sink_projection
+
+    partitioned = sink_projection(canonical).withColumn(
+        "minute_epoch_s",
+        (F.unix_timestamp(F.to_timestamp("time")) / 60).cast("long") * 60,
+    )
+    writer = (
+        partitioned.writeStream.format("csv")
+        .option("sep", "\t")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .partitionBy("minute_epoch_s")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def table_append_sink(
+    canonical: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """EP2 parity: continuous bulk append into the engine's table
+    (parquet), replacing LOAD DATA FROM S3 — exactly-once through the
+    checkpoint + commit log instead of the non-idempotent Lambda."""
+    writer = (
+        canonical.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", table_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ohlcv_stream(
+    canonical: DataFrame,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming 1-minute OHLCV candles with watermark-driven window
+    close: append-mode emission when the watermark passes window end —
+    the engine's version of upload-on-rotation (main.py:38-43), without
+    the late-data corruption."""
+    return (
+        canonical.withWatermark("time", watermark)
+        .groupBy(F.window("time", "1 minute").alias("w"))
+        .agg(
+            F.min_by("price", F.struct("time", "bid")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("time", "bid")).alias("close"),
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("trades"),
+        )
+        .select(
+            F.col("w.start").alias("minute_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "trades",
+        )
+    )
+
+
+def dedup_stream(canonical: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Engine superset (SURVEY §2.8): stateful dedup on trade id within
+    the watermark — duplicate trades pass straight through the
+    reference."""
+    return canonical.withWatermark("time", watermark).dropDuplicatesWithinWatermark(
+        ["bid"]
+    )
+
+
+def session_window_stream(
+    canonical: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Engine superset: session windows (trade bursts separated by a
+    quiet gap)."""
+    return (
+        canonical.withWatermark("time", watermark)
+        .groupBy(F.session_window("time", gap).alias("w"))
+        .agg(F.count("*").alias("trades"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "trades",
+        )
+    )
+
+
+def sliding_window_stream(
+    canonical: DataFrame,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Engine superset: 10-minute window sliding by 1 minute."""
+    return (
+        canonical.withWatermark("time", watermark)
+        .groupBy(F.window("time", "10 minutes", "1 minute").alias("w"))
+        .agg(
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume")
+        )
+        .select(F.col("w.start").alias("w_start"), "volume")
+    )

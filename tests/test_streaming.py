@@ -1,0 +1,241 @@
+"""Replay tests for the streaming pipeline (SURVEY.md §5.2): recorded
+tick files fed through the streaming job with availableNow; outputs must
+equal the batch computation, and the documented late-data divergence is
+asserted."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.canonical import btcusdt, ticks
+from binancedatapipelineinaws_spark.sources.tsv import sink_projection
+from binancedatapipelineinaws_spark.streaming.pipeline import (
+    canonical_stream,
+    minute_file_sink,
+    ohlcv_stream,
+    read_tick_stream,
+    table_append_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tick_files(spark, tmp_path_factory):
+    """Record the derived tick stream as TSV input files (3 chunks, as
+    if three uploads arrived)."""
+    src = str(tmp_path_factory.mktemp("tick_src"))
+    t = ticks(spark, SF).orderBy("trade_time_ms")
+    t.withColumn("chunk", F.col("trade_id") % 3).repartition(3, "chunk").drop(
+        "chunk"
+    ).write.option("sep", "\t").mode("overwrite").csv(src)
+    # rename part files to *.tsv to exercise pathGlobFilter
+    for i, p in enumerate(sorted(glob.glob(f"{src}/part-*"))):
+        os.rename(p, f"{src}/chunk{i}.tsv")
+    # a decoy file that must be ignored
+    with open(f"{src}/ignore.json", "w") as fh:
+        fh.write("{}")
+    return src
+
+
+def test_table_append_replay(spark, tick_files, tmp_path):
+    table_dir = str(tmp_path / "table")
+    q = table_append_sink(
+        canonical_stream(read_tick_stream(spark, tick_files)),
+        table_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(table_dir)
+    want = btcusdt(spark, SF)
+    assert got.count() == want.count()
+    assert got.columns == want.columns
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_minute_file_sink_partitions(spark, tick_files, tmp_path):
+    out = str(tmp_path / "tsv_out")
+    q = minute_file_sink(
+        canonical_stream(read_tick_stream(spark, tick_files)),
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    # one directory per event-time minute, named by epoch second of the
+    # minute boundary (reference file naming, main.py:40-41)
+    parts = sorted(glob.glob(f"{out}/minute_epoch_s=*"))
+    assert parts, "no minute partitions written"
+    buckets = {int(p.rsplit("=", 1)[1]) for p in parts}
+    want = {
+        r[0]
+        for r in btcusdt(spark, SF)
+        .select(((F.unix_timestamp("time") / 60).cast("long") * 60))
+        .distinct()
+        .collect()
+    }
+    assert buckets == want
+    # content parity: read back all partitions as TSV text columns
+    got = (
+        spark.read.option("sep", "\t")
+        .schema(
+            "bid string, parameter string, price string, quantity string, "
+            "time string, maker string"
+        )
+        .csv(f"{out}/minute_epoch_s=*/")
+    )
+    want_rows = sink_projection(btcusdt(spark, SF))
+    assert got.count() == want_rows.count()
+    assert got.exceptAll(want_rows).count() == 0
+
+
+def test_archive_moves_processed_files(spark, tick_files, tmp_path):
+    # private copy: cleanSource=archive MOVES inputs, and tick_files is
+    # shared by the other tests
+    import shutil
+
+    src = str(tmp_path / "src_copy")
+    shutil.copytree(tick_files, src)
+    tick_files = src
+    archive = str(tmp_path / "archive")
+    q = table_append_sink(
+        canonical_stream(
+            # one file per micro-batch: archival of a file happens at the
+            # start of a LATER batch, so a single batch would archive none
+            read_tick_stream(
+                spark, tick_files, archive_dir=archive, max_files_per_trigger=1
+            )
+        ),
+        str(tmp_path / "table_a"),
+        str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(120)
+    # cleanSource=archive moves inputs aside (data_finished/ parity);
+    # archival is asynchronous/best-effort per batch, so require at
+    # least one file moved
+    archived = glob.glob(f"{archive}/**/*.tsv", recursive=True)
+    assert archived, "no input files were archived"
+
+
+def test_streaming_ohlcv_matches_batch(spark, tick_files, tmp_path):
+    out = str(tmp_path / "ohlcv")
+    stream = ohlcv_stream(
+        canonical_stream(read_tick_stream(spark, tick_files)),
+        watermark="0 seconds",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the final no-data batch that advances the watermark races query
+    # termination under availableNow; a second pass over the same
+    # checkpoint deterministically flushes the remaining closed windows
+    q2 = (
+        ohlcv_stream(
+            canonical_stream(read_tick_stream(spark, tick_files)),
+            watermark="0 seconds",
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got = spark.read.parquet(out)
+    batch = (
+        btcusdt(spark, SF)
+        .groupBy(F.window("time", "1 minute").start.alias("minute_start"))
+        .agg(
+            F.min_by("price", F.struct("time", "bid")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("time", "bid")).alias("close"),
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    # append mode emits only windows closed by the final watermark; all
+    # emitted windows must match the batch result exactly
+    merged = got.alias("g").join(batch.alias("b"), "minute_start")
+    assert merged.count() == got.count(), "stream emitted unknown window"
+    mismatches = merged.filter(
+        (F.col("g.open") != F.col("b.open"))
+        | (F.col("g.high") != F.col("b.high"))
+        | (F.col("g.low") != F.col("b.low"))
+        | (F.col("g.close") != F.col("b.close"))
+        | (F.col("g.volume") != F.col("b.volume"))
+        | (F.col("g.trades") != F.col("b.trades"))
+    )
+    assert mismatches.count() == 0
+    # nearly all windows close under availableNow (the final batch
+    # advances the watermark to max event time)
+    assert got.count() >= batch.count() - 1
+
+
+def test_late_data_dropped_not_corrupting(spark, tmp_path):
+    """Documented divergence (SURVEY §2.8): a trade older than the
+    watermark is dropped; the reference would silently rewrite the
+    closed minute file (main.py:36-47)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base_ms = 1_700_000_000_000  # minute boundary multiple
+    rows1 = [
+        f"1\tBTCUSDT\t100.00000000\t0.10000000\t{base_ms}\ttrue",
+        f"2\tBTCUSDT\t101.00000000\t0.20000000\t{base_ms + 60_000}\tfalse",
+        f"3\tBTCUSDT\t102.00000000\t0.30000000\t{base_ms + 600_000}\ttrue",
+    ]
+    with open(f"{src}/a.tsv", "w") as fh:
+        fh.write("\n".join(rows1) + "\n")
+    out = str(tmp_path / "late_out")
+    stream = ohlcv_stream(
+        canonical_stream(read_tick_stream(spark, src)), watermark="1 minute"
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {r.minute_start for r in spark.read.parquet(out).collect()}
+
+    # second batch: one very late trade into the long-closed first minute
+    with open(f"{src}/b.tsv", "w") as fh:
+        fh.write(f"9\tBTCUSDT\t999.00000000\t9.00000000\t{base_ms + 1_000}\ttrue\n")
+    q2 = (
+        ohlcv_stream(
+            canonical_stream(read_tick_stream(spark, src)), watermark="1 minute"
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(out)
+    # the closed first-minute window was NOT rewritten: its candle still
+    # shows the original trade only
+    first_minute = after.filter(
+        F.col("minute_start") == F.lit("2023-11-14 22:13:00").cast("timestamp")
+    ).collect()
+    for row in first_minute:
+        assert row.trades == 1
+        assert row.high == 100.0
+    assert {r.minute_start for r in after.collect()} >= first
