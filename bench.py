@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one representative per operator family, weighted toward
+the plans that matter at 100 TB (multiway join, OHLCV, windows, LSH
+dedup, cosine top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_join_multiway",
+    "q_agg_ohlcv_1min",
+    "q_agg_sum_avg_minmax",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_asof",
+    "q_win_running_sum",
+    "q_win_moving_avg",
+    "q_sort_limit",
+    "q_scan_parquet",
+    "q_canonicalize_btcusdt",
+    "q_ext_dedup_exact",
+    "q_ext_dedup_near",
+    "q_ext_cosine_knn",
+    "q_ext_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    qs["q_scan_parquet"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize fully
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,16 +63,19 @@ def duck_hex32(expr: str) -> str:
 # <0.3).
 
 
-def shingles(text: Column) -> Column:
-    w = F.split(text, " ")
+def shingles(words: Column) -> Column:
+    """Word-trigram shingles from an already-materialized words array.
+    `words` must be a bound column (not an inline split(...) expression):
+    lambda bodies copy outer expressions per evaluation, so an inline
+    split would be recomputed for every element_at."""
     return F.array_distinct(
         F.when(
-            F.size(w) >= 3,
+            F.size(words) >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
+                F.sequence(F.lit(1), F.size(words) - 2),
                 lambda i: F.concat_ws(
-                    "_", F.element_at(w, i), F.element_at(w, i + 1),
-                    F.element_at(w, i + 2)
+                    "_", F.element_at(words, i), F.element_at(words, i + 1),
+                    F.element_at(words, i + 2)
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
@@ -97,8 +100,10 @@ doc_size AS (SELECT doc_id, len(sl) AS n FROM sh)
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    # projection boundary materializes the words array once per row
+    with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return with_words.select(
+        "doc_id", F.explode(shingles(F.col("words"))).alias("s")
     )
 
 
@@ -130,13 +135,25 @@ def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash signatures ------------------------------------------------------
+# One md5 per shingle (x = hex32(md5(s))), then 16 universal-hash
+# permutations h_j = (A_j*x + B_j) mod P derived arithmetically — 16x
+# less hashing than hashing per permutation, identical in both engines
+# (A_j < 2^20 and x < 2^32, so A_j*x < 2^52: no int64 overflow).
+
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_A = [(((j + 1) * 2_654_435_761) % (1 << 20)) | 1 for j in range(N_HASHES)]
+MINHASH_B = [((j + 1) * 40_503_919) % (1 << 40) for j in range(N_HASHES)]
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> h0..h15: min over shingles of 16 md5-derived hash fns."""
-    rows = shingle_rows(spark, sf_dir)
+    """doc_id -> h0..h15: min over shingles of 16 permutation hashes."""
+    rows = shingle_rows(spark, sf_dir).select(
+        "doc_id", hex32(F.col("s")).alias("x")
+    )
     aggs = [
-        F.min(hex32(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+        F.min((F.col("x") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(
+            f"h{j}"
+        )
         for j in range(N_HASHES)
     ]
     return rows.groupBy("doc_id").agg(*aggs)
@@ -144,14 +161,17 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_sig_cte() -> str:
     mins = ",\n         ".join(
-        f"min({duck_hex32(repr(str(j) + '|') + ' || s')}) AS h{j}"
+        f"min((x * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS h{j}"
         for j in range(N_HASHES)
     )
     return f"""
+hashed_shingle AS (
+  SELECT doc_id, {duck_hex32("s")} AS x FROM shingle
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM shingle GROUP BY doc_id
+  FROM hashed_shingle GROUP BY doc_id
 )
 """
 
