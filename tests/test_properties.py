@@ -1,0 +1,88 @@
+"""Property tests (SURVEY.md §5.3): structural invariants that hold for
+any input, checked on the driver tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.canonical import btcusdt
+from binancedatapipelineinaws_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ohlcv_invariants(spark):
+    df = queries()["q_agg_ohlcv_1min"](spark, SF)
+    bad = df.filter(
+        (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+        | (F.col("volume") < 0)
+        | (F.col("trades") <= 0)
+    )
+    assert bad.count() == 0
+    # total trades across candles == total canonical rows
+    total = df.agg(F.sum("trades")).first()[0]
+    assert total == btcusdt(spark, SF).count()
+
+
+def test_dedup_exact_partitions_rows(spark):
+    df = queries()["q_ext_dedup_exact"](spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    agg = df.agg(F.sum("n_copies"), F.count("*")).first()
+    assert agg[0] == n_docs  # copies partition the corpus
+    # canonical docs are distinct
+    assert df.select("canonical_doc").distinct().count() == agg[1]
+
+
+def test_dedup_near_idempotent_and_symmetric(spark):
+    df = queries()["q_ext_dedup_near"](spark, SF).cache()
+    rows = df.collect()
+    # well-formed: a < b, jaccard in (0, 1]
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 < r.jaccard <= 1
+    # idempotent: re-running yields the same pair set
+    again = {(r.doc_a, r.doc_b) for r in queries()["q_ext_dedup_near"](spark, SF).collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} == again
+
+
+def test_window_sum_equals_groupby_sum(spark):
+    run = queries()["q_win_running_sum"](spark, SF)
+    # the max running value per user == the user's total
+    w_total = run.groupBy("user_id").agg(
+        F.max("running_value").alias("win_total")
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    g_total = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("g_total")
+    )
+    joined = w_total.join(g_total, "user_id")
+    assert joined.filter(F.col("win_total") != F.col("g_total")).count() == 0
+
+
+def test_knn_rank_contiguous_and_bounded(spark):
+    df = queries()["q_ext_cosine_knn"](spark, SF)
+    per_q = df.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.max("cos_sim").alias("cmax"),
+    )
+    for r in per_q.collect():
+        assert r.k == r.rmax - r.rmin + 1 == 5
+        assert r.rmin == 1
+        assert r.cmax <= 1.0 + 1e-9
+
+
+def test_canonicalization_lossy_semantics(spark):
+    df = btcusdt(spark, SF)
+    # price has <= 2dp, quantity <= 5dp, time at second granularity
+    bad_price = df.filter(F.col("price") != F.round("price", 2))
+    bad_qty = df.filter(F.col("quantity") != F.round("quantity", 5))
+    sub_second = df.filter(F.date_trunc("second", "time") != F.col("time"))
+    assert bad_price.count() == 0
+    assert bad_qty.count() == 0
+    assert sub_second.count() == 0
+    assert df.filter(~F.col("maker").isin(0, 1)).count() == 0
