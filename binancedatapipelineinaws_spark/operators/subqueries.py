@@ -1,0 +1,159 @@
+"""Subquery + pivot + grouping-sets surface — the rest of the delegated
+MySQL 5.7 relational surface (SURVEY.md §2.4 IN/EXISTS note) plus
+engine supersets.  Catalyst decorrelates subqueries into joins
+(OptimizeSubqueries / RewriteCorrelatedScalarSubquery), so these plans
+scale like the joins they become.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.operators._util import dec_sum
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table, register_views
+
+
+@register(
+    "q_sub_scalar",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst evaluates it once and
+    broadcasts the scalar into the filter."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q_sub_in",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+""",
+)
+def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — becomes a left-semi join after rewrite."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        """
+    )
+
+
+@register(
+    "q_sub_correlated_scalar",
+    oracle="""
+SELECT c_custkey,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+         AS max_order
+FROM customer
+WHERE c_custkey % 5 = 0
+""",
+)
+def q_sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — decorrelated into an aggregate +
+    left outer join by Catalyst."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+                 AS max_order
+        FROM customer
+        WHERE c_custkey % 5 = 0
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine superset of MySQL 5.7's CASE-WHEN emulation).
+    Explicit value list => single-pass aggregation, no values-discovery
+    job."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (superset of rollup/cube)."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_vwap",
+    oracle="""
+WITH pl AS (
+  SELECT l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem
+)
+SELECT l_suppkey,
+       CAST(sum(p * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS vwap
+FROM pl GROUP BY l_suppkey
+""",
+)
+def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price — THE canonical trading aggregate
+    over the reference's data model (price x quantity / volume)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    return li.groupBy("l_suppkey").agg(
+        (F.sum(p * q).cast("double") / F.sum(q).cast("double")).alias("vwap")
+    )

@@ -232,3 +232,32 @@ def q_win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w_full).alias("richest_custkey"),
         F.last("c_custkey").over(w_full).alias("poorest_custkey"),
     )
+
+
+@register(
+    "q_win_percent_cume",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey), 9)
+         AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey), 9) AS cume,
+       ntile(10) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS decile
+FROM orders WHERE o_orderkey % 20 = 0
+""",
+)
+def q_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — distribution-position window
+    functions (engine superset of MySQL 5.7)."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
         pipeline_ops,
         scalar_fns,
         sorts_setops,
+        subqueries,
         windows,
     )
     from binancedatapipelineinaws_spark.sources import tsv  # noqa: F401
@@ -54,6 +55,7 @@ def _load_all() -> None:
         multimodal,
         similarity,
         text,
+        udfs,
     )
 
 
