@@ -259,3 +259,143 @@ def q_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim_raw", 6).alias("cos_sim"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+# Coarse quantizer: centroid per `label` cell (exact-decimal means so
+# both engines compute identical centroids), assign each vector to its
+# nearest centroid, then search only within the query's cell with
+# nprobe=1.  At 100 TB: centroids are a broadcast table; the cell
+# assignment is map-only; each query scans corpus/n_cells vectors.
+
+_DUCK_CENTROIDS = f"""
+exploded AS (
+  SELECT label, d, CAST(embedding[d + 1] AS DECIMAL(18,9)) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS d) t
+),
+centroids AS (
+  SELECT label, d, CAST(sum(v) AS DOUBLE) / count(*) AS c
+  FROM exploded GROUP BY label, d
+),
+centroid_vecs AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM centroids GROUP BY label
+)
+"""
+
+
+def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroids via exact-decimal dimension sums (bit-identical
+    across engines and partial-agg schedules)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("d", "v_raw")
+    ).select("label", "d", F.col("v_raw").cast("decimal(18,9)").alias("v"))
+    per_dim = exploded.groupBy("label", "d").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("c")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            "label",
+            F.transform(F.col("dc"), lambda x: x.getField("c")).alias("cvec"),
+        )
+    )
+
+
+_DUCK_DOT_VC = (
+    f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+    f"i -> CAST(e.embedding[i + 1] AS DOUBLE) * cv.cvec[i + 1])), "
+    f"(x, y) -> x + y)"
+)
+_DUCK_NORM_V = (
+    f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+    f"i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))), "
+    f"(x, y) -> x + y))"
+)
+_DUCK_NORM_C = (
+    f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+    f"i -> cv.cvec[i + 1] * cv.cvec[i + 1])), (x, y) -> x + y))"
+)
+
+
+@register(
+    "q_ext_ann_ivf",
+    oracle="WITH "
+    + _DUCK_CENTROIDS
+    + f""",
+assigned AS (
+  SELECT e.vec_id, e.embedding, cv.label AS cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DUCK_DOT_VC} / ({_DUCK_NORM_V} * {_DUCK_NORM_C}) DESC,
+                    cv.label) AS rn
+  FROM embeddings e CROSS JOIN centroid_vecs cv
+),
+cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         {_DUCK_COS.replace("q.embedding", "q.embedding").replace("c.embedding", "c.embedding")} AS cos_sim
+  FROM cells q JOIN cells c
+    ON q.cell = c.cell AND q.vec_id < {N_QUERY} AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cell assignment (nprobe=1), exact
+    cosine rerank within the cell."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(centroids(spark, sf_dir))
+    e = emb.select("vec_id", "embedding")
+    cos_vc = dot(
+        F.col("embedding"),
+        F.col("cvec"),
+    ) / (norm(F.col("embedding")) * norm(F.col("cvec")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.col("label")
+    )
+    assigned = (
+        e.crossJoin(cents)
+        .select("vec_id", "embedding", "label", cos_vc.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("label").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("cell").alias("c_cell"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+    )
+    cand = q.join(
+        c,
+        (F.col("cell") == F.col("c_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", "cell", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "cell", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

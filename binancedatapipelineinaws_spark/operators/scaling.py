@@ -1,0 +1,127 @@
+"""Scale-out patterns (SURVEY.md §4 '100 TB north-star' row): the
+operators and layout helpers whose whole purpose is surviving 1000
+executors and skewed keys.  Each pattern carries a correctness oracle
+(same result as the naive plan) so the optimization is provably
+semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.operators._util import dec_sum
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+N_SALTS = 8
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    (key, salt) so each reducer gets 1/N of the hot key's rows; phase 2
+    merges the partials.  l_returnflag has ~3 values over all rows — the
+    worst-case skew shape.  The oracle is the naive single-phase groupBy:
+    identical result (decimal sums are associative), different shuffle
+    profile."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", (F.xxhash64("l_orderkey", "l_linenumber") % N_SALTS)
+    )
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("n_part"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_part"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("n_part").alias("n_rows"),
+        F.sum("sum_part").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same
+    linear-interpolation definition)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register("q_agg_approx_percentiles", oracle=None)  # sketch: engine-specific
+def q_agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path: approx_percentile (KLL-style sketch, one pass,
+    mergeable across partitions) — rows-only check."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx_pcts")
+    )
+
+
+def write_partitioned_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Layout helper: the reference's time-partitioned layout (one file
+    per minute, main.py:40-41) generalized to day-partitioned parquet —
+    the layout partition pruning needs."""
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+
+
+def write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, db_suffix: str = ""
+) -> tuple[str, str]:
+    """Layout helper: co-located join layout.  Both fact tables are
+    bucketed on the join key, so joining them needs NO exchange and NO
+    sort at read time — the 100 TB answer to the repeated
+    lineitem-orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_name = f"lineitem_bucketed{db_suffix}"
+    o_name = f"orders_bucketed{db_suffix}"
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in ((li_name, li, "l_orderkey"), (o_name, o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)  # stale location
+        (
+            df.write.mode("overwrite")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return li_name, o_name

@@ -45,6 +45,7 @@ def _load_all() -> None:
         joins,
         pipeline_ops,
         scalar_fns,
+        scaling,
         sorts_setops,
         subqueries,
         windows,
