@@ -239,3 +239,48 @@ def test_late_data_dropped_not_corrupting(spark, tmp_path):
         assert row.trades == 1
         assert row.high == 100.0
     assert {r.minute_start for r in after.collect()} >= first
+
+
+def test_stateful_rotation_detector(spark, tick_files, tmp_path):
+    """applyInPandasWithState rotation detector: emitted closed minutes
+    must match the batch per-minute aggregation for every minute except
+    the last (still open when the stream drains)."""
+    from binancedatapipelineinaws_spark.streaming.stateful import rotation_stream
+
+    out = str(tmp_path / "rotations")
+    q = (
+        rotation_stream(canonical_stream(read_tick_stream(spark, tick_files)))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "rot_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    batch = (
+        btcusdt(spark, SF)
+        .groupBy(
+            "parameter",
+            ((F.unix_timestamp("time") / 60).cast("long") * 60).alias(
+                "minute_epoch_s"
+            ),
+        )
+        .agg(
+            F.count("*").alias("trades"),
+            F.sum("quantity").alias("volume"),
+        )
+    )
+    last_minute = batch.agg(F.max("minute_epoch_s")).first()[0]
+    batch_closed = batch.filter(F.col("minute_epoch_s") != last_minute)
+    assert got.count() == batch_closed.count()
+    j = got.alias("g").join(
+        batch_closed.alias("b"), ["parameter", "minute_epoch_s"]
+    )
+    assert j.count() == got.count()
+    bad = j.filter(
+        (F.col("g.trades") != F.col("b.trades"))
+        | (F.abs(F.col("g.volume") - F.col("b.volume")) > 1e-6)
+    )
+    assert bad.count() == 0
