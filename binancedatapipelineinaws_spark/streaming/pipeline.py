@@ -174,12 +174,14 @@ def session_window_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Engine superset: session windows (trade bursts separated by a
-    quiet gap)."""
+    quiet gap), per symbol — streaming session windows require a
+    grouping key, and per-key state is what scales anyway."""
     return (
         canonical.withWatermark("time", watermark)
-        .groupBy(F.session_window("time", gap).alias("w"))
+        .groupBy("parameter", F.session_window("time", gap).alias("w"))
         .agg(F.count("*").alias("trades"))
         .select(
+            "parameter",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "trades",

@@ -241,6 +241,126 @@ def test_late_data_dropped_not_corrupting(spark, tmp_path):
     assert {r.minute_start for r in after.collect()} >= first
 
 
+def _run_append_twice(stream_factory, out, ckpt):
+    """availableNow races the final watermark-advancing batch with query
+    termination; a second pass over the same checkpoint flushes the
+    remaining closed windows deterministically."""
+    for _ in range(2):
+        q = (
+            stream_factory()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+
+def test_streaming_dedup_removes_replayed_file(spark, tick_files, tmp_path):
+    """dropDuplicatesWithinWatermark (engine superset, SURVEY §2.8):
+    the same upload delivered twice — the reference's non-idempotent
+    Lambda double-loads it — must land exactly once."""
+    import shutil
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "dup_src")
+    shutil.copytree(tick_files, src)
+    first = sorted(glob.glob(f"{src}/*.tsv"))[0]
+    shutil.copy(first, f"{src}/replayed_upload.tsv")  # duplicate delivery
+
+    out = str(tmp_path / "dedup_out")
+    _run_append_twice(
+        lambda: dedup_stream(
+            canonical_stream(read_tick_stream(spark, src)),
+            watermark="24 hours",
+        ),
+        out,
+        str(tmp_path / "dedup_ckpt"),
+    )
+    got = spark.read.parquet(out)
+    want = btcusdt(spark, SF)
+    assert got.count() == want.count()  # not count + |replayed file|
+    assert got.select("bid").distinct().count() == got.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_session_window_matches_batch(spark, tick_files, tmp_path):
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        session_window_stream,
+    )
+
+    out = str(tmp_path / "sess_out")
+    _run_append_twice(
+        lambda: session_window_stream(
+            canonical_stream(read_tick_stream(spark, tick_files)),
+            gap="5 minutes",
+            watermark="0 seconds",
+        ),
+        out,
+        str(tmp_path / "sess_ckpt"),
+    )
+    got = spark.read.parquet(out)
+    batch = (
+        btcusdt(spark, SF)
+        .groupBy(
+            "parameter", F.session_window("time", "5 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("trades"))
+        .select(
+            "parameter",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "trades",
+        )
+    )
+    merged = got.alias("g").join(
+        batch.alias("b"), ["parameter", "session_start", "session_end"]
+    )
+    assert merged.count() == got.count(), "stream emitted unknown session"
+    assert (
+        merged.filter(F.col("g.trades") != F.col("b.trades")).count() == 0
+    )
+    assert got.count() >= batch.count() - 1
+
+
+def test_streaming_sliding_window_matches_batch(spark, tick_files, tmp_path):
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        sliding_window_stream,
+    )
+
+    out = str(tmp_path / "slide_out")
+    _run_append_twice(
+        lambda: sliding_window_stream(
+            canonical_stream(read_tick_stream(spark, tick_files)),
+            watermark="0 seconds",
+        ),
+        out,
+        str(tmp_path / "slide_ckpt"),
+    )
+    got = spark.read.parquet(out)
+    batch = (
+        btcusdt(spark, SF)
+        .groupBy(F.window("time", "10 minutes", "1 minute").alias("w"))
+        .agg(
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume")
+        )
+        .select(F.col("w.start").alias("w_start"), "volume")
+    )
+    merged = got.alias("g").join(batch.alias("b"), "w_start")
+    assert merged.count() == got.count(), "stream emitted unknown window"
+    assert (
+        merged.filter(F.col("g.volume") != F.col("b.volume")).count() == 0
+    )
+    # a 10-min/1-min sliding window closes only when the watermark passes
+    # window END; the last ~10 windows stay open
+    assert got.count() >= batch.count() - 11
+
+
 def test_stateful_rotation_detector(spark, tick_files, tmp_path):
     """applyInPandasWithState rotation detector: emitted closed minutes
     must match the batch per-minute aggregation for every minute except
