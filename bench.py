@@ -22,6 +22,7 @@ HEADLINE = [
     "q_agg_ohlcv_1min",
     "q_agg_sum_avg_minmax",
     "q_agg_rollup",
+    "q_agg_approx_distinct",
     "q_join_inner",
     "q_join_asof",
     "q_win_running_sum",
@@ -31,7 +32,9 @@ HEADLINE = [
     "q_canonicalize_btcusdt",
     "q_ext_dedup_exact",
     "q_ext_dedup_near",
+    "q_ext_dedup_simhash",
     "q_ext_cosine_knn",
+    "q_ext_ann_ivf",
     "q_ext_text_stats",
 ]
 
@@ -44,20 +47,23 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
+    # the noop sink materializes EVERY output column (count() would let
+    # Catalyst prune the projections away and under-measure)
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # untimed warm-up pass: JIT + whole-stage-codegen compilation and
     # parquet footer caches; the timed pass then measures steady-state
     # throughput (the regime that matters for a long-lived cluster)
     for name in HEADLINE:
-        qs[name](spark, sf_dir).count()
+        run(name)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize fully
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(run(name), 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -304,6 +304,20 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -----------------------------------------------------------------
 
 
+def _simhash_chunks() -> list[tuple[int, int]]:
+    """(offset, width) for HAMMING_THRESHOLD+1 bit chunks covering all
+    SIMHASH_BITS.  Pigeonhole: a pair with <= HAMMING_THRESHOLD
+    differing bits matches exactly in at least one chunk."""
+    n = HAMMING_THRESHOLD + 1
+    base, extra = divmod(SIMHASH_BITS, n)
+    chunks, off = [], 0
+    for i in range(n):
+        width = base + (1 if i < extra else 0)
+        chunks.append((off, width))
+        off += width
+    return chunks
+
+
 @register(
     "q_ext_dedup_simhash",
     oracle="WITH "
@@ -329,9 +343,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 )
 def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signed-projection fingerprint per doc;
-    near-dups differ in <= 4 bits.  Fingerprinting is one groupBy; the
-    pair scan here is brute-force (fine at this SF) — at scale, bucket
-    by bit-masked prefixes like the LSH path."""
+    near-dups differ in <= 4 bits.  Fingerprinting is one groupBy;
+    candidate pairs come from an equi-join on exact-matching bit chunks
+    (pigeonhole over HAMMING_THRESHOLD+1 chunks) — same output as the
+    brute-force pair scan (the DuckDB oracle), but the join is a hash
+    join on a bounded key instead of an all-pairs nested loop."""
     prepare(spark)
     rows = shingle_rows(spark, sf_dir).withColumn("h", hex32(F.col("s")))
     bit_sums = [
@@ -349,19 +365,40 @@ def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=F.lit(0),
     ).cast("long")
     sim = per_doc.select("doc_id", simhash.alias("simhash"))
-    a = sim.alias("a")
-    b = sim.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND((1 << width) - 1)
+                        .cast("string"),
+                    )
+                    for i, (off, width) in enumerate(_simhash_chunks())
+                ]
+            )
+        ).alias("chunk_key"),
     )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(hamming <= HAMMING_THRESHOLD)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+        .distinct()
     )
 
 

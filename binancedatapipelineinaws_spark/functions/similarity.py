@@ -79,20 +79,25 @@ FROM ranked WHERE rank <= {TOP_K}
 )
 def q_ext_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the
-    corpus, per-partition scoring, windowed top-k."""
+    corpus, per-partition scoring, windowed top-k.  Norms are
+    precomputed once per vector (a map-side projection), not per pair —
+    at n_query queries that's 2*n_query-fold less fold work."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERY).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_nrm"),
         )
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_nrm"),
     )
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         c.join(q, F.col("neighbor_id") != F.col("query_id"))
@@ -187,20 +192,25 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_nrm"),
     )
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     cand = (
         q.join(
@@ -236,19 +246,23 @@ def q_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.9) — the
     semantic-dedup tier for training pipelines."""
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     c = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     return (
         q.join(c, F.col("vec_a") < F.col("vec_b"))
@@ -354,34 +368,40 @@ def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine rerank within the cell."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(centroids(spark, sf_dir))
-    e = emb.select("vec_id", "embedding")
-    cos_vc = dot(
-        F.col("embedding"),
-        F.col("cvec"),
-    ) / (norm(F.col("embedding")) * norm(F.col("cvec")))
+    cents = F.broadcast(
+        centroids(spark, sf_dir).select(
+            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+        )
+    )
+    # per-vector norm computed ONCE (map-side), not per centroid/pair
+    e = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_sim"), F.col("label")
     )
     assigned = (
         e.crossJoin(cents)
-        .select("vec_id", "embedding", "label", cos_vc.alias("cent_sim"))
+        .select("vec_id", "embedding", "nrm", "label", cos_vc.alias("cent_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("label").alias("cell"))
+        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
     )
     q = assigned.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "cell",
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
         F.col("cell").alias("c_cell"),
     )
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        norm(F.col("q_emb")) * norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     cand = q.join(
         c,

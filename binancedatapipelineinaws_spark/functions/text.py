@@ -58,8 +58,12 @@ def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: lengths, type-token ratio, stopword
     ratio, and a composite quality gate."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # projection boundary: split once per row — every downstream column
+    # reuses the materialized array instead of re-splitting the text
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    words = F.col("words")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     ttr = n_distinct.cast("double") / n_words

@@ -107,7 +107,9 @@ def q_ext_udtf_explode_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="o_orderkey bigint, tag string")
+    # Arrow-batched: the exchange with the Python worker is columnar
+    # (ArrowEvalPythonUDTF), not row-pickled
+    @udtf(returnType="o_orderkey bigint, tag string", useArrow=True)
     class TagExploder:
         def eval(self, o_orderkey: int, status: str, priority: str):
             yield o_orderkey, f"status:{status}"
