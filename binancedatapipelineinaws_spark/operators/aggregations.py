@@ -242,3 +242,55 @@ def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
     )
+
+
+@register(
+    "q_agg_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, sess_id
+""",
+)
+def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (engine superset, SURVEY §2.8): per-user
+    activity bursts separated by >= 6 h of quiet, via the native
+    `session_window` operator — the oracle reproduces its merge
+    semantics (merge iff gap < 6 h; end = last ts + gap) with
+    gaps-and-islands SQL.  One shuffle on the grouping key; session
+    merging is per-key and streaming-state compatible."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
