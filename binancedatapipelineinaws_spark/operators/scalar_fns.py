@@ -414,3 +414,38 @@ def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("c_name").alias("name_murmur3"),
         F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey AS k_and,
+       l_orderkey | l_partkey AS k_or,
+       xor(l_orderkey, l_partkey) AS k_xor,
+       ~l_orderkey AS k_not,
+       l_linenumber << 3 AS ln_shl,
+       l_orderkey >> 2 AS k_shr,
+       bit_count(l_orderkey) AS k_bits
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (MySQL 5.7 surface: & | ^ ~ << >> BIT_COUNT) —
+    used internally by the SimHash/LSH dedup tier."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.col("l_partkey")).alias("k_and"),
+        F.col("l_orderkey").bitwiseOR(F.col("l_partkey")).alias("k_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("k_xor"),
+        F.bitwise_not(F.col("l_orderkey")).alias("k_not"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("k_shr"),
+        F.bit_count(F.col("l_orderkey")).alias("k_bits"),
+    )
