@@ -227,9 +227,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_ext_dedup_near",
-    oracle="WITH "
+# The full near-dup CTE chain and its final SELECT, kept separate so
+# q_ext_dedup_survivors can compose the same pipeline.
+_NEAR_CTES = (
+    "WITH "
     + DUCK_SHINGLES_CTE
     + ","
     + _duck_sig_cte()
@@ -251,7 +252,7 @@ cand AS (
   FROM band{j} a JOIN band{j} b ON a.bk = b.bk AND a.doc_id < b.doc_id"""
         for j in range(N_BANDS)
     )
-    + f"""
+    + """
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
@@ -260,14 +261,20 @@ inter AS (
   JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
   GROUP BY c.doc_a, c.doc_b
 )
+"""
+)
+
+_NEAR_FINAL = f"""
 SELECT i.doc_a, i.doc_b,
        round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
 FROM inter i
 JOIN doc_size na ON na.doc_id = i.doc_a
 JOIN doc_size nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {JACCARD_THRESHOLD}
-""",
-)
+"""
+
+
+@register("q_ext_dedup_near", oracle=_NEAR_CTES + _NEAR_FINAL)
 def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection end-to-end: signatures -> banded
     bucket join -> exact-Jaccard verification of candidates only."""
@@ -298,6 +305,34 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_ext_dedup_survivors",
+    oracle=_NEAR_CTES
+    + ", near AS ("
+    + _NEAR_FINAL
+    + """)
+SELECT d.doc_id, d.lang, length(d.text) AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM near)
+""",
+)
+def q_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection after near-dup detection: greedy
+    keep-lowest-doc_id — any document that is the HIGHER id of a
+    near-dup pair is dropped (left-anti join against the pair set).
+    One-hop policy, deliberately: full transitive-closure clustering is
+    iterative (union-find / connected components) and not
+    SQL-expressible; at scale the anti-join is one shuffle on doc_id
+    against a pair set that is tiny relative to the corpus."""
+    prepare(spark)
+    pairs = q_ext_dedup_near(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.length("text").alias("text_len")
     )
 
 
