@@ -297,18 +297,28 @@ def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arr_str(col):
+    """Render an array column as a comma-joined string so the driver's
+    pandas canonicalizer (which cannot hash list cells) sees scalars."""
+    return F.array_join(col.cast("array<string>"), ",")
+
+
 @register(
     "q_fn_array_map",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       [l_orderkey, l_partkey, l_suppkey] AS key_arr,
+       array_to_string([l_orderkey, l_partkey, l_suppkey], ',') AS key_arr,
        len([l_orderkey, l_partkey, l_suppkey]) AS arr_len,
        list_contains([l_orderkey, l_partkey, l_suppkey], 1) AS has_one,
        [l_partkey, l_suppkey][1] AS first_elem,
-       list_transform([l_quantity, l_quantity + 1], x -> x * 2) AS doubled,
-       list_filter([l_orderkey % 2, l_partkey % 2, l_suppkey % 2],
-                   x -> x = 0) AS evens,
-       list_sort([l_suppkey % 10, l_partkey % 10, l_orderkey % 10]) AS sorted_mods,
+       array_to_string(
+           list_transform([l_quantity, l_quantity + 1], x -> x * 2), ',') AS doubled,
+       array_to_string(
+           list_filter([l_orderkey % 2, l_partkey % 2, l_suppkey % 2],
+                       x -> x = 0), ',') AS evens,
+       array_to_string(
+           list_sort([l_suppkey % 10, l_partkey % 10, l_orderkey % 10]),
+           ',') AS sorted_mods,
        list_reduce([l_orderkey % 100, l_partkey % 100, l_suppkey % 100],
                    (a, b) -> a + b) AS mod_sum
 FROM lineitem WHERE l_orderkey % 500 = 0
@@ -316,7 +326,10 @@ FROM lineitem WHERE l_orderkey % 500 = 0
 )
 def q_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array ops on integer payloads (exact in both engines); the
-    float-array path is exercised by the similarity queries."""
+    float-array path is exercised by the similarity queries.  Array
+    outputs are serialized to comma-joined strings in BOTH engines so
+    every checked output column is scalar (the driver's compare sorts
+    rows with pandas, which cannot hash list cells)."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 500 == 0
@@ -325,27 +338,33 @@ def q_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        keys.alias("key_arr"),
+        _arr_str(keys).alias("key_arr"),
         F.size(keys).alias("arr_len"),
         F.array_contains(keys, 1).alias("has_one"),
         F.element_at(F.array("l_partkey", "l_suppkey"), 1).alias("first_elem"),
-        F.transform(
-            F.array(F.col("l_quantity"), F.col("l_quantity") + 1),
-            lambda x: x * 2,
+        _arr_str(
+            F.transform(
+                F.array(F.col("l_quantity"), F.col("l_quantity") + 1),
+                lambda x: x * 2,
+            )
         ).alias("doubled"),
-        F.filter(
-            F.array(
-                F.col("l_orderkey") % 2,
-                F.col("l_partkey") % 2,
-                F.col("l_suppkey") % 2,
-            ),
-            lambda x: x == 0,
+        _arr_str(
+            F.filter(
+                F.array(
+                    F.col("l_orderkey") % 2,
+                    F.col("l_partkey") % 2,
+                    F.col("l_suppkey") % 2,
+                ),
+                lambda x: x == 0,
+            )
         ).alias("evens"),
-        F.sort_array(
-            F.array(
-                F.col("l_suppkey") % 10,
-                F.col("l_partkey") % 10,
-                F.col("l_orderkey") % 10,
+        _arr_str(
+            F.sort_array(
+                F.array(
+                    F.col("l_suppkey") % 10,
+                    F.col("l_partkey") % 10,
+                    F.col("l_orderkey") % 10,
+                )
             )
         ).alias("sorted_mods"),
         F.aggregate(
@@ -360,10 +379,22 @@ def q_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_map", oracle=None)  # MapType: no clean DuckDB analogue
+@register(
+    "q_fn_map",
+    oracle="""
+SELECT c_custkey,
+       'segment,name' AS keys,
+       c_mktsegment || ',' || c_name AS vals,
+       2 AS n_entries,
+       c_mktsegment AS segment
+FROM customer
+""",
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType surface: create_map / map_keys / map_values / element_at
-    (rows-only: DuckDB maps serialize differently)."""
+    """MapType surface: create_map / map_keys / map_values / size /
+    element_at.  Keys/values are rendered as comma-joined strings so the
+    checked output is all-scalar (oracle constructs the same strings
+    directly — DuckDB has no Spark-equivalent map literal)."""
     prepare(spark)
     c = load_table(spark, sf_dir, "customer")
     m = F.create_map(
@@ -372,8 +403,9 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
+        F.size(m).alias("n_entries"),
         F.element_at(m, "segment").alias("segment"),
     )
 

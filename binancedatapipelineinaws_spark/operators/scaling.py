@@ -74,13 +74,23 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_agg_approx_percentiles", oracle=None)  # sketch: engine-specific
 def q_agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path: approx_percentile (KLL-style sketch, one pass,
-    mergeable across partitions) — rows-only check."""
+    mergeable across partitions) — rows-only check (the sketch's answers
+    are engine-specific).  The array result is unpacked into scalar
+    columns so the driver's pandas canonicalizer can sort them."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("approx_pcts")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("approx_pcts"))
+        .select(
+            "l_returnflag",
+            F.element_at("approx_pcts", 1).alias("p50_approx"),
+            F.element_at("approx_pcts", 2).alias("p95_approx"),
+            F.element_at("approx_pcts", 3).alias("p99_approx"),
+        )
     )
 
 

@@ -55,6 +55,22 @@ def normalize(rows, cols):
 
 def run_one(spark, con, name, spec, verbose=False):
     sdf = spec.fn(spark, SF_DIR)
+    # Driver-compat guard: the driver canonicalizes with pandas
+    # sort_values, which cannot hash array/map/struct cells (this ERR'd
+    # three queries in round 1). Any complex-typed output column is a
+    # hard failure here even though this script's own compare handles it.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if complex_cols:
+        return (
+            "FAIL",
+            -1,
+            f"driver-unsafe complex output columns: {complex_cols} "
+            "(serialize with to_json/array_join)",
+        )
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
