@@ -233,6 +233,133 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- banded hyperplane LSH for embedding near-dup ---------------------------
+# NEARDUP_BANDS bands of NEARDUP_ROWS sign-bits each.  A pair at
+# cos >= 0.9 agrees on one hyperplane with p = 1 - acos(0.9)/pi ~ 0.857,
+# so it shares at least one full 8-bit band with
+# p = 1 - (1 - 0.857^8)^16 ~ 0.996; everything below the threshold is
+# pruned ~256x per band.  Weights are computed at PLAN-BUILD time (same
+# md5-low-bit family as _plane_weight) and inlined as literals, so the
+# scan is a plain 128x64 mat-vec per row — no per-row hashing.
+#
+# Scale notes (100 TB): signature explode is map-only (16 rows/vector of
+# (band, sig) ids only — vectors are NOT carried through the explode);
+# the candidate join is an equi-join on (band, sig); the exact verify
+# re-joins vectors by id.  Band signature width should grow with corpus
+# size (rows_per_band 16-20 at web scale => 65k-1M buckets/band) to keep
+# bucket sizes bounded; the knobs are function arguments for that reason.
+
+NEARDUP_BANDS = 16
+NEARDUP_ROWS = 8
+NEARDUP_COS = 0.9
+
+
+def _hyperplane_matrix(n_planes: int) -> list[list[float]]:
+    """Deterministic +-1 weights, sign = low bit of md5(f"{p}_{d}") —
+    the same family as _plane_weight, evaluated in Python at plan-build
+    time instead of per row."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for d in range(DIM)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = NEARDUP_BANDS,
+    rows_per_band: int = NEARDUP_ROWS,
+) -> DataFrame:
+    """(id, band, sig) rows: `bands` LSH band signatures per vector.
+    All projections come from ONE literal weight-matrix transform so the
+    whole signature block is a single projection in the plan."""
+    w_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in row])
+            for row in _hyperplane_matrix(bands * rows_per_band)
+        ]
+    )
+    projs = F.transform(
+        w_lit,
+        lambda w: F.aggregate(
+            F.zip_with(w, F.col(vec_col), lambda x, y: x * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    with_projs = df.select(id_col, projs.alias("_projs"))
+    sigs = []
+    for b in range(bands):
+        bits = F.lit(0)
+        for i in range(rows_per_band):
+            bits = bits + F.when(
+                F.element_at(F.col("_projs"), b * rows_per_band + i + 1) > 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+        sigs.append(
+            F.struct(F.lit(b).alias("band"), bits.cast("long").alias("sig"))
+        )
+    return with_projs.select(id_col, F.inline(F.array(*sigs)))
+
+
+def embed_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COS,
+    bands: int = NEARDUP_BANDS,
+    rows_per_band: int = NEARDUP_ROWS,
+) -> DataFrame:
+    """Near-duplicate pairs (cos >= threshold) from an (vec_id, label,
+    embedding) frame: banded-LSH candidates -> exact-cosine verify.
+    Never materializes all pairs — the only non-key join is gone."""
+    emb = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    sigs = banded_signatures(
+        emb, bands=bands, rows_per_band=rows_per_band
+    )
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b",
+            F.round("cos_sim_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
 @register(
     "q_ext_embed_neardup",
     oracle=f"""
@@ -244,35 +371,14 @@ WHERE {_DUCK_COS} >= 0.9
 )
 def q_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.9) — the
-    semantic-dedup tier for training pipelines."""
+    semantic-dedup tier for training pipelines.  The oracle stays the
+    all-pairs formulation; the Spark plan routes through banded-LSH
+    buckets (equi-joins only — no BroadcastNestedLoopJoin), with recall
+    exercised by the planted-near-dup test in tests/test_properties.py
+    (the synthetic corpus itself has no pair above cos 0.52)."""
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    q = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_nrm") * F.col("c_nrm")
-    )
-    return (
-        q.join(c, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.9)
-        .select(
-            "vec_a", "vec_b", "label_a", "label_b",
-            F.round("cos_sim_raw", 6).alias("cos_sim"),
-        )
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs(emb)
 
 
 # --- IVF (inverted-file) ANN -------------------------------------------------

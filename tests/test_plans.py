@@ -69,3 +69,11 @@ def test_range_join_is_broadcast_nlj(spark):
     plan = _plan(queries()["q_join_theta_range"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embed_neardup_no_all_pairs_join(spark):
+    # semantic dedup must route through LSH-bucket equi-joins; an
+    # all-pairs BroadcastNestedLoopJoin would be O(n^2) at scale
+    plan = _plan(queries()["q_ext_embed_neardup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -86,3 +86,49 @@ def test_canonicalization_lossy_semantics(spark):
     assert bad_qty.count() == 0
     assert sub_second.count() == 0
     assert df.filter(~F.col("maker").isin(0, 1)).count() == 0
+
+
+def test_embed_neardup_planted_recall(spark):
+    """Recall check the synthetic corpus can't provide (its max pairwise
+    cos is ~0.51): plant strong near-duplicates, assert the banded-LSH
+    pipeline returns exactly the pairs the exact all-pairs computation
+    finds at the same threshold."""
+    import numpy as np
+
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        NEARDUP_COS,
+        embed_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((50, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, f"c{i % 5}", [float(x) for x in v]))
+    # 10 planted near-copies: tiny additive noise => cos >= ~0.97
+    for j in range(10):
+        v = base[j] + 0.15 * rng.standard_normal(64)
+        rows.append((100 + j, f"c{j % 5}", [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embed_neardup_pairs(emb).collect()
+    }
+
+    # exact expectation from numpy (float32 inputs, double math — same
+    # widening the engine does)
+    mat = np.array([r[2] for r in rows], dtype=np.float32).astype(np.float64)
+    ids = [r[0] for r in rows]
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    expected = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= NEARDUP_COS
+    }
+    assert len(expected) >= 10  # the plants are really above threshold
+    assert got == expected
