@@ -34,8 +34,15 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # two 32-bit md5 words; 5 pigeonhole chunks of 12-13 bits
 HAMMING_THRESHOLD = 4
+# Shingles seen in more than this many documents are dropped before the
+# exact-verify joins: one boilerplate shingle shared by k documents
+# would otherwise materialize k^2 join rows (the hot-key skew bomb at
+# 100 TB).  The hot set is tiny by construction, so the filter is a
+# broadcast anti-join.  Never triggers on the driver corpora (max df is
+# 7 at sf0.01, 25 at sf0.1), so oracle values are unchanged there.
+SHINGLE_DF_CAP = 1000
 
 
 # --- portable deterministic hashing -----------------------------------------
@@ -47,9 +54,16 @@ def hex32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def duck_hex32(expr: str) -> str:
+def hex32b(col: Column) -> Column:
+    """Second 32-bit word of the md5 (hex chars 9-16) — combined with
+    hex32 this gives a 64-bit fingerprint without bigint overflow (each
+    word stays < 2^32 in a signed long)."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
+def duck_hex32(expr: str, start: int = 0) -> str:
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {start + i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
@@ -98,13 +112,43 @@ doc_size AS (SELECT doc_id, len(sl) AS n FROM sh)
 """
 
 
-def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def shingle_rows_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle rows for any (doc_id, text) frame."""
     # projection boundary materializes the words array once per row
     with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
     return with_words.select(
         "doc_id", F.explode(shingles(F.col("words"))).alias("s")
     )
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows_for(load_table(spark, sf_dir, "documents"))
+
+
+def capped_shingle_rows(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `cap` before any
+    shingle-keyed join.  The hot set is small by construction (few
+    shingles can exceed a 1000-doc df), so it broadcasts; the anti-join
+    adds no shuffle of the big side."""
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+# DuckDB mirror of the df-cap: capped shingles + capped doc sizes.
+# Jaccard in the verify stage is defined over the CAPPED shingle sets
+# (both intersection and union), keeping it a true set Jaccard.
+DUCK_CAPPED_CTE = f"""
+hot AS (SELECT s FROM shingle GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP}),
+shingle_c AS (
+  SELECT doc_id, s FROM shingle WHERE s NOT IN (SELECT s FROM hot)
+),
+doc_size_c AS (SELECT doc_id, count(*) AS n FROM shingle_c GROUP BY doc_id)
+"""
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -252,13 +296,14 @@ cand AS (
   FROM band{j} a JOIN band{j} b ON a.bk = b.bk AND a.doc_id < b.doc_id"""
         for j in range(N_BANDS)
     )
-    + """
-),
+    + "),"
+    + DUCK_CAPPED_CTE
+    + """,
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
-  JOIN shingle sa ON sa.doc_id = c.doc_a
-  JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+  JOIN shingle_c sa ON sa.doc_id = c.doc_a
+  JOIN shingle_c sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
   GROUP BY c.doc_a, c.doc_b
 )
 """
@@ -268,8 +313,8 @@ _NEAR_FINAL = f"""
 SELECT i.doc_a, i.doc_b,
        round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
 FROM inter i
-JOIN doc_size na ON na.doc_id = i.doc_a
-JOIN doc_size nb ON nb.doc_id = i.doc_b
+JOIN doc_size_c na ON na.doc_id = i.doc_a
+JOIN doc_size_c nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {JACCARD_THRESHOLD}
 """
 
@@ -277,11 +322,16 @@ WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {JACCARD_THRESHOLD}
 @register("q_ext_dedup_near", oracle=_NEAR_CTES + _NEAR_FINAL)
 def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection end-to-end: signatures -> banded
-    bucket join -> exact-Jaccard verification of candidates only."""
+    bucket join -> exact-Jaccard verification of candidates only.
+    The verify joins run on df-capped shingles (see SHINGLE_DF_CAP)."""
     prepare(spark)
-    sig = minhash_signature(spark, sf_dir)
+    # Both persisted tables are referenced from multiple join branches
+    # (sig by both sides of the band self-join, the capped shingles by
+    # both sides of the intersection join plus the size agg); without
+    # materialization each branch re-executes the shingle explode.
+    sig = minhash_signature(spark, sf_dir).persist()
     cand = lsh_candidate_pairs(sig)
-    sh = shingle_rows(spark, sf_dir)
+    sh = capped_shingle_rows(shingle_rows(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -342,7 +392,11 @@ def q_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_chunks() -> list[tuple[int, int]]:
     """(offset, width) for HAMMING_THRESHOLD+1 bit chunks covering all
     SIMHASH_BITS.  Pigeonhole: a pair with <= HAMMING_THRESHOLD
-    differing bits matches exactly in at least one chunk."""
+    differing bits matches exactly in at least one chunk.  With 64 bits
+    and threshold 4 the chunks are 12-13 bits wide (4096-8192 distinct
+    values per chunk key), so the candidate equi-join stays selective as
+    the corpus grows — the round-1 32-bit variant had 6-7-bit chunks
+    (64-128 values) and degenerated toward n^2/128 pairs."""
     n = HAMMING_THRESHOLD + 1
     base, extra = divmod(SIMHASH_BITS, n)
     chunks, off = [], 0
@@ -353,74 +407,125 @@ def _simhash_chunks() -> list[tuple[int, int]]:
     return chunks
 
 
+def _duck_word_sum(word: str, bits: range) -> str:
+    """Signed-projection word from per-bit majority votes on `word`."""
+    return " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({word} // {1 << (k % 32)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << (k % 32)}::BIGINT ELSE 0 END)"
+        for k in bits
+    )
+
+
 @register(
     "q_ext_dedup_simhash",
     oracle="WITH "
     + DUCK_SHINGLES_CTE
     + f""",
 hashed AS (
-  SELECT doc_id, {duck_hex32("s")} AS h FROM shingle
+  SELECT doc_id, {duck_hex32("s")} AS h0, {duck_hex32("s", start=8)} AS h1
+  FROM shingle
 ),
 sim AS (
   SELECT doc_id,
-         {" + ".join(
-             f"(CASE WHEN sum(CASE WHEN (h // {1 << k}) % 2 = 1 "
-             f"THEN 1 ELSE -1 END) > 0 THEN {1 << k} ELSE 0 END)"
-             for k in range(SIMHASH_BITS)
-         )} AS simhash
+         {_duck_word_sum("h0", range(0, 32))} AS sim_lo,
+         {_duck_word_sum("h1", range(32, 64))} AS sim_hi
   FROM hashed GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.sim_lo, b.sim_lo))
+         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+        + bit_count(xor(a.sim_hi, b.sim_hi)) <= {HAMMING_THRESHOLD}
 """,
 )
 def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signed-projection fingerprint per doc;
-    near-dups differ in <= 4 bits.  Fingerprinting is one groupBy;
-    candidate pairs come from an equi-join on exact-matching bit chunks
-    (pigeonhole over HAMMING_THRESHOLD+1 chunks) — same output as the
-    brute-force pair scan (the DuckDB oracle), but the join is a hash
-    join on a bounded key instead of an all-pairs nested loop."""
+    """SimHash near-dup: 64-bit signed-projection fingerprint per doc
+    (two 32-bit md5 words, kept as two longs so no signed-overflow at
+    bit 63); near-dups differ in <= 4 bits.  Fingerprinting is one
+    map-side-combinable groupBy; candidate pairs come from an equi-join
+    on exact-matching 12-13-bit chunks (pigeonhole over
+    HAMMING_THRESHOLD+1 chunks) — same output as the brute-force pair
+    scan (the DuckDB oracle), but the join is a hash join on a
+    high-entropy key instead of an all-pairs nested loop."""
     prepare(spark)
-    rows = shingle_rows(spark, sf_dir).withColumn("h", hex32(F.col("s")))
+    # md5 computed ONCE per shingle; the projection boundary keeps the
+    # multi-referenced alias materialized (CollapseProject retains
+    # non-cheap multi-referenced aliases), so the two words are substring
+    # reads, not two hash evaluations
+    rows = (
+        shingle_rows(spark, sf_dir)
+        .select("doc_id", F.md5("s").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h0"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h1"),
+        )
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h0" if k < 32 else "h1"), k % 32)
+                .bitwiseAND(1) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{k}")
         for k in range(SIMHASH_BITS)
     ]
     per_doc = rows.groupBy("doc_id").agg(*bit_sums)
-    simhash = sum(
-        [
-            F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(0)
-            for k in range(SIMHASH_BITS)
+
+    def _word(bits: range) -> Column:
+        return sum(
+            [
+                F.when(F.col(f"b{k}") > 0, F.lit(1 << (k % 32))).otherwise(0)
+                for k in bits
+            ],
+            start=F.lit(0),
+        ).cast("long")
+
+    # chunk keys assembled straight from the majority votes — no
+    # cross-word bit-extraction arithmetic
+    def _chunk(off: int, width: int) -> Column:
+        return sum(
+            [
+                F.when(F.col(f"b{k}") > 0, F.lit(1 << (k - off))).otherwise(0)
+                for k in range(off, off + width)
+            ],
+            start=F.lit(0),
+        ).cast("long")
+
+    # Persisted: the candidate self-join references the signature table
+    # on both sides, and Spark re-executes the whole shingle+agg lineage
+    # per side (no ReusedExchange across the join inputs). Materializing
+    # the (tiny: one row per doc) signature table once is also what a
+    # production dedup pipeline does.
+    sim = per_doc.select(
+        "doc_id",
+        _word(range(0, 32)).alias("sim_lo"),
+        _word(range(32, 64)).alias("sim_hi"),
+        *[
+            _chunk(off, width).alias(f"c{i}")
+            for i, (off, width) in enumerate(_simhash_chunks())
         ],
-        start=F.lit(0),
-    ).cast("long")
-    sim = per_doc.select("doc_id", simhash.alias("simhash"))
+    ).persist()
     bands = sim.select(
         "doc_id",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(i)),
-                        F.shiftright(F.col("simhash"), off)
-                        .bitwiseAND((1 << width) - 1)
-                        .cast("string"),
-                    )
-                    for i, (off, width) in enumerate(_simhash_chunks())
+                    F.concat_ws(":", F.lit(str(i)), F.col(f"c{i}").cast("string"))
+                    for i in range(len(_simhash_chunks()))
                 ]
             )
         ).alias("chunk_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
     return (
         a.join(
             b,
@@ -444,27 +549,31 @@ def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ext_dedup_ngram",
     oracle="WITH "
     + DUCK_SHINGLES_CTE
+    + ","
+    + DUCK_CAPPED_CTE
     + """,
 inter AS (
   SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
-  FROM shingle sa JOIN shingle sb
+  FROM shingle_c sa JOIN shingle_c sb
     ON sa.s = sb.s AND sa.doc_id < sb.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
        round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
 FROM inter i
-JOIN doc_size na ON na.doc_id = i.doc_a
-JOIN doc_size nb ON nb.doc_id = i.doc_b
+JOIN doc_size_c na ON na.doc_id = i.doc_a
+JOIN doc_size_c nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.3
 """,
 )
 def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over all sharing pairs (the quadratic
     baseline the LSH path replaces; only pairs sharing >= 1 shingle
-    materialize, via the shingle-equijoin)."""
+    materialize, via the shingle-equijoin).  The df-cap bounds the
+    equi-join's per-key fan-out: without it one boilerplate shingle in
+    k documents materializes k^2 rows."""
     prepare(spark)
-    sh = shingle_rows(spark, sf_dir)
+    sh = capped_shingle_rows(shingle_rows(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")

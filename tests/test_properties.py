@@ -132,3 +132,25 @@ def test_embed_neardup_planted_recall(spark):
     }
     assert len(expected) >= 10  # the plants are really above threshold
     assert got == expected
+
+
+def test_shingle_df_cap_removes_hot_key(spark):
+    """Plant one shingle in every document and assert the capped rows
+    exclude it (the verify-join's per-key fan-out stays bounded) while
+    all other shingles survive."""
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        capped_shingle_rows,
+        shingle_rows_for,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sh = shingle_rows_for(docs)
+    capped = capped_shingle_rows(sh, cap=30)
+    # "common_boiler_plate" appears in all 40 docs -> dropped
+    hot_left = capped.filter(F.col("s") == "common_boiler_plate").count()
+    assert hot_left == 0
+    # everything rarer than the cap survives untouched
+    assert capped.count() == sh.count() - 40
