@@ -248,7 +248,7 @@ def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_session_window",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -257,7 +257,7 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM flagged
 )

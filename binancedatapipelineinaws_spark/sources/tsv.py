@@ -10,6 +10,7 @@ vectorized, and identical for local paths or s3a:// URIs.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -37,6 +38,16 @@ BTCUSDT_SCHEMA = T.StructType(
 )
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"  # main.py:56
+
+
+def _tmp_path(slug: str, sf_dir: str) -> str:
+    """Deterministic scratch dir: stable content digest (not Python's
+    per-process-randomized str hash) + pid so concurrent processes never
+    race on the same directory while reruns in one process reuse it."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"{slug}_{digest}_{os.getpid()}"
+    )
 
 
 def write_btcusdt_tsv(df: DataFrame, path: str) -> None:
@@ -100,9 +111,7 @@ def q_scan_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  The oracle is the canonical table itself — the round trip must
     be lossless given the reference's formats."""
     prepare(spark)
-    path = os.path.join(
-        tempfile.gettempdir(), f"btcusdt_tsv_{abs(hash(sf_dir))}"
-    )
+    path = _tmp_path("btcusdt_tsv", sf_dir)
     write_btcusdt_tsv(btcusdt(spark, sf_dir), path)
     return read_btcusdt_tsv(spark, path)
 
@@ -132,38 +141,53 @@ def q_sink_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_table_append",
     oracle="WITH "
     + BTCUSDT_CTE
-    + """
+    + """,
+appended AS (
+  SELECT * FROM btcusdt
+  UNION ALL
+  SELECT * FROM btcusdt WHERE maker = 1
+)
 SELECT maker, count(*) AS n, min(bid) AS min_bid, max(bid) AS max_bid
-FROM btcusdt GROUP BY maker
+FROM appended GROUP BY maker
 """,
 )
 def q_sink_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk append into a persisted table (the LOAD DATA step,
-    lambda_function.py:26-32): write parquet in append mode, read back,
-    verify by aggregate."""
+    lambda_function.py:26-32): overwrite a fresh table dir, append the
+    maker==1 partition, read back and aggregate.  The oracle describes
+    the APPENDED table (base UNION ALL appended half) directly — no
+    arithmetic correction."""
     prepare(spark)
-    path = os.path.join(
-        tempfile.gettempdir(), f"btcusdt_tbl_{abs(hash(sf_dir))}"
-    )
+    path = _tmp_path("btcusdt_tbl", sf_dir)
     df = btcusdt(spark, sf_dir)
-    df.write.mode("overwrite").parquet(path)  # fresh epoch
-    half = df.filter(F.col("maker") == 1)
+    df.write.mode("overwrite").parquet(path)  # fresh epoch each run
     # append path: second writer adds files to the same table directory
-    half.write.mode("append").parquet(path)
+    df.filter(F.col("maker") == 1).write.mode("append").parquet(path)
     back = spark.read.parquet(path)
-    # oracle equivalence: original rows (appended half counted once by
-    # subtracting the duplicate partition)
-    return (
-        back.groupBy("maker")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("bid").alias("min_bid"),
-            F.max("bid").alias("max_bid"),
-        )
-        .withColumn(
-            "n",
-            F.when(F.col("maker") == 1, (F.col("n") / 2).cast("long")).otherwise(
-                F.col("n")
-            ),
-        )
+    return back.groupBy("maker").agg(
+        F.count("*").alias("n"),
+        F.min("bid").alias("min_bid"),
+        F.max("bid").alias("max_bid"),
+    )
+
+
+def write_btcusdt_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str = "btcusdt",
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """JDBC bulk append — the engine-native equivalent of the reference's
+    Aurora load (lambda_function.py:26-32 `LOAD DATA FROM S3 ... INTO
+    TABLE btcusdt`): every partition opens a connection and ships
+    batched INSERTs, so ingest parallelism == partition count.  Needs
+    the target database's JDBC driver jar on the Spark classpath; the
+    container bakes none in, so tests exercise the codepath up to driver
+    resolution and skip beyond it (tests/test_sources_jdbc.py)."""
+    (
+        df.write.mode(mode)
+        .option("batchsize", 10000)
+        .option("isolationLevel", "READ_COMMITTED")
+        .jdbc(url, table, properties=properties or {})
     )
