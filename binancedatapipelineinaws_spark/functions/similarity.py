@@ -17,10 +17,11 @@ the published extension of the same idea.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from binancedatapipelineinaws_spark.functions.dedup import duck_hex32, hex32
 from binancedatapipelineinaws_spark.registry import register
 from binancedatapipelineinaws_spark.session import prepare
 from binancedatapipelineinaws_spark.tables import load_table
@@ -114,27 +115,39 @@ def q_ext_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed ANN --------------------------------------------------------
-# Hyperplane p (p < N_PLANES) has deterministic ±1 weights per dimension:
-# sign of bit 0 of hex32(md5("p_d")).  bucket(v) = bitmap of sign(w_p · v).
+# Hyperplane p has deterministic ±1 weights per dimension: sign of bit 0
+# of the first md5 word of "p_d".  bucket(v) = bitmap of sign(w_p · v).
+# The weights are evaluated at PLAN-BUILD time (Python md5) and inlined
+# as literals in BOTH engines, so the per-row work is a 6x64 mat-vec —
+# the round-1 version recomputed 384 md5 calls per row inside the scan.
 
 
-def _plane_weight(p: int, d_col: Column) -> Column:
-    return F.when(
-        hex32(F.concat(F.lit(f"{p}_"), d_col.cast("string"))).bitwiseAND(1) == 1,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
+def _hyperplane_matrix(n_planes: int) -> list[list[float]]:
+    """Deterministic +-1 weights, sign = low bit of md5(f"{p}_{d}") —
+    the hex32 family, evaluated in Python at plan-build time instead of
+    per row."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for d in range(DIM)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def lsh_bucket(emb: Column) -> Column:
-    """LSH bucket id: sequential-fold projections, deterministic in both
-    engines."""
+    """LSH bucket id: sequential-fold projections over literal weights,
+    deterministic in both engines."""
+    W = _hyperplane_matrix(N_PLANES)
     bucket = F.lit(0)
     for p in range(N_PLANES):
+        w = F.array(*[F.lit(x) for x in W[p]])
         proj = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda d: _plane_weight(p, d) * F.element_at(emb, d + 1).cast("double"),
-            ),
+            F.zip_with(w, emb, lambda x, y: x * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -142,23 +155,14 @@ def lsh_bucket(emb: Column) -> Column:
     return bucket.cast("long")
 
 
-def _duck_plane_weight(p: int, d: str) -> str:
-    return (
-        f"(CASE WHEN {duck_hex32(f_string(p, d))} % 2 = 1 "
-        f"THEN 1.0 ELSE -1.0 END)"
-    )
-
-
-def f_string(p: int, d: str) -> str:
-    return f"'{p}_' || CAST({d} AS VARCHAR)"
-
-
 def _duck_bucket(vec: str) -> str:
+    W = _hyperplane_matrix(N_PLANES)
     parts = []
     for p in range(N_PLANES):
+        w_list = "[" + ", ".join(str(x) for x in W[p]) + "]"
         proj = (
             f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
-            f"d -> {_duck_plane_weight(p, 'd')} * CAST({vec}[d + 1] AS DOUBLE))), "
+            f"d -> ({w_list})[d + 1] * CAST({vec}[d + 1] AS DOUBLE))), "
             f"(x, y) -> x + y)"
         )
         parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
@@ -254,23 +258,6 @@ NEARDUP_ROWS = 8
 NEARDUP_COS = 0.9
 
 
-def _hyperplane_matrix(n_planes: int) -> list[list[float]]:
-    """Deterministic +-1 weights, sign = low bit of md5(f"{p}_{d}") —
-    the same family as _plane_weight, evaluated in Python at plan-build
-    time instead of per row."""
-    import hashlib
-
-    return [
-        [
-            1.0
-            if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) & 1
-            else -1.0
-            for d in range(DIM)
-        ]
-        for p in range(n_planes)
-    ]
-
-
 def banded_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -279,35 +266,28 @@ def banded_signatures(
     rows_per_band: int = NEARDUP_ROWS,
 ) -> DataFrame:
     """(id, band, sig) rows: `bands` LSH band signatures per vector.
-    All projections come from ONE literal weight-matrix transform so the
-    whole signature block is a single projection in the plan."""
-    w_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in row])
-            for row in _hyperplane_matrix(bands * rows_per_band)
-        ]
+
+    The projection is a per-row (bands*rows_per_band) x DIM mat-vec —
+    exactly the shape where Catalyst's interpreted higher-order-function
+    fold loses to an Arrow-batched numpy matmul by ~10x, so this is one
+    of the deliberate Pandas-UDF hot paths (SURVEY §2.9).  Signatures
+    only steer candidate generation; the exact-cosine verify stays on
+    the fold-based JVM path that the oracle mirrors."""
+    W = np.array(
+        _hyperplane_matrix(bands * rows_per_band), dtype=np.float64
+    ).T  # DIM x planes
+    pow2 = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # B x DIM
+        bits = (mat @ W) > 0  # B x planes
+        sigs = bits.reshape(len(mat), bands, rows_per_band) @ pow2
+        return pd.Series(list(sigs))
+
+    return df.select(
+        id_col, F.posexplode(band_sigs(F.col(vec_col))).alias("band", "sig")
     )
-    projs = F.transform(
-        w_lit,
-        lambda w: F.aggregate(
-            F.zip_with(w, F.col(vec_col), lambda x, y: x * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    with_projs = df.select(id_col, projs.alias("_projs"))
-    sigs = []
-    for b in range(bands):
-        bits = F.lit(0)
-        for i in range(rows_per_band):
-            bits = bits + F.when(
-                F.element_at(F.col("_projs"), b * rows_per_band + i + 1) > 0,
-                F.lit(1 << i),
-            ).otherwise(0)
-        sigs.append(
-            F.struct(F.lit(b).alias("band"), bits.cast("long").alias("sig"))
-        )
-    return with_projs.select(id_col, F.inline(F.array(*sigs)))
 
 
 def embed_neardup_pairs(
