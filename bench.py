@@ -35,6 +35,8 @@ HEADLINE = [
     "q_ext_dedup_simhash",
     "q_ext_cosine_knn",
     "q_ext_ann_ivf",
+    "q_ext_ann_lsh",
+    "q_ext_embed_neardup",
     "q_ext_text_stats",
 ]
 

@@ -77,6 +77,68 @@ def canonical_stream(ticks: DataFrame) -> DataFrame:
     return canonicalize_btcusdt(ticks)
 
 
+def parse_tick_lines(lines: DataFrame) -> DataFrame:
+    """TSV wire lines (a `value` string column) -> typed tick columns.
+    The socket path has no schema-applied CSV reader, so the parse is an
+    explicit projection with the same casts the file source applies."""
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("trade_id"),
+        parts.getItem(1).alias("symbol"),
+        parts.getItem(2).alias("price_str"),
+        parts.getItem(3).alias("qty_str"),
+        parts.getItem(4).cast("long").alias("trade_time_ms"),
+        parts.getItem(5).cast("boolean").alias("is_buyer_maker"),
+    )
+
+
+def read_tick_stream_socket(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """EP1 live-source parity: the reference consumes a WebSocket feed
+    (main.py:30-35, BinanceSocketManager trade socket); the Spark-native
+    live-TCP equivalent is the socket source -> line parse -> the same
+    canonicalization plan the file replay uses.  (In production the
+    socket source's at-most-once delivery makes Kafka the real ingest
+    edge; the transform pipeline is identical either way.)"""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return parse_tick_lines(lines)
+
+
+def read_tick_stream_rate(
+    spark: SparkSession, rows_per_second: int = 1000
+) -> DataFrame:
+    """Synthetic live source for load-testing the same pipeline: the
+    rate source's monotonic `value` becomes the trade id and a
+    deterministic price/qty synthesis fills the wire columns, so every
+    downstream stage (canonicalize, OHLCV, sinks) runs unmodified at a
+    controlled input rate."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("trade_id"),
+        F.lit("BTCUSDT").alias("symbol"),
+        F.format_string(
+            "%.2f", F.lit(30000.0) + F.pmod(F.col("value") * 7919, 1000000) / 100.0
+        ).alias("price_str"),
+        # wire format is an 8-dp decimal string (FIXTURES.md A1); the
+        # canonical layer string-truncates it to 5 dp like the reference
+        F.format_string(
+            "%.8f", (F.pmod(F.col("value") * 104729, 99999) + 1) / 100000.0
+        ).alias("qty_str"),
+        (F.unix_millis(F.col("timestamp"))).alias("trade_time_ms"),
+        (F.pmod(F.col("value"), 2) == 0).alias("is_buyer_maker"),
+    )
+
+
 def minute_file_sink(
     canonical: DataFrame,
     out_dir: str,
