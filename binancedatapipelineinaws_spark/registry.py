@@ -54,6 +54,7 @@ def _load_all() -> None:
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        sampling,
         similarity,
         text,
         udfs,
