@@ -77,3 +77,21 @@ def test_embed_neardup_no_all_pairs_join(spark):
     plan = _plan(queries()["q_ext_embed_neardup"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    # deterministic hash sampling must add NO shuffle: filter + project
+    # straight off the scan
+    plan = _plan(queries()["q_ext_stratified_sample"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_token_budget_single_shuffle(spark):
+    # one hash shuffle on (lang, shard) for the running-sum window —
+    # nothing else
+    plan = _plan(queries()["q_ext_token_budget"](spark, SF))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, plan
+    assert "lang" in exchanges[0] and "shard" in exchanges[0]

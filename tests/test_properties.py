@@ -154,3 +154,48 @@ def test_shingle_df_cap_removes_hot_key(spark):
     assert hot_left == 0
     # everything rarer than the cap survives untouched
     assert capped.count() == sh.count() - 40
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from binancedatapipelineinaws_spark.functions.sampling import (
+        DEFAULT_RATE_BP,
+        SAMPLE_RATES_BP,
+    )
+
+    q = queries()["q_ext_stratified_sample"]
+    a = {r.doc_id for r in q(spark, SF).collect()}
+    b = {r.doc_id for r in q(spark, SF).collect()}
+    assert a == b  # reruns identical (no seed, no partitioning effect)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in q(spark, SF).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES_BP.get(lang, DEFAULT_RATE_BP) / 10000
+        # binomial bound: ~4 sigma
+        import math
+
+        sigma = math.sqrt(total * rate * (1 - rate))
+        assert abs(kept.get(lang, 0) - total * rate) <= 4 * sigma + 1
+
+
+def test_token_budget_respects_budget_and_order(spark):
+    from binancedatapipelineinaws_spark.functions.sampling import (
+        N_BUDGET_SHARDS,
+        TOKEN_BUDGET,
+    )
+
+    rows = queries()["q_ext_token_budget"](spark, SF).collect()
+    per_shard = TOKEN_BUDGET // N_BUDGET_SHARDS
+    by_stratum: dict = {}
+    for r in rows:
+        assert r.cum_tokens <= per_shard
+        by_stratum.setdefault((r.lang, r.shard), []).append(r)
+    for rs in by_stratum.values():
+        rs.sort(key=lambda r: r.cum_tokens)
+        # kept docs are a prefix in quality order: ttr non-increasing
+        ttrs = [r.ttr for r in rs]
+        assert all(x >= y for x, y in zip(ttrs, ttrs[1:]))
