@@ -359,6 +359,75 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_minhash_estimate",
+    oracle=(
+        "WITH "
+        + DUCK_SHINGLES_CTE
+        + ","
+        + _duck_sig_cte()
+        + ","
+        + "".join(
+            f"""
+band{j} AS (
+  SELECT doc_id, md5(concat_ws('_', {", ".join(
+      f"CAST(h{j * ROWS_PER_BAND + k} AS VARCHAR)" for k in range(ROWS_PER_BAND)
+  )})) AS bk FROM sig
+),"""
+            for j in range(N_BANDS)
+        )
+        + """
+cand AS (
+"""
+        + "\n  UNION\n".join(
+            f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band{j} a JOIN band{j} b ON a.bk = b.bk AND a.doc_id < b.doc_id"""
+            for j in range(N_BANDS)
+        )
+        + f"""
+)
+SELECT c.doc_a, c.doc_b,
+       round(({" + ".join(
+           f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+           for j in range(N_HASHES)
+       )}) / {N_HASHES}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+    ),
+)
+def q_ext_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-space Jaccard estimation: for each LSH candidate pair,
+    the fraction of agreeing minhash components estimates J(a, b) —
+    the sketch-only fast path when the exact shingle-intersection verify
+    (q_ext_dedup_near) is too expensive.  At 100 TB this touches ONLY
+    the one-row-per-doc signature table: candidates come from the
+    banded self-join, the estimate from two signature lookups per pair;
+    the shingle sets are never re-read."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir).persist()
+    cand = lsh_candidate_pairs(sig)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        [
+            F.when(F.col(f"sa.h{j}") == F.col(f"sb.h{j}"), 1).otherwise(0)
+            for j in range(N_HASHES)
+        ],
+        start=F.lit(0),
+    )
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
     "q_ext_dedup_survivors",
     oracle=_NEAR_CTES
     + ", near AS ("
