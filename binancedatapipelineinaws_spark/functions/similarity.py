@@ -237,6 +237,84 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ext_ann_multiprobe",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim
+  FROM bucketed q JOIN bucketed c
+    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+   AND q.vec_id < {N_QUERY} AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
+    own bucket plus every bucket at Hamming distance 1 (one flipped
+    hyperplane sign — the most likely places a near neighbor fell), so
+    recall rises steeply for ~(n_planes+1)x the candidate work.  The
+    probe set is a map-side explode of the QUERY side only (corpus rows
+    stay single-bucket), and each (query, candidate) pair matches at
+    most one probe, so the equi-join needs no dedup."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(1 << p) for p in range(N_PLANES)],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probes).alias("probe_bucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    cand = q.join(
+        c,
+        (F.col("probe_bucket") == F.col("c_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 # --- banded hyperplane LSH for embedding near-dup ---------------------------
 # NEARDUP_BANDS bands of NEARDUP_ROWS sign-bits each.  A pair at
 # cos >= 0.9 agrees on one hyperplane with p = 1 - acos(0.9)/pi ~ 0.857,
