@@ -455,6 +455,99 @@ def q_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive-closure clustering of a (doc_a, doc_b) pair graph via
+    iterative min-label propagation (the Pregel/hash-to-min pattern):
+    every node starts labeled with itself; each round a node takes the
+    minimum of its own and its neighbors' labels; fixpoint in
+    O(component diameter) rounds.  Each round is ONE distributed join +
+    groupBy — the driver only checks the converged-yet flag.  At 100 TB
+    the pair graph is tiny relative to the corpus (it only contains
+    near-duplicates), and diameters of near-dup clusters are small, so
+    the loop runs 2-4 rounds in practice."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("n_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_label").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("neighbor_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_ext_dedup_clusters",
+    # the whole WITH clause must be declared RECURSIVE for the closure CTE
+    oracle="WITH RECURSIVE "
+    + _NEAR_CTES.removeprefix("WITH ")
+    + ", near AS ("
+    + _NEAR_FINAL
+    + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM near
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def q_ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive-closure dedup clusters (the policy
+    q_ext_dedup_survivors deliberately approximates with 1 hop):
+    connected components of the near-dup pair graph, cluster id = the
+    component's minimum doc_id.  Iterative min-label propagation in
+    Spark; the DuckDB oracle computes the same closure with a recursive
+    CTE — one of the few places the oracle is recursive SQL."""
+    prepare(spark)
+    pairs = q_ext_dedup_near(spark, sf_dir)
+    return connected_components(pairs).select("doc_id", "cluster_id")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -199,3 +199,21 @@ def test_token_budget_respects_budget_and_order(spark):
         # kept docs are a prefix in quality order: ttr non-increasing
         ttrs = [r.ttr for r in rs]
         assert all(x >= y for x, y in zip(ttrs, ttrs[1:]))
+
+
+def test_dedup_clusters_closure_invariants(spark):
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in queries()["q_ext_dedup_clusters"](spark, SF).collect()
+    }
+    pairs = queries()["q_ext_dedup_near"](spark, SF).collect()
+    # every near-dup pair lands in the same component
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    # the cluster id is the component's minimum member
+    members: dict = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+        assert len(docs) >= 2  # only clustered (paired) docs are labeled
