@@ -193,3 +193,126 @@ def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- winnowing (Schleimer et al., SIGMOD 2003 — the MOSS sketch) ------------
+# Positional word-trigram hashes; each sliding window of WINNOW_W hashes
+# contributes its minimum.  Guarantee: two documents sharing a run of
+# >= WINNOW_W + 2 words share at least one selected fingerprint, so the
+# sketch (typically ~1/((W+1)/2) of the hashes) finds chunk-level
+# overlap that whole-document MinHash dilutes away.
+
+WINNOW_W = 4
+
+
+def winnow_sketch(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) rows: winnowed fingerprint sketch per document.
+    All list ops — positional trigram hash sequence, per-window minima,
+    distinct — run in one projection; the explode is map-only."""
+    from binancedatapipelineinaws_spark.functions.dedup import hex32
+
+    with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    words = F.col("words")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: hex32(
+            F.concat_ws(
+                "_",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            )
+        ),
+    )
+    hashed = docs.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", tri.alias("hs")
+    )
+    hs = F.col("hs")
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(hs) - (WINNOW_W - 1), F.lit(0))
+        ),
+        lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+_DUCK_WINNOW_CTE = f"""
+tri AS (
+  SELECT doc_id,
+         list_transform(
+           range(greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> {{h}}
+         ) AS hs
+  FROM documents
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(hs) - {WINNOW_W - 1}, 0)),
+           i -> list_aggregate(hs[i + 1:i + {WINNOW_W}], 'min')
+         )) AS fps
+  FROM tri
+),
+sketch AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed)
+"""
+
+
+def _duck_winnow() -> str:
+    from binancedatapipelineinaws_spark.functions.dedup import duck_hex32
+
+    tri_expr = duck_hex32(
+        "string_split(text, ' ')[i + 1] || '_' || "
+        "string_split(text, ' ')[i + 2] || '_' || "
+        "string_split(text, ' ')[i + 3]"
+    )
+    return _DUCK_WINNOW_CTE.format(h=tri_expr)
+
+
+@register(
+    "q_ext_winnow_pairs",
+    oracle="WITH "
+    + _duck_winnow()
+    + """,
+hot_fp AS (SELECT fp FROM sketch GROUP BY fp HAVING count(*) > 1000),
+sketch_c AS (SELECT doc_id, fp FROM sketch WHERE fp NOT IN (SELECT fp FROM hot_fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM sketch_c a JOIN sketch_c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_ext_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-overlap candidates from winnowed sketches: documents
+    sharing >= 1 selected fingerprint, with the shared-fingerprint
+    count.  The fp equi-join touches ~2/(W+1) of the trigram volume the
+    full shingle join (q_ext_dedup_ngram) would shuffle, and carries
+    the same hot-key df-cap as the shingle joins (a fingerprint seen in
+    > 1000 docs is boilerplate, not chunk overlap)."""
+    from binancedatapipelineinaws_spark.functions.dedup import SHINGLE_DF_CAP
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sk = winnow_sketch(docs)
+    hot = (
+        sk.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("fp")
+    )
+    sk = sk.join(F.broadcast(hot), "fp", "left_anti").persist()
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -171,6 +171,76 @@ def q_sink_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scan_tsv_quarantine",
+    oracle="WITH "
+    + BTCUSDT_CTE.rstrip()
+    + """,
+wire AS (
+  SELECT CAST(bid AS VARCHAR) AS bid, parameter,
+         CASE WHEN bid % 97 = 0 THEN 'X9.9X'
+              ELSE printf('%.2f', price) END AS price,
+         CASE WHEN bid % 89 = 0 THEN 'bad_qty'
+              ELSE printf('%.5f', quantity) END AS quantity,
+         strftime("time", '%Y-%m-%d %H:%M:%S') AS "time",
+         CAST(maker AS VARCHAR) AS maker
+  FROM btcusdt
+),
+classified AS (
+  SELECT CASE WHEN TRY_CAST(price AS DOUBLE) IS NULL THEN 'bad_price'
+              WHEN TRY_CAST(quantity AS DOUBLE) IS NULL THEN 'bad_qty'
+              ELSE 'ok' END AS reason,
+         CAST(bid AS BIGINT) AS bid
+  FROM wire
+)
+SELECT reason, count(*) AS n, min(bid) AS min_bid, max(bid) AS max_bid
+FROM classified GROUP BY reason
+""",
+)
+def q_scan_tsv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine — the ingest-robustness surface the
+    reference's `LOAD DATA` path lacks (a bad line aborts or silently
+    zeroes the Aurora load; lambda_function.py:26).  A deterministic
+    subset of rows is corrupted at the string level, round-tripped
+    through the TSV sink/scan as raw strings, then classified with
+    try_cast: unparseable rows are counted per reason instead of
+    failing the job.  At 100 TB the same projection splits the stream
+    into a clean table and a quarantine table in one pass."""
+    prepare(spark)
+    wire = sink_projection(btcusdt(spark, sf_dir)).select(
+        "bid",
+        "parameter",
+        F.when(F.col("bid").cast("long") % 97 == 0, "X9.9X")
+        .otherwise(F.col("price"))
+        .alias("price"),
+        F.when(F.col("bid").cast("long") % 89 == 0, "bad_qty")
+        .otherwise(F.col("quantity"))
+        .alias("quantity"),
+        "time",
+        "maker",
+    )
+    path = _tmp_path("btcusdt_tsv_q", sf_dir)
+    wire.write.mode("overwrite").option("sep", "\t").csv(path)
+    raw_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in wire.columns]
+    )
+    back = spark.read.option("sep", "\t").schema(raw_schema).csv(path)
+    reason = (
+        F.when(F.col("price").try_cast("double").isNull(), "bad_price")
+        .when(F.col("quantity").try_cast("double").isNull(), "bad_qty")
+        .otherwise("ok")
+    )
+    return (
+        back.select(reason.alias("reason"), F.col("bid").cast("long").alias("bid"))
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("bid").alias("min_bid"),
+            F.max("bid").alias("max_bid"),
+        )
+    )
+
+
 def write_btcusdt_jdbc(
     df: DataFrame,
     url: str,

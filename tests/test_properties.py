@@ -217,3 +217,36 @@ def test_dedup_clusters_closure_invariants(spark):
     for c, docs in members.items():
         assert c == min(docs)
         assert len(docs) >= 2  # only clustered (paired) docs are labeled
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark):
+    """Schleimer et al. guarantee: any two docs sharing a run of
+    >= WINNOW_W + 2 words share at least one winnowed fingerprint."""
+    from binancedatapipelineinaws_spark.functions.text import WINNOW_W, winnow_sketch
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + 2))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"omega {run} psi chi phi upsilon"),
+            (3, "totally unrelated words none in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sk = winnow_sketch(docs)
+    rows = sk.collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_quarantine_partitions_corpus(spark):
+    from binancedatapipelineinaws_spark.canonical import btcusdt
+
+    rows = {r.reason: r for r in queries()["q_scan_tsv_quarantine"](spark, SF).collect()}
+    n = btcusdt(spark, SF).count()
+    assert set(rows) <= {"ok", "bad_price", "bad_qty"}
+    assert sum(r.n for r in rows.values()) == n  # classification partitions rows
+    assert rows["bad_price"].n > 0 and rows["bad_qty"].n > 0
