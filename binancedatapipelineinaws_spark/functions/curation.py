@@ -1,0 +1,290 @@
+"""Corpus-curation operators over `documents` — the training-data
+hygiene tier beside dedup/similarity: within-document repetition
+signals (the Gopher/MassiveText repetition filters), benchmark
+decontamination via a broadcast n-gram join, and PII-style redaction.
+
+The reference pipeline has no curation surface (it ships raw ticks to
+Aurora; main.py:38-67); these are the superset operators a 100 TB
+LLM-training pipeline runs between ingest and training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.functions.dedup import duck_hex32, hex32
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+# --- within-document repetition (Gopher Rae et al. 2021, Table A1) ----------
+# Signals: fraction of duplicate word bigrams/trigrams, and the
+# fraction of the document taken by its single most frequent word.
+# Dup fractions are pure list ops (map-only); the top-word count goes
+# through explode -> two partial-aggregated shuffles keyed by doc_id,
+# which stays linear in corpus size at any scale.
+
+DUP_2GRAM_MAX = 0.60  # doc fails the repetition gate above these
+DUP_3GRAM_MAX = 0.50
+TOP_WORD_MAX = 0.20
+
+
+def _ngram_col(words, n: int):
+    """Positional word n-grams as '_'-joined strings (list op, map-only)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(words, i + k) for k in range(n)]
+        ),
+    )
+
+
+def _duck_ngram(n: int) -> str:
+    parts = " || '_' || ".join(
+        f"string_split(text, ' ')[i + {k + 1}]" for k in range(n)
+    )
+    return (
+        f"list_transform(range(greatest(len(string_split(text, ' ')) - {n - 1}, 0)),"
+        f" i -> {parts})"
+    )
+
+
+@register(
+    "q_ext_repetition",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         {_duck_ngram(2)} AS g2,
+         {_duck_ngram(3)} AS g3
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
+         1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac,
+         list_max(list_transform(list_distinct(words),
+                                 d -> len(list_filter(words, x -> x = d))))
+           AS top_word_n
+  FROM g
+)
+SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, top_word_n,
+       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+       CASE WHEN dup_2gram_frac <= {DUP_2GRAM_MAX}
+             AND dup_3gram_frac <= {DUP_3GRAM_MAX}
+             AND CAST(top_word_n AS DOUBLE) / n_words <= {TOP_WORD_MAX}
+            THEN 1 ELSE 0 END AS repetition_pass
+FROM feats
+""",
+)
+def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition filter: duplicate-bigram/-trigram fractions
+    (map-only list ops) plus most-frequent-word fraction (explode ->
+    partial-aggregated groupBy), and the composite Gopher-style gate.
+    The dup fractions ride through the explode path so the whole query
+    is one aggregation tree with no join-back."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    words = F.col("words")
+    g2 = _ngram_col(words, 2)
+    g3 = _ngram_col(words, 3)
+    dup = lambda g: 1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)  # noqa: E731
+    feats = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        dup(g2).alias("dup_2gram_frac"),
+        dup(g3).alias("dup_3gram_frac"),
+        F.explode(words).alias("word"),
+    )
+    per_word = feats.groupBy(
+        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac", "word"
+    ).agg(F.count("*").alias("word_n"))
+    per_doc = per_word.groupBy(
+        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac"
+    ).agg(F.max("word_n").alias("top_word_n"))
+    top_frac = F.col("top_word_n").cast("double") / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_word_n",
+        top_frac.alias("top_word_frac"),
+        F.when(
+            (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX)
+            & (F.col("dup_3gram_frac") <= DUP_3GRAM_MAX)
+            & (top_frac <= TOP_WORD_MAX),
+            1,
+        )
+        .otherwise(0)
+        .alias("repetition_pass"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+# The standard eval-leakage sweep: hash every word n-gram of the
+# benchmark set, broadcast that (small) set, and count per training doc
+# how many of its distinct n-grams appear in it.  At 100 TB the
+# benchmark side is a few MB of hashes -> the match join is map-side
+# (broadcast); the only shuffle is the per-doc count, keyed by doc_id.
+
+DECONTAM_N = 5  # n-gram width (13 in the Brown et al. GPT-3 appendix;
+# 5 here because the synthetic docs are 20-100 words)
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+CONTAM_FRAC = 0.05
+
+
+@register(
+    "q_ext_decontam",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_duck_ngram(DECONTAM_N)},
+                                      s -> {duck_hex32("s")})) AS gs
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+),
+counts AS (
+  SELECT t.doc_id,
+         count(*) AS n_grams,
+         count(b.g) AS n_contaminated
+  FROM train t LEFT JOIN bench b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_frac,
+       CASE WHEN CAST(n_contaminated AS DOUBLE) / n_grams >= {CONTAM_FRAC}
+            THEN 1 ELSE 0 END AS contaminated
+FROM counts
+""",
+)
+def q_ext_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: per training doc, the count and fraction
+    of its distinct word {DECONTAM_N}-grams that also occur in the
+    benchmark slice (doc_id % {BENCH_MOD} == 0).  Benchmark n-gram
+    hashes are broadcast; one shuffle total (the doc_id count)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                _ngram_col(F.split("text", " "), DECONTAM_N), lambda s: hex32(s)
+            )
+        ).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    counts = (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_grams")
+    return counts.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        frac.alias("contamination_frac"),
+        F.when(frac >= CONTAM_FRAC, 1).otherwise(0).alias("contaminated"),
+    )
+
+
+# --- PII-style redaction -----------------------------------------------------
+# The synthetic corpus contains no PII, so a deterministic subset of
+# rows gets a synthetic email / long-digit id appended at the string
+# level before the scrub — the same inject-then-verify pattern as
+# q_scan_tsv_quarantine.  Patterns are kept in the RE2-compatible
+# subset so Spark (Java regex) and DuckDB (RE2) agree exactly.
+
+EMAIL_RE = "[a-z0-9.]+@[a-z]+[.][a-z]+"
+LONGNUM_RE = "[0-9]{6,}"
+EMAIL_MOD = 13
+LONGNUM_MOD = 17
+
+
+@register(
+    "q_ext_redact",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % {EMAIL_MOD} = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % {LONGNUM_MOD} = 0
+                   THEN ' id ' || CAST(doc_id * 1000003 + 7654321 AS VARCHAR)
+                   ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{LONGNUM_RE}')) AS n_longnums,
+       length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{LONGNUM_RE}', '<NUM>', 'g')) AS redacted_len,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
+FROM injected
+""",
+)
+def q_ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub: inject synthetic emails / long numeric ids into
+    a deterministic doc subset, redact both pattern classes with
+    regexp_replace, and emit per-doc redaction counts plus an md5 of
+    the redacted text (so the oracle verifies the exact output string,
+    not just counts).  Pure codegen projection — map-only at any
+    scale.  Emails are redacted first so their digit runs don't
+    double-count as long numbers."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % EMAIL_MOD == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % LONGNUM_MOD == 0,
+            F.concat(
+                F.lit(" id "),
+                (F.col("doc_id") * 1000003 + 7654321).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    step1 = F.regexp_replace(injected, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(step1, LONGNUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(step1, F.lit(LONGNUM_RE), 0)).alias(
+            "n_longnums"
+        ),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

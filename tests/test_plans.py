@@ -95,3 +95,18 @@ def test_token_budget_single_shuffle(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(exchanges) == 1, plan
     assert "lang" in exchanges[0] and "shard" in exchanges[0]
+
+
+def test_decontam_benchmark_is_broadcast(spark):
+    df = queries()["q_ext_decontam"](spark, SF)
+    plan = _plan(df)
+    # the benchmark n-gram set joins map-side; the only hash shuffles
+    # are its tiny distinct and the per-doc count
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_redact_is_map_only(spark):
+    df = queries()["q_ext_redact"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # pure projection, no shuffle
