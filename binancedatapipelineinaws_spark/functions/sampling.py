@@ -120,3 +120,69 @@ def q_ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+
+
+# --- sequence packing --------------------------------------------------------
+# GPT-style training-data packing: documents are concatenated (in
+# deterministic doc_id order) into fixed-length token contexts,
+# splitting across sequence boundaries.  Like the budget window, the
+# concatenation stream is SHARDED on a doc-id hash so no single task
+# owns the whole corpus's running sum — each shard is an independent
+# stream of sequences.
+
+SEQ_LEN = 256  # tokens per packed training sequence
+N_PACK_SHARDS = 8
+
+
+@register(
+    "q_ext_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS ws_tokens,
+         {duck_hex32("CAST(doc_id AS VARCHAR)")} % {N_PACK_SHARDS} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, ws_tokens,
+         sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, shard, ws_tokens,
+       (cum_tokens - ws_tokens) // {SEQ_LEN} AS start_seq,
+       (cum_tokens - ws_tokens) % {SEQ_LEN} AS start_offset,
+       (cum_tokens - 1) // {SEQ_LEN} - (cum_tokens - ws_tokens) // {SEQ_LEN} + 1
+         AS n_seqs_spanned
+FROM cum
+""",
+)
+def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document its position in the
+    packed fixed-length context stream of its shard — starting
+    sequence id, offset within it, and how many sequences it spans.
+    A trainer reading shard s materializes sequence k by slicing the
+    docs with start_seq <= k <= start_seq + n_seqs_spanned - 1; the
+    plan is one sharded window (no global order, no driver state)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        (hex32(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("ws_tokens").over(w)
+    prev = cum - F.col("ws_tokens")
+    return docs.select(
+        "doc_id",
+        "shard",
+        "ws_tokens",
+        F.floor(prev / SEQ_LEN).alias("start_seq"),
+        (prev % SEQ_LEN).alias("start_offset"),
+        (F.floor((cum - 1) / SEQ_LEN) - F.floor(prev / SEQ_LEN) + 1).alias(
+            "n_seqs_spanned"
+        ),
+    )

@@ -583,3 +583,100 @@ def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+# --- scalar quantization -----------------------------------------------------
+# int8-style compression of the embedding column: per-dimension global
+# [min, max] ranges (one tiny 64-group aggregate), broadcast as two
+# 64-element arrays, then a map-only projection quantizes every vector
+# to 256 levels.  At 100 TB this cuts ANN-candidate memory 4x and the
+# stats side stays a single broadcast row no matter the corpus size.
+# Outputs are integer-only (joined string + checksum) so the driver's
+# canonicalizer and value-hash are exact.
+
+Q_LEVELS = 256
+
+
+@register(
+    "q_ext_quantize",
+    oracle=f"""
+WITH dims AS (
+  SELECT i,
+         min(embedding[i + 1]) AS mn,
+         max(embedding[i + 1]) AS mx
+  FROM embeddings, range({DIM}) t(i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
+), quant AS (
+  SELECT vec_id,
+         list_transform(range({DIM}),
+           i -> CAST(least({Q_LEVELS - 1}, greatest(0,
+                  floor((CAST(embedding[i + 1] AS DOUBLE) - CAST(mins[i + 1] AS DOUBLE))
+                        / (CAST(maxs[i + 1] AS DOUBLE) - CAST(mins[i + 1] AS DOUBLE))
+                        * {Q_LEVELS}.0))) AS BIGINT)) AS q
+  FROM embeddings, stats
+)
+SELECT vec_id,
+       list_aggregate(q, 'string_agg', ',') AS qvec,
+       list_sum(q) AS checksum
+FROM quant
+""",
+)
+def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings to {Q_LEVELS} levels with
+    per-dimension global ranges.  Plan: posexplode -> 64-group partial
+    aggregate -> 1-row stats collected into arrays -> broadcast cross
+    join -> map-only quantize.  Both engines fold float32 inputs to
+    double before the identical (x-mn)/(mx-mn)*LEVELS floor, so the
+    integer codes are exact."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "mn"))
+        ).alias("mins_s"),
+        F.array_sort(
+            F.collect_list(F.struct("i", "mx"))
+        ).alias("maxs_s"),
+    ).select(
+        F.transform("mins_s", lambda s: s["mn"]).alias("mins"),
+        F.transform("maxs_s", lambda s: s["mx"]).alias("maxs"),
+    )
+    mins, maxs = F.col("mins"), F.col("maxs")
+    q = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.least(
+            F.lit(Q_LEVELS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (
+                        F.element_at(F.col("embedding"), i + 1).cast("double")
+                        - F.element_at(mins, i + 1).cast("double")
+                    )
+                    / (
+                        F.element_at(maxs, i + 1).cast("double")
+                        - F.element_at(mins, i + 1).cast("double")
+                    )
+                    * float(Q_LEVELS)
+                ),
+            ),
+        ).cast("long"),
+    )
+    return (
+        emb.join(F.broadcast(stats))
+        .select("vec_id", q.alias("q"))
+        .select(
+            "vec_id",
+            F.array_join(F.col("q"), ",").alias("qvec"),
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("checksum"),
+        )
+    )

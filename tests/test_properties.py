@@ -309,3 +309,38 @@ def test_redact_roundtrip_no_pii_left(spark):
     assert numbered and all(r.n_longnums >= 1 for r in numbered)
     clean = [r for r in rows if r.doc_id % 13 and r.doc_id % 17]
     assert all(r.n_emails == 0 and r.n_longnums == 0 for r in clean)
+
+
+def test_pack_sequences_stream_is_contiguous(spark):
+    from binancedatapipelineinaws_spark.functions.sampling import SEQ_LEN
+
+    rows = queries()["q_ext_pack_sequences"](spark, SF).collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.start_offset < SEQ_LEN
+        assert r.n_seqs_spanned >= 1
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:  # each doc starts exactly where the previous ended
+            assert r.start_seq == cum // SEQ_LEN
+            assert r.start_offset == cum % SEQ_LEN
+            cum += r.ws_tokens
+            assert r.start_seq + r.n_seqs_spanned - 1 == (cum - 1) // SEQ_LEN
+
+
+def test_quantize_codes_consistent_and_tight(spark):
+    from binancedatapipelineinaws_spark.functions.similarity import Q_LEVELS
+
+    rows = queries()["q_ext_quantize"](spark, SF).collect()
+    assert len(rows) == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    codes_seen = set()
+    for r in rows:
+        codes = [int(c) for c in r.qvec.split(",")]
+        assert len(codes) == 64
+        assert sum(codes) == r.checksum
+        assert all(0 <= c < Q_LEVELS for c in codes)
+        codes_seen.update(codes)
+    # per-dim extremes hit both ends of the code range
+    assert 0 in codes_seen and Q_LEVELS - 1 in codes_seen
