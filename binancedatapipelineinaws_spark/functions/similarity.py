@@ -596,11 +596,10 @@ def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_LEVELS = 256
 
-
-@register(
-    "q_ext_quantize",
-    oracle=f"""
-WITH dims AS (
+# shared DuckDB CTE chain ending in quant(vec_id, q BIGINT[]) — reused
+# by the k-means oracle (functions/clustering.py)
+DUCK_QUANT_CTE = f"""
+dims AS (
   SELECT i,
          min(embedding[i + 1]) AS mn,
          max(embedding[i + 1]) AS mx
@@ -616,34 +615,21 @@ WITH dims AS (
                         / (CAST(maxs[i + 1] AS DOUBLE) - CAST(mins[i + 1] AS DOUBLE))
                         * {Q_LEVELS}.0))) AS BIGINT)) AS q
   FROM embeddings, stats
-)
-SELECT vec_id,
-       list_aggregate(q, 'string_agg', ',') AS qvec,
-       list_sum(q) AS checksum
-FROM quant
-""",
-)
-def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar quantization of embeddings to {Q_LEVELS} levels with
-    per-dimension global ranges.  Plan: posexplode -> 64-group partial
-    aggregate -> 1-row stats collected into arrays -> broadcast cross
-    join -> map-only quantize.  Both engines fold float32 inputs to
-    double before the identical (x-mn)/(mx-mn)*LEVELS floor, so the
-    integer codes are exact."""
-    prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+)"""
+
+
+def quantized_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, q array<long>): {Q_LEVELS}-level scalar-quantized codes.
+    Plan: posexplode -> {DIM}-group partial aggregate -> 1-row stats
+    collected into arrays -> broadcast cross join -> map-only codes."""
     dims = (
         emb.select(F.posexplode("embedding").alias("i", "x"))
         .groupBy("i")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     )
     stats = dims.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct("i", "mn"))
-        ).alias("mins_s"),
-        F.array_sort(
-            F.collect_list(F.struct("i", "mx"))
-        ).alias("maxs_s"),
+        F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("mins_s"),
+        F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("maxs_s"),
     ).select(
         F.transform("mins_s", lambda s: s["mn"]).alias("mins"),
         F.transform("maxs_s", lambda s: s["mx"]).alias("maxs"),
@@ -669,14 +655,33 @@ def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).cast("long"),
     )
-    return (
-        emb.join(F.broadcast(stats))
-        .select("vec_id", q.alias("q"))
-        .select(
-            "vec_id",
-            F.array_join(F.col("q"), ",").alias("qvec"),
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
-            ).alias("checksum"),
-        )
+    return emb.join(F.broadcast(stats)).select("vec_id", q.alias("q"))
+
+
+@register(
+    "q_ext_quantize",
+    oracle="WITH "
+    + DUCK_QUANT_CTE
+    + """
+SELECT vec_id,
+       list_aggregate(q, 'string_agg', ',') AS qvec,
+       list_sum(q) AS checksum
+FROM quant
+""",
+)
+def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings to {Q_LEVELS} levels with
+    per-dimension global ranges.  Plan: posexplode -> 64-group partial
+    aggregate -> 1-row stats collected into arrays -> broadcast cross
+    join -> map-only quantize.  Both engines fold float32 inputs to
+    double before the identical (x-mn)/(mx-mn)*LEVELS floor, so the
+    integer codes are exact."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_codes(emb).select(
+        "vec_id",
+        F.array_join(F.col("q"), ",").alias("qvec"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("checksum"),
     )

@@ -52,6 +52,7 @@ def _load_all() -> None:
     )
     from binancedatapipelineinaws_spark.sources import tsv  # noqa: F401
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
+        clustering,
         curation,
         dedup,
         multimodal,

@@ -344,3 +344,50 @@ def test_quantize_codes_consistent_and_tight(spark):
         codes_seen.update(codes)
     # per-dim extremes hit both ends of the code range
     assert 0 in codes_seen and Q_LEVELS - 1 in codes_seen
+
+
+def test_kmeans_matches_numpy_reimplementation(spark):
+    """Independent oracle: the full quantize -> 2-round Lloyd chain
+    recomputed in numpy must reproduce every assignment exactly."""
+    import numpy as np
+
+    from binancedatapipelineinaws_spark.functions.clustering import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from binancedatapipelineinaws_spark.functions.similarity import Q_LEVELS
+
+    pdf = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    q = np.clip(np.floor((X - mn) / (mx - mn) * Q_LEVELS), 0, Q_LEVELS - 1).astype(
+        np.int64
+    )
+    s = q[:KMEANS_K].copy()
+    c = np.ones(KMEANS_K, dtype=np.int64)
+    ids = np.arange(KMEANS_K)  # original cluster ids of the live rows
+
+    def assign_to(s, c):
+        # d_k = ||c_k * x - s_k||^2 / c_k^2, exact ints then double divide
+        num = ((c[:, None, None] * q[None, :, :] - s[:, None, :]) ** 2).sum(axis=2)
+        d = num.astype(np.float64) / (c * c)[:, None]
+        # argmin takes lowest index on ties (= lowest id: rows stay id-sorted)
+        return d.argmin(axis=0)
+
+    assign = assign_to(s, c)
+    for _ in range(KMEANS_ITERS - 1):
+        new_s = np.zeros_like(s)
+        new_c = np.zeros_like(c)
+        for k in range(len(ids)):
+            members = q[assign == k]
+            if len(members):
+                new_s[k], new_c[k] = members.sum(axis=0), len(members)
+        keep = new_c > 0
+        s, c, ids = new_s[keep], new_c[keep], ids[keep]
+        assign = assign_to(s, c)
+    expected = {int(v): int(ids[a]) for v, a in zip(pdf["vec_id"], assign)}
+    got = {
+        r.vec_id: r.cluster
+        for r in queries()["q_ext_kmeans"](spark, SF).collect()
+    }
+    assert got == expected
