@@ -38,6 +38,9 @@ HEADLINE = [
     "q_ext_ann_lsh",
     "q_ext_embed_neardup",
     "q_ext_text_stats",
+    "q_ext_repetition",
+    "q_ext_decontam",
+    "q_ext_kmeans",
 ]
 
 

@@ -157,3 +157,37 @@ def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_suppkey").agg(
         (F.sum(p * q).cast("double") / F.sum(q).cast("double")).alias("vwap")
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey < 100
+) UNPIVOT (val FOR measure IN (quantity, price, discount))
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (inverse of q_pivot): wide measure columns to
+    (measure, val) rows via the native UNPIVOT operator — a map-only
+    Expand node (each input row emits k rows), no shuffle, no UDTF."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "price", "discount"],
+        "measure",
+        "val",
+    )

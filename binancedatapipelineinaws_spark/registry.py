@@ -50,7 +50,7 @@ def _load_all() -> None:
         subqueries,
         windows,
     )
-    from binancedatapipelineinaws_spark.sources import tsv  # noqa: F401
+    from binancedatapipelineinaws_spark.sources import maintenance, tsv  # noqa: F401
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
         clustering,
         curation,

@@ -1,0 +1,126 @@
+"""Table-maintenance operators: small-files compaction and Z-order
+interleaving — the file-layout hygiene a 100 TB lake needs and the
+reference's minute-file rotation (main.py:38-47, one object per minute
+per symbol) makes unavoidable: a day of its output is 1440 tiny files
+per symbol, the classic small-files problem.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.sources.tsv import _tmp_path
+from binancedatapipelineinaws_spark.tables import load_table
+
+FRAGMENT_FILES = 64  # simulated small-files input layout
+COMPACT_FILES = 4  # target layout (at 100 TB: ceil(bytes / 512 MB))
+
+
+def compact(df: DataFrame, path: str, n_files: int) -> None:
+    """Rewrite to exactly ``n_files`` parquet files.  Round-robin
+    repartition (not coalesce: coalesce collapses upstream parallelism
+    into the surviving tasks, so the write would run on n_files cores)."""
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def _parquet_files(path: str) -> int:
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+@register(
+    "q_maint_compact",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       {FRAGMENT_FILES} AS n_files_before,
+       {COMPACT_FILES} AS n_files_after
+FROM events
+""",
+)
+def q_maint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction, measured for real: fragment `events`
+    into {FRAGMENT_FILES} files (the reference's per-minute rotation
+    writ small), compact to {COMPACT_FILES}, and report row count plus
+    ACTUAL on-disk file counts at each step.  The oracle states the
+    layout contract — if compaction over- or under-merged, the
+    measured counts would break the match.  Row count is re-read from
+    the compacted output, so data loss would too."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    frag_path = _tmp_path("events_frag", sf_dir)
+    events.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
+    compact_path = _tmp_path("events_compact", sf_dir)
+    compact(spark.read.parquet(frag_path), compact_path, COMPACT_FILES)
+    return spark.createDataFrame(
+        [
+            (
+                spark.read.parquet(compact_path).count(),
+                _parquet_files(frag_path),
+                _parquet_files(compact_path),
+            )
+        ],
+        "n_rows long, n_files_before int, n_files_after int",
+    )
+
+
+# --- Z-order interleave ------------------------------------------------------
+# Morton code over two bucketized dimensions: sorting/range-
+# partitioning the write by zvalue clusters BOTH dimensions into each
+# parquet row group, so min/max stats prune scans filtered on either
+# (the data-skipping trick Delta/Iceberg OPTIMIZE ZORDER uses).
+
+Z_BITS = 8
+
+
+def _interleave(a, b):
+    """Morton-interleave the low Z_BITS of two int columns (a even
+    bits, b odd bits) with plain shift/mask arithmetic."""
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z
+
+
+def _duck_interleave(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+    return f"({terms})"
+
+
+@register(
+    "q_ext_zorder",
+    oracle=f"""
+SELECT event_id,
+       user_id % {1 << Z_BITS} AS bucket_user,
+       CAST(floor(value) AS BIGINT) % {1 << Z_BITS} AS bucket_value,
+       {_duck_interleave(f"user_id % {1 << Z_BITS}",
+                         f"CAST(floor(value) AS BIGINT) % {1 << Z_BITS}")}
+         AS zvalue
+FROM events
+""",
+)
+def q_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key per event over (user_id, value) buckets — map-only
+    bit arithmetic.  Writing `events` range-partitioned by zvalue
+    co-locates both dimensions per file for min/max data skipping."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    bu = (F.col("user_id") % (1 << Z_BITS)).cast("long")
+    bv = F.floor(F.col("value")).cast("long") % (1 << Z_BITS)
+    return events.select(
+        "event_id",
+        bu.alias("bucket_user"),
+        bv.alias("bucket_value"),
+        _interleave(bu, bv).alias("zvalue"),
+    )

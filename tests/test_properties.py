@@ -391,3 +391,14 @@ def test_kmeans_matches_numpy_reimplementation(spark):
         for r in queries()["q_ext_kmeans"](spark, SF).collect()
     }
     assert got == expected
+
+
+def test_zorder_interleave_roundtrip(spark):
+    from binancedatapipelineinaws_spark.sources.maintenance import Z_BITS
+
+    rows = queries()["q_ext_zorder"](spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        a = sum(((r.zvalue >> (2 * i)) & 1) << i for i in range(Z_BITS))
+        b = sum(((r.zvalue >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
+        assert (a, b) == (r.bucket_user, r.bucket_value)
