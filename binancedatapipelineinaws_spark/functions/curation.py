@@ -21,9 +21,12 @@ from binancedatapipelineinaws_spark.tables import load_table
 # --- within-document repetition (Gopher Rae et al. 2021, Table A1) ----------
 # Signals: fraction of duplicate word bigrams/trigrams, and the
 # fraction of the document taken by its single most frequent word.
-# Dup fractions are pure list ops (map-only); the top-word count goes
-# through explode -> two partial-aggregated shuffles keyed by doc_id,
-# which stays linear in corpus size at any scale.
+# Everything is one map-only projection: the top-word count is the
+# longest run in the SORTED word list, computed by a linear fold —
+# no explode, no shuffle.  (An explode->groupBy formulation also works
+# but Catalyst collapses the dup-fraction projections past the
+# generator, re-evaluating interpreted lambdas once per exploded row:
+# measured 16.8 s vs map-only at sf0.1.)
 
 DUP_2GRAM_MAX = 0.60  # doc fails the repetition gate above these
 DUP_3GRAM_MAX = 0.50
@@ -31,12 +34,13 @@ TOP_WORD_MAX = 0.20
 
 
 def _ngram_col(words, n: int):
-    """Positional word n-grams as '_'-joined strings (list op, map-only)."""
+    """Positional word n-grams as '_'-joined strings (list op, map-only).
+    slice+array_join, not n chained element_at lookups: Catalyst lambda
+    bodies are interpreted per element, so 2 calls/element vs n+1 is a
+    measured 4x on gram-heavy queries (sf0.1: 3.8 s -> 0.9 s)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(words, i + k) for k in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(words, i, n), "_"),
     )
 
 
@@ -80,10 +84,9 @@ FROM feats
 )
 def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition filter: duplicate-bigram/-trigram fractions
-    (map-only list ops) plus most-frequent-word fraction (explode ->
-    partial-aggregated groupBy), and the composite Gopher-style gate.
-    The dup fractions ride through the explode path so the whole query
-    is one aggregation tree with no join-back."""
+    and the most-frequent-word fraction (longest run in the sorted word
+    list via a linear fold), composed into the Gopher-style gate — one
+    map-only projection, zero shuffles."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
@@ -92,19 +95,36 @@ def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = _ngram_col(words, 2)
     g3 = _ngram_col(words, 3)
     dup = lambda g: 1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)  # noqa: E731
-    feats = docs.select(
+    # max word frequency == longest run in the sorted list: fold with
+    # (prev, current-run, best-run) accumulator
+    top_word_n = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    per_doc = docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
         dup(g2).alias("dup_2gram_frac"),
         dup(g3).alias("dup_3gram_frac"),
-        F.explode(words).alias("word"),
+        top_word_n.alias("top_word_n"),
     )
-    per_word = feats.groupBy(
-        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac", "word"
-    ).agg(F.count("*").alias("word_n"))
-    per_doc = per_word.groupBy(
-        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac"
-    ).agg(F.max("word_n").alias("top_word_n"))
     top_frac = F.col("top_word_n").cast("double") / F.col("n_words")
     return per_doc.select(
         "doc_id",
@@ -181,6 +201,8 @@ def q_ext_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gs"),
     )
+    grams = grams.persist()  # both branches below read it; without the
+    # persist the bench/train lineages each rebuild every gram hash
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))

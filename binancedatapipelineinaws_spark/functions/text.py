@@ -211,18 +211,11 @@ def winnow_sketch(docs: DataFrame) -> DataFrame:
     distinct — run in one projection; the explode is map-only."""
     from binancedatapipelineinaws_spark.functions.dedup import hex32
 
-    with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
     words = F.col("words")
+    # slice+array_join (2 interpreted calls/element) — see curation._ngram_col
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: hex32(
-            F.concat_ws(
-                "_",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            )
-        ),
+        lambda i: hex32(F.array_join(F.slice(words, i, 3), "_")),
     )
     hashed = docs.select("doc_id", F.split("text", " ").alias("words")).select(
         "doc_id", tri.alias("hs")
