@@ -87,10 +87,9 @@ def shingles(words: Column) -> Column:
             F.size(words) >= 3,
             F.transform(
                 F.sequence(F.lit(1), F.size(words) - 2),
-                lambda i: F.concat_ws(
-                    "_", F.element_at(words, i), F.element_at(words, i + 1),
-                    F.element_at(words, i + 2)
-                ),
+                # slice+array_join: 2 interpreted calls/element vs 4
+                # (see curation._ngram_col — measured 4x on gram plans)
+                lambda i: F.array_join(F.slice(words, i, 3), "_"),
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
