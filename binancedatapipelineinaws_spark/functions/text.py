@@ -309,3 +309,66 @@ def q_ext_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@register(
+    "q_ext_tfidf",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, rank, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP}
+""",
+)
+def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP} TF-IDF terms per document.  Plan: explode ->
+    (doc_id, term) partial-aggregated tf -> term-keyed df aggregate
+    (vocabulary-sized, broadcast back) -> per-doc ranking window.  At
+    100 TB the broadcast side is the term dictionary, not the corpus;
+    every shuffle key (doc_id, term) is uniform.  tfidf rounded to 6 dp
+    as the cross-engine float guard (same discipline as cosine)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
