@@ -110,3 +110,9 @@ def test_redact_is_map_only(spark):
     df = queries()["q_ext_redact"](spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_repetition_is_map_only(spark):
+    df = queries()["q_ext_repetition"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Generate" not in plan

@@ -122,3 +122,22 @@ def test_parse_tick_lines_roundtrip(spark):
     rows = {r.trade_id: r for r in parsed.collect()}
     assert rows[1002].is_buyer_maker is False
     assert rows[1003].qty_str == "0.02500000"
+
+
+def test_kafka_source_parity_gated(spark):
+    """The Kafka reader shares parse_tick_lines with the socket path;
+    without the connector jar (this container) we assert the gate
+    reports unavailable and the builder fails only at .load()."""
+    import pytest
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        kafka_source_available,
+        read_tick_stream_kafka,
+    )
+
+    if kafka_source_available(spark):
+        df = read_tick_stream_kafka(spark, "localhost:9092")
+        assert df.schema["trade_id"].dataType.typeName() == "long"
+    else:
+        with pytest.raises(Exception):
+            read_tick_stream_kafka(spark, "localhost:9092")
