@@ -1,0 +1,156 @@
+"""Event-analytics operators over `events`: ordered funnel conversion
+and cohort retention — the product-analytics query shapes the
+reference's Aurora warehouse would serve (SURVEY.md §2: the reference
+delegates ALL querying to SQL consumers; these are the canonical
+consumer queries, re-expressed as Spark plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "q_ext_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS funnel_stage
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, strictly increasing
+    timestamps): staged conditional-min aggregation, one user-keyed
+    join per step.  Every shuffle is on user_id (uniform); each stage's
+    input shrinks to the surviving cohort, so step k costs at most the
+    step-(k-1) survivors — no per-user event sorting, no window over
+    the whole event stream."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.alias("funnel_stage"),
+        )
+    )
+
+
+@register(
+    "q_ext_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+), ret AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, a.active_week) // 7 AS week_index,
+         count(*) AS n_active
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_index, r.n_active,
+       s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+""",
+)
+def q_ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, the
+    fraction active in each subsequent week.  Plan: two user-keyed
+    aggregates, a user-keyed join, then a tiny (cohort, week) rollup;
+    the (week x week) output is bounded by the calendar, not the data,
+    so the final join is broadcast at any scale."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    ret = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_index"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_index",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -42,6 +42,7 @@ def _load_all() -> None:
     from binancedatapipelineinaws_spark import canonical  # noqa: F401
     from binancedatapipelineinaws_spark.operators import (  # noqa: F401
         aggregations,
+        analytics,
         joins,
         pipeline_ops,
         scalar_fns,

@@ -402,3 +402,29 @@ def test_zorder_interleave_roundtrip(spark):
         a = sum(((r.zvalue >> (2 * i)) & 1) << i for i in range(Z_BITS))
         b = sum(((r.zvalue >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
         assert (a, b) == (r.bucket_user, r.bucket_value)
+
+
+def test_funnel_stages_ordered_and_monotone(spark):
+    rows = queries()["q_ext_funnel"](spark, SF).collect()
+    assert rows
+    stages = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        stages[r.funnel_stage] += 1
+        if r.funnel_stage >= 2:
+            assert r.t_click > r.t_view
+        else:
+            assert r.t_click is None
+        if r.funnel_stage == 3:
+            assert r.t_purchase > r.t_click
+        else:
+            assert r.t_purchase is None
+
+
+def test_cohort_retention_week0_is_full(spark):
+    rows = queries()["q_ext_cohort_retention"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retention <= 1
+        assert r.week_index >= 0
+        if r.week_index == 0:  # everyone is active in their own first week
+            assert r.n_active == r.cohort_size and r.retention == 1.0
