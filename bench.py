@@ -41,6 +41,8 @@ HEADLINE = [
     "q_ext_repetition",
     "q_ext_decontam",
     "q_ext_kmeans",
+    "q_ext_tfidf",
+    "q_ext_funnel",
 ]
 
 

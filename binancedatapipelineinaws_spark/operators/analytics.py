@@ -154,3 +154,57 @@ def q_ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+EWMA_ALPHA = 0.1
+
+
+@register(
+    "q_ext_ewma",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(xs) AS n_events,
+       round(list_reduce(xs, (acc, x) -> {EWMA_ALPHA} * x
+                                         + {1 - EWMA_ALPHA} * acc), 6)
+         AS ewma
+FROM seq
+""",
+)
+def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    a sequential recurrence (state_t = a*x_t + (1-a)*state_{{t-1}}) that
+    windows can't express, computed JVM-side as collect-sorted + linear
+    fold: no Python UDF, state bounded by the key's own event count
+    (same bound as any per-user window).  Both engines fold the
+    identically-ordered list, so the doubles agree bit-for-bit; output
+    rounded to 6 dp as the standard guard."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.col("value").cast("double").alias("value"),
+                    )
+                )
+            ),
+            lambda s: s["value"],
+        ).alias("xs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("xs").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
