@@ -372,3 +372,58 @@ def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP)
         .select("doc_id", "term", "tf", "df", "rank", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+CMS_D = 3  # hash rows
+CMS_W = 64  # counters per row
+
+
+def _duck_cms_oracle() -> str:
+    from binancedatapipelineinaws_spark.functions.dedup import duck_hex32
+
+    h = duck_hex32("CAST(j.j AS VARCHAR) || ':' || term")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cells AS (
+  SELECT j.j AS row_id,
+         {h} % {CMS_W} AS col_id,
+         count(*) AS cnt
+  FROM words, range({CMS_D}) j(j)
+  GROUP BY 1, 2
+)
+SELECT row_id, col_id, cnt FROM cells
+"""
+
+
+@register("q_ext_countmin", oracle=_duck_cms_oracle())
+def q_ext_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus term frequencies ({CMS_D} rows x
+    {CMS_W} counters): each occurrence increments one counter per hash
+    row; `min` over a term's {CMS_D} cells upper-bounds its true count.
+    The build is explode x {CMS_D} -> partial-aggregated groupBy on the
+    (row, col) cell key — a {CMS_D * CMS_W}-cell mergeable sketch
+    whatever the corpus size, the same shape HLL/quantile sketches use
+    (and the streaming-compatible one: cells merge by addition)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    rows = words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_id"),
+        F.col("term"),
+    )
+    from binancedatapipelineinaws_spark.functions.dedup import hex32
+
+    return (
+        rows.select(
+            "row_id",
+            (
+                hex32(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("term")))
+                % CMS_W
+            ).alias("col_id"),
+        )
+        .groupBy("row_id", "col_id")
+        .agg(F.count("*").alias("cnt"))
+    )

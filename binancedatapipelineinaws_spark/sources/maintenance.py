@@ -124,3 +124,40 @@ def q_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         bv.alias("bucket_value"),
         _interleave(bu, bv).alias("zvalue"),
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_type,
+       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_without_type
+FROM events
+""",
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the file lifecycle: two parquet batches with
+    different schemas (a column added mid-stream — the reference's wire
+    format changing under its per-minute rotation) land in one
+    directory; `mergeSchema` reconciles them at read and back-fills the
+    missing column with nulls.  The query verifies every row survived
+    and null-ness tracks exactly which batch a row came from."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    path = _tmp_path("events_evolve", sf_dir)
+    old = events.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    new = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    )
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_type"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias(
+            "n_without_type"
+        ),
+    )
