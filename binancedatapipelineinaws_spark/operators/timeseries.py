@@ -1,0 +1,170 @@
+"""Time-series operators over `events` / `lineitem`: calendar-spine
+gap-fill (resample + forward-fill) and rolling correlation — the
+time-series query shapes a consumer of the reference's 1-minute OHLCV
+rollup (reference main.py:26-40, the minute-bucket loop) needs next:
+a candle stream with NO missing minutes, and a rolling co-movement
+signal between two series.
+
+Scale notes (100 TB):
+- Gap-fill's heavy lift is the per-(key, bucket) aggregate — fully
+  parallel, one shuffle.  Everything after runs on the AGGREGATED
+  series whose size is calendar-bounded (keys x minutes-in-range),
+  not data-bounded, so the per-key forward-fill window is safe at any
+  input scale: 10 years of minutes is ~5.3M rows per key, and the
+  spine explode is map-only from a tiny bounds table.
+- Rolling correlation is one window pass: component sums over a
+  bounded ROWS frame, partitioned by a uniform key (supplier).  No
+  self-join, no second shuffle; the frame math is identical algebra in
+  Spark and DuckDB so the oracle matches bit-for-bit at 5 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+
+@register(
+    "q_ext_gapfill",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+  FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS bucket
+  FROM bounds
+)
+SELECT s.event_type, s.bucket, a.avg_value,
+       last_value(a.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       CASE WHEN a.avg_value IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM spine s
+LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+""",
+)
+def q_ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to an hourly average per event_type on a dense
+    calendar spine, forward-filling empty buckets with the latest
+    preceding value (`last(ignorenulls)` over an ordered window).
+
+    Plan: data-sized aggregate -> tiny bounds -> `sequence()` explode
+    (map-only spine) -> spine-sized left join -> per-key ordered fill.
+    The reference's rotation emits one file per minute whether or not
+    trades occurred (main.py:26-40 always advances the bucket); this is
+    the batch operator that reconstructs that dense series.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # `agg` feeds BOTH the bounds subtree and the join's probe side;
+    # without persist Spark re-executes the full scan+aggregate lineage
+    # per branch (no ReusedExchange across aggregated subtrees), which
+    # at 100 TB means scanning events twice for one query.
+    agg = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .persist()
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    fill_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(fill_w).alias("filled"),
+            F.when(F.col("avg_value").isNull(), 1)
+            .otherwise(0)
+            .alias("was_gap"),
+        )
+    )
+
+
+CORR_FRAME_ROWS = 20  # current row + 19 preceding
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle=f"""
+WITH w AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         count(*) OVER fr AS n,
+         sum(CAST(l_quantity AS DOUBLE)) OVER fr AS sx,
+         sum(l_extendedprice / 1000.0) OVER fr AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * l_quantity) OVER fr AS sxx,
+         sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0))
+           OVER fr AS syy,
+         sum(CAST(l_quantity AS DOUBLE) * (l_extendedprice / 1000.0))
+           OVER fr AS sxy
+  FROM lineitem
+  WINDOW fr AS (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN {CORR_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, n,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+             5) AS rolling_corr
+FROM w
+""",
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row Pearson correlation between quantity and price
+    per supplier, computed from component sums (n, Sx, Sy, Sxx, Syy,
+    Sxy) over ONE shared window frame — six sums in a single window
+    pass, then pure scalar algebra; no self-join and no second shuffle.
+
+    The ORDER BY carries (shipdate, orderkey, linenumber) so the frame
+    is totally ordered and both engines fold the sums in the identical
+    sequence; price is scaled by 1e3 before squaring to keep the
+    cancellation term (n*Sxx - Sx^2) well inside double precision at a
+    5-dp round.  Degenerate frames (constant series, n=1) yield NULL
+    via the NULLIF guard in both engines.
+    """
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice") / 1000.0
+    fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(CORR_FRAME_ROWS - 1), 0)
+    )
+    n = F.count("*").over(fr)
+    sx = F.sum(x).over(fr)
+    sy = F.sum(y).over(fr)
+    sxx = F.sum(x * x).over(fr)
+    syy = F.sum(y * y).over(fr)
+    sxy = F.sum(x * y).over(fr)
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / F.when(denom != 0, denom)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        n.alias("n"),
+        F.round(corr, 5).alias("rolling_corr"),
+    )

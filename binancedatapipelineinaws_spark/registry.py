@@ -49,6 +49,7 @@ def _load_all() -> None:
         scaling,
         sorts_setops,
         subqueries,
+        timeseries,
         windows,
     )
     from binancedatapipelineinaws_spark.sources import maintenance, tsv  # noqa: F401

@@ -116,3 +116,22 @@ def test_repetition_is_map_only(spark):
     df = queries()["q_ext_repetition"](spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_rolling_corr_single_window_pass(spark):
+    # six component sums share one frame: exactly one Window node, one
+    # hash shuffle, no self-join
+    plan = _plan(queries()["q_win_rolling_corr"](spark, SF))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_gapfill_persists_aggregated_series(spark):
+    # the hourly aggregate feeds both the bounds subtree and the join
+    # probe side; persist() keeps the 100 TB scan single-pass (an
+    # InMemoryTableScan must appear in place of a second FileScan)
+    # both branches must read the cached relation (the FileScan text
+    # appears inside each InMemoryRelation definition but executes once)
+    plan = _plan(queries()["q_ext_gapfill"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
