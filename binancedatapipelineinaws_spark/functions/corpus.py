@@ -1,0 +1,252 @@
+"""Corpus-level analytics for a training-data pipeline: duplicated-span
+coverage (the per-document signal behind exact-substring dedup, Lee et
+al. 2022), fixed-length overlapping chunking (the retrieval/packing
+pre-step), and a source-similarity matrix over sparse term profiles
+(domain drift / near-duplicate-source detection).
+
+Scale notes (100 TB):
+- Dup-span shuffles only on the positional gram key (uniform md5-like
+  text keys) and the doc id; no pair join ever materializes — the
+  gram-frequency table is joined back row-wise, so cost is linear in
+  corpus grams even when one gram occurs in millions of docs.
+- Chunking is map-only (Generate + project, no Exchange): each task
+  chunks its own documents.
+- The source matrix aggregates to (source, term) first — the pair join
+  is bounded by (#sources)^2 x shared vocabulary, independent of
+  corpus row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+DUPSPAN_N = 5  # positional n-gram width
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "q_ext_dupspan",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
+  FROM w
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
+           AS gram
+  FROM pos
+),
+d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+       round(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def q_ext_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    positional {DUPSPAN_N}-grams that also occur in at least one OTHER
+    document — the curation signal for exact-substring contamination
+    (docs above a threshold get dropped or trimmed).
+
+    Plan: positional gram explode -> ONE shuffle on the gram key where
+    an unordered window computes `min(doc_id) != max(doc_id)` (true iff
+    the gram occurs in a second document — no distinct count needed for
+    a >1 test) -> per-doc rollup.  Single pass over the corpus: no
+    gram-frequency join back (which would re-execute the scan+explode
+    lineage per branch), and unlike pair-based dedup a gram shared by k
+    docs costs k rows, not k^2, so ubiquitous boilerplate cannot blow
+    up the plan.
+    """
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # explode alone in this select: a gram computed here would be pushed
+    # past the Generate by CollapseProject and re-evaluated per row
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.when(
+                F.size("words") >= DUPSPAN_N,
+                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    )
+    g = pos.select(
+        "doc_id",
+        F.array_join(
+            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
+        ).alias("gram"),
+    )
+    gw = Window.partitionBy("gram")
+    flagged = g.select(
+        "doc_id",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "is_dup"
+        ),
+    )
+    dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("dup_grams"),
+            F.round(dup / F.count("*").cast("double"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "q_ext_chunk_docs",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(0, ((len(words) - 1) // {CHUNK_STRIDE}) + 1)) AS i
+  FROM w
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       CAST(least(len(words) - i * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS BIGINT)
+         AS n_tokens,
+       array_to_string(
+         list_slice(words, i * {CHUNK_STRIDE} + 1,
+                    i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk_text
+FROM pos
+""",
+)
+def q_ext_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into {CHUNK_SIZE}-token chunks advancing by
+    {CHUNK_STRIDE} tokens ({CHUNK_SIZE - CHUNK_STRIDE}-token overlap) —
+    the map-only pre-step for retrieval indexing and fixed-window
+    training (cf. sampling.q_ext_pack_sequences, which packs whole docs
+    instead of splitting them).
+
+    Plan: one Generate off the scan, zero Exchange; every chunk row is
+    produced by the task that read its document.  The chunk index comes
+    from `sequence()` over the guaranteed-nonnegative bound
+    (len-1) DIV stride, so Spark and DuckDB enumerate identical
+    (start, length) windows, including the short final chunk.
+    """
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(size(words) - 1) DIV {CHUNK_STRIDE}")
+            )
+        ).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    return pos.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_pos"),
+        F.least(F.size("words") - start, F.lit(CHUNK_SIZE))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("words", start + 1, CHUNK_SIZE), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+@register(
+    "q_ext_source_cosine",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, ln(1 + count(*)) AS w
+  FROM words GROUP BY source, term
+),
+norms AS (SELECT source, sqrt(sum(w * w)) AS nrm FROM tf GROUP BY source),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_terms,
+         sum(a.w * b.w) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared_terms,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.source = dots.src_a
+JOIN norms nb ON nb.source = dots.src_b
+""",
+)
+def q_ext_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source log-TF term
+    profiles — the domain-similarity matrix used to spot near-duplicate
+    crawls or drifting source mixes before they skew a training run.
+
+    The corpus-sized work is ONE aggregate to (source, term); the pair
+    join runs on that profile table, bounded by #sources x vocabulary
+    regardless of corpus row count (log-TF rather than TF-IDF because a
+    shared-vocabulary corpus drives every IDF to 0).  The profile table
+    feeds both sides of the self-join, so it is persisted — without it
+    Spark re-executes the full scan+explode+aggregate per side.
+    """
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.log(F.count("*") + 1).alias("w"))
+        .persist()
+    )
+    norms = tf.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("source").alias("src_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("source").alias("src_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_terms",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from binancedatapipelineinaws_spark.sources import maintenance, tsv  # noqa: F401
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
         clustering,
+        corpus,
         curation,
         dedup,
         multimodal,

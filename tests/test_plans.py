@@ -127,6 +127,31 @@ def test_rolling_corr_single_window_pass(spark):
     assert "Join" not in plan
 
 
+def test_chunk_docs_is_map_only(spark):
+    # chunking must add NO shuffle: one Generate off the scan
+    plan = _plan(queries()["q_ext_chunk_docs"](spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_dupspan_single_pass_no_join(spark):
+    # the >1-docs test runs as a window over the gram partition; a
+    # gram-frequency join back would re-execute the scan+explode
+    # lineage per branch
+    plan = _plan(queries()["q_ext_dupspan"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_source_cosine_persists_profile_table(spark):
+    # the (source, term) profile feeds norms + both self-join sides;
+    # persist keeps the corpus scan single-pass
+    plan = _plan(queries()["q_ext_source_cosine"](spark, SF))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_gapfill_persists_aggregated_series(spark):
     # the hourly aggregate feeds both the bounds subtree and the join
     # probe side; persist() keeps the 100 TB scan single-pass (an
