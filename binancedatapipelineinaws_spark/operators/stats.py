@@ -1,0 +1,169 @@
+"""Distribution-statistics operators: equi-width histogram, robust
+(median/MAD) outlier detection, and deterministic dataset splitting —
+the profiling and QA layer a warehouse consumer runs over the
+reference's tick table before trusting it (and a training pipeline
+runs over every ingested corpus).
+
+Scale notes (100 TB):
+- The histogram is a map-side-combined aggregate on a derived integer
+  key: bin count is bounded by the value range, not the data.
+- MAD runs as two stacked whole-partition windows over ONE exchange —
+  a single scan.  Exact per-group medians inherently buffer a group's
+  values on one task; at 100 TB swap `percentile` for
+  `approx_percentile` (a mergeable sketch, same plan shape) and keep
+  this exact form as the small-scale oracle.
+- Split assignment is pure projection (zero Exchange): a stable md5
+  bucket keyed on doc_id, reproducible across engines, partitionings,
+  and reruns (same discipline as sampling.q_ext_stratified_sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+HIST_WIDTH = 5000  # price units per bin
+
+
+@register(
+    "q_ext_histogram",
+    oracle=f"""
+SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bin_id,
+       CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
+         AS bin_lo,
+       count(*) AS cnt,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended price: explicit floor() bin key
+    (floor, not cast — double->int casting truncates in Spark but
+    rounds in DuckDB) feeding a map-side-combined count/sum.  Output is
+    bin-bounded, so the shuffle moves at most one row per bin per task
+    at any input scale."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_id = F.floor(F.col("l_extendedprice") / HIST_WIDTH).cast("long")
+    return (
+        li.groupBy(
+            bin_id.alias("bin_id"),
+            (bin_id * HIST_WIDTH).alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+MAD_K = 3.0  # flag beyond 3 robust standard deviations
+MAD_SCALE = 1.4826  # MAD -> sigma consistency constant (normal dist)
+
+
+@register(
+    "q_ext_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+  FROM events
+), dev AS (
+  SELECT *, quantile_cont(abs(value - med), 0.5)
+              OVER (PARTITION BY event_type) AS mad
+  FROM med
+)
+SELECT event_id, event_type, value, round(med, 6) AS med,
+       round(mad, 6) AS mad,
+       round((value - med) / ({MAD_SCALE} * mad), 6) AS robust_z
+FROM dev WHERE abs(value - med) > {MAD_K} * {MAD_SCALE} * mad
+""",
+)
+def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: |x - median| > {MAD_K} * {MAD_SCALE}
+    * MAD (median absolute deviation).  Median and MAD both run as
+    whole-partition window aggregates over the SAME partitioning, so
+    the plan is one exchange + two stacked Window nodes on a single
+    scan — no group-stats join back (which would re-execute the scan
+    per branch).  Both engines interpolate the median identically
+    (percentile ≡ quantile_cont); the outlier predicate compares
+    UNROUNDED doubles built from the same arithmetic, so the flagged
+    row set matches exactly."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.selectExpr(
+        "event_id",
+        "event_type",
+        "value",
+        "percentile(value, 0.5) OVER (PARTITION BY event_type) AS med",
+    )
+    dev = med.selectExpr(
+        "*",
+        "percentile(abs(value - med), 0.5)"
+        " OVER (PARTITION BY event_type) AS mad",
+    )
+    return dev.filter(
+        F.abs(F.col("value") - F.col("med"))
+        > MAD_K * MAD_SCALE * F.col("mad")
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(
+            (F.col("value") - F.col("med")) / (MAD_SCALE * F.col("mad")), 6
+        ).alias("robust_z"),
+    )
+
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN, SPLIT_VAL = 90, 95  # 90/5/5
+
+
+def _duck_split_bucket() -> str:
+    from binancedatapipelineinaws_spark.functions.dedup import duck_hex32
+
+    key = "'split:' || CAST(doc_id AS VARCHAR)"
+    return f"{duck_hex32(key)} % {SPLIT_BUCKETS}"
+
+
+@register(
+    "q_ext_split_assign",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_duck_split_bucket()} AS bucket,
+       CASE WHEN {_duck_split_bucket()} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_duck_split_bucket()} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment ({SPLIT_TRAIN}/
+    {SPLIT_VAL - SPLIT_TRAIN}/{SPLIT_BUCKETS - SPLIT_VAL}): an md5
+    bucket of the salted doc id decides the split, so membership is a
+    pure function of the row — stable under reruns, repartitioning,
+    corpus growth (old docs never migrate), and reproducible by any
+    engine that can md5.  Pure projection: zero Exchange."""
+    from binancedatapipelineinaws_spark.functions.dedup import hex32
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hex32(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

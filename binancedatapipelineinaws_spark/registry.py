@@ -48,6 +48,7 @@ def _load_all() -> None:
         scalar_fns,
         scaling,
         sorts_setops,
+        stats,
         subqueries,
         timeseries,
         windows,

@@ -152,6 +152,27 @@ def test_source_cosine_persists_profile_table(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_histogram_partial_aggregation(spark):
+    # bin-keyed count/sum must combine map-side; one shuffle total
+    plan = _plan(queries()["q_ext_histogram"](spark, SF))
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_outliers_single_scan_two_windows(spark):
+    # median and MAD stack as whole-partition windows over ONE
+    # exchange; a stats join back would re-execute the scan
+    plan = _plan(queries()["q_ext_mad_outliers"](spark, SF))
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_split_assign_is_map_only(spark):
+    plan = _plan(queries()["q_ext_split_assign"](spark, SF))
+    assert "Exchange" not in plan
+
+
 def test_gapfill_persists_aggregated_series(spark):
     # the hourly aggregate feeds both the bounds subtree and the join
     # probe side; persist() keeps the 100 TB scan single-pass (an
