@@ -43,6 +43,10 @@ HEADLINE = [
     "q_ext_kmeans",
     "q_ext_tfidf",
     "q_ext_funnel",
+    "q_ext_dupspan",
+    "q_ext_gapfill",
+    "q_win_rolling_corr",
+    "q_ext_source_cosine",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Change-data-capture compaction: latest-record-wins upsert of an
+update batch into a base table — the batch equivalent of the
+reference's append-only load (lambda_function.py:26-32 only ever
+appends; a warehouse consumer compacts corrections afterwards), and
+the lakehouse MERGE shape every incremental pipeline needs.
+
+Scale note (100 TB): one shuffle on the primary key decides every
+row's winner via a key-partitioned row_number — no join of base
+against updates (which would shuffle both sides AND break on keys
+absent from one side).  Update batches are typically tiny next to the
+base; the union is still the right plan because the window reads each
+key's rows together wherever they came from, and AQE coalesces the
+mostly-base partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+UPSERT_EVERY = 10  # every 10th order gets a correction record
+
+
+@register(
+    "q_ext_upsert_latest",
+    oracle=f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(2,1))
+              AS DOUBLE) AS o_totalprice,
+         o_orderdate, 1 AS version
+  FROM orders WHERE o_orderkey % {UPSERT_EVERY} = 0
+), unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         0 AS version
+  FROM orders
+  UNION ALL SELECT * FROM updates
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       version
+FROM ranked WHERE rn = 1
+""",
+)
+def q_ext_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert: a correction batch (every {UPSERT_EVERY}th
+    order re-priced +10%, status 'P', version 1) merged over the base
+    table.  Union both sides with a version stamp, then keep the
+    highest-version record per key with one key-partitioned
+    row_number — the deterministic MERGE that stays a single shuffle
+    whether the batch touches 0.1% or 100% of keys.  Keys only in the
+    batch would insert, keys only in base survive — semantics a
+    base-vs-updates join cannot give in one pass."""
+    prepare(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % UPSERT_EVERY == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("P").alias("o_orderstatus"),
+            # reprice in exact decimal, not double: round(x*1.1, 2) on
+            # doubles lands on .005 boundaries differently per engine
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)")
+            )
+            .cast("double")
+            .alias("o_totalprice"),
+            "o_orderdate",
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

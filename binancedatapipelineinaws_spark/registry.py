@@ -43,6 +43,7 @@ def _load_all() -> None:
     from binancedatapipelineinaws_spark.operators import (  # noqa: F401
         aggregations,
         analytics,
+        cdc,
         joins,
         pipeline_ops,
         scalar_fns,
@@ -60,6 +61,7 @@ def _load_all() -> None:
         curation,
         dedup,
         multimodal,
+        retrieval,
         sampling,
         similarity,
         text,

@@ -173,6 +173,29 @@ def test_split_assign_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_bm25_broadcasts_model_side(spark):
+    # df + corpus stats broadcast; no sort-merge join anywhere
+    plan = _plan(queries()["q_ext_bm25"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_broadcast_no_window(spark):
+    # LM table joins back as a broadcast; conditional counts must NOT
+    # be count-windows (PARTITION BY w1 concentrates Zipf-head words
+    # on single tasks)
+    plan = _plan(queries()["q_ext_bigram_lm_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert " Window [" not in plan
+
+
+def test_upsert_single_shuffle(spark):
+    # union + key-partitioned row_number: one exchange decides winners
+    plan = _plan(queries()["q_ext_upsert_latest"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_gapfill_persists_aggregated_series(spark):
     # the hourly aggregate feeds both the bounds subtree and the join
     # probe side; persist() keeps the 100 TB scan single-pass (an
