@@ -121,6 +121,77 @@ def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = (
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+
+
+@register(
+    "q_ext_profile",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count({c}) AS n_nonnull,
+       round(1.0 - count({c}) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+       count(DISTINCT {c}) AS n_distinct,
+       round(min({c}), 6) AS min_val,
+       round(max({c}), 6) AS max_val,
+       round(avg({c}), 6) AS mean_val
+FROM lineitem"""
+        for c in PROFILE_COLS
+    )
+    + "\n)",
+)
+def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the numeric lineitem measures — row count,
+    null fraction, distinct count, extrema, mean per column — the
+    data-QA sweep run before trusting an ingested table.
+
+    ONE pass computes every per-column statistic as parallel aggregate
+    expressions (count/min/max/avg combine map-side; countDistinct
+    rewrites to a two-level expand+aggregate); the wide 1-row result is
+    then unpivoted to (col, stats) rows with a map-only stack().  At
+    100 TB swap countDistinct for approx_count_distinct (mergeable HLL
+    sketch, same plan shape minus the expand) — the exact form is kept
+    here because the oracle must reproduce the number."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.round(F.min(c), 6).alias(f"{c}__mn"),
+            F.round(F.max(c), 6).alias(f"{c}__mx"),
+            F.round(F.avg(c), 6).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__mn, {c}__mx, {c}__avg"
+        for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n_nonnull, n_distinct, min_val, max_val, mean_val)",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        F.round(
+            1.0 - F.col("n_nonnull") / F.col("n_rows").cast("double"), 6
+        ).alias("null_frac"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "mean_val",
+    )
+
+
 SPLIT_BUCKETS = 100
 SPLIT_TRAIN, SPLIT_VAL = 90, 95  # 90/5/5
 

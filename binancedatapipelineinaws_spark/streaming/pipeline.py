@@ -222,6 +222,76 @@ def table_append_sink(
     return writer.start()
 
 
+def upsert_table_sink(
+    canonical: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "bid",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC compaction: each micro-batch MERGES into the table
+    with latest-wins semantics on `key_col` (a replayed/corrected trade
+    id replaces the stored record instead of duplicating it — the
+    compacted complement of `table_append_sink`'s pure append).
+
+    foreachBatch + merge is Structured Streaming's canonical upsert
+    pattern; on a cluster the merge target is an ACID table format
+    (Delta/Iceberg MERGE INTO) and the per-batch plan is identical to
+    the batch operator `operators/cdc.q_ext_upsert_latest`: union the
+    version-stamped sides, one key-partitioned row_number keeps each
+    key's newest record.  This plain-parquet stand-in rewrites to a
+    fresh directory and atomically renames it in, so readers never see
+    a half-written table; the whole merge is idempotent under batch
+    replay (re-merging the same records is a no-op), which restores
+    exactly-once on top of foreachBatch's at-least-once contract.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        in_batch = Window.partitionBy(key_col).orderBy(
+            F.desc("time"), F.desc("price")
+        )
+        incoming = (
+            batch_df.withColumn("rn", F.row_number().over(in_batch))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("version", F.lit(1))
+        )
+        if os.path.isdir(table_dir):
+            existing = spark.read.parquet(table_dir).withColumn(
+                "version", F.lit(0)
+            )
+            w = Window.partitionBy(key_col).orderBy(F.desc("version"))
+            merged = (
+                existing.unionByName(incoming)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn", "version")
+            )
+        else:
+            merged = incoming.drop("version")
+        tmp_dir = f"{table_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        old_dir = f"{table_dir}.old-{batch_id}"
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old_dir)
+        os.rename(tmp_dir, table_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    writer = (
+        canonical.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ohlcv_stream(
     canonical: DataFrame,
     watermark: str = "2 minutes",

@@ -196,6 +196,14 @@ def test_upsert_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_profile_single_pass(spark):
+    # all per-column stats in one aggregate over one scan (countDistinct
+    # adds its Expand, but never a second FileScan)
+    plan = _plan(queries()["q_ext_profile"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+
+
 def test_gapfill_persists_aggregated_series(spark):
     # the hourly aggregate feeds both the bounds subtree and the join
     # probe side; persist() keeps the 100 TB scan single-pass (an

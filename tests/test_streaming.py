@@ -19,6 +19,7 @@ from binancedatapipelineinaws_spark.streaming.pipeline import (
     ohlcv_stream,
     read_tick_stream,
     table_append_sink,
+    upsert_table_sink,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -56,6 +57,62 @@ def test_table_append_replay(spark, tick_files, tmp_path):
     assert got.columns == want.columns
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_upsert_sink_latest_wins_on_correction_replay(spark, tmp_path):
+    """First run loads the table; a correction file replaying 5 trade
+    ids with new prices arrives later; the second run on the SAME
+    checkpoint must replace those records (same row count, new prices),
+    not append duplicates."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = ticks(spark, SF).orderBy("trade_time_ms").limit(200)
+    base.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(
+        src + "/batch0"
+    )
+    for i, p in enumerate(sorted(glob.glob(f"{src}/batch0/part-*"))):
+        os.rename(p, f"{src}/base{i}.tsv")
+
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = upsert_table_sink(
+            canonical_stream(read_tick_stream(spark, src)), table_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = spark.read.parquet(table_dir)
+    assert got1.count() == 200
+
+    corrected = (
+        base.orderBy("trade_id")
+        .limit(5)
+        .withColumn("price_str", F.format_string("%.8f", F.lit(99999.25)))
+        # later wall-time so the in-batch dedup (latest time wins) is
+        # exercised even if a base row replays alongside
+        .withColumn("trade_time_ms", F.col("trade_time_ms") + 60000)
+    )
+    corrected.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(
+        src + "/batch1"
+    )
+    for i, p in enumerate(sorted(glob.glob(f"{src}/batch1/part-*"))):
+        os.rename(p, f"{src}/corr{i}.tsv")
+
+    run()
+    got2 = spark.read.parquet(table_dir)
+    assert got2.count() == 200  # replaced, not appended
+    fixed = got2.filter(F.col("price") == 99999.25)
+    assert fixed.count() == 5
+    corrected_ids = {r.trade_id for r in corrected.select("trade_id").collect()}
+    assert {r.bid for r in fixed.select("bid").collect()} == corrected_ids
+    # untouched records keep their original values
+    untouched = got2.filter(~F.col("bid").isin(*corrected_ids))
+    want = btcusdt(spark, SF).filter(~F.col("bid").isin(*corrected_ids))
+    assert untouched.exceptAll(
+        want.join(untouched.select("bid"), "bid").select(*untouched.columns)
+    ).count() == 0
 
 
 def test_minute_file_sink_partitions(spark, tick_files, tmp_path):
