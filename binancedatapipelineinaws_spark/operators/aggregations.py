@@ -110,6 +110,75 @@ def q_agg_ohlcv_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_ohlcv_rollup_5min",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, ranked AS (
+  SELECT date_trunc('minute', "time") AS m, price, quantity,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time", bid) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time" DESC, bid DESC) AS rn_d
+  FROM btcusdt
+), one_min AS (
+  SELECT m,
+         max(CASE WHEN rn_a = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close,
+         sum(CAST(quantity AS DECIMAL(18,5))) AS volume,
+         count(*) AS trades
+  FROM ranked GROUP BY m
+)
+-- CAST before //: epoch() is DOUBLE and DuckDB's // does not floor
+-- doubles, so the float form never merges minutes into buckets
+SELECT (CAST(epoch(m) AS BIGINT) // 300) * 300 AS bucket_epoch_s,
+       arg_min(open, m) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, m) AS close,
+       CAST(sum(volume) AS DOUBLE) AS volume,
+       sum(trades) AS trades
+FROM one_min
+GROUP BY 1
+""",
+)
+def q_agg_ohlcv_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical candle rollup: 5-minute OHLCV derived from the
+    1-minute candles, NOT from raw trades — the continuous-aggregate
+    chain (minute -> 5-minute -> hour) a hypertable maintains over the
+    reference's minute rotation (main.py:26-27's integer bucketing,
+    reapplied one level up).  OHLC merge semantics: open of the
+    earliest minute (min_by), close of the latest (max_by), min/max of
+    extremes, exact-decimal volume sum.
+
+    Scale: the second aggregation reads 1/60th of the data the first
+    one did — re-aggregating candles instead of rescanning raw trades
+    is what makes multi-granularity candle serving viable at 100 TB of
+    ticks (and the rollup stays correct because OHLCV is mergeable)."""
+    prepare(spark)
+    one_min = q_agg_ohlcv_1min(spark, sf_dir)
+    bucket = (
+        (F.unix_timestamp("minute_start").cast("long") / 300).cast("long")
+        * 300
+    )
+    return (
+        one_min.groupBy(bucket.alias("bucket_epoch_s"))
+        .agg(
+            F.min_by("open", F.col("minute_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("minute_start")).alias("close"),
+            F.sum(F.col("volume").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume"),
+            F.sum("trades").alias("trades"),
+        )
+    )
+
+
+@register(
     "q_agg_distinct",
     oracle="""
 SELECT o_orderpriority,
