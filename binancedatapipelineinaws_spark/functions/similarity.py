@@ -315,6 +315,88 @@ def q_ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ext_ann_recall",
+    oracle=f"""
+WITH ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERY}
+   AND c.vec_id != q.vec_id
+), ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM ex_scored
+), exact_k AS (
+  SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= {TOP_K}
+), bucketed AS (
+  SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+  FROM embeddings
+), lsh_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < {N_QUERY} AND c.vec_id != q.vec_id
+), lsh_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM lsh_cand
+), lsh_k AS (
+  SELECT query_id, neighbor_id FROM lsh_ranked WHERE rank <= {TOP_K}
+), hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact_k e JOIN lsh_k l
+    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  GROUP BY 1
+), denom AS (SELECT query_id, count(*) AS k FROM exact_k GROUP BY 1)
+SELECT d.query_id, d.k, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(d.k AS DOUBLE), 6) AS recall
+FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
+""",
+)
+def q_ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the single-probe LSH ANN against brute-force
+    ground truth, per query — the evaluation harness as a first-class
+    oracle-checked query, so an index-parameter change (N_PLANES, probe
+    count) shows its recall cost in the same gate that checks
+    correctness.
+
+    Both pipelines are the registered operators re-invoked (same plans,
+    same tie-breaking); the comparison itself is a tiny (n_query x k)
+    semi-join + rollup, so the eval adds nothing to the scale profile
+    of the underlying searches.
+
+    Expected values on the driver corpus: near ZERO.  The synthetic
+    embeddings are isotropic (no cluster structure except a few planted
+    near-dup pairs), so a true top-5 neighbor sits at cos ~0.5 and
+    co-buckets under 6 hyperplanes with p ~0.1 — which is precisely
+    what this harness is for: it quantifies that single-probe LSH needs
+    the multi-probe variant (q_ext_ann_multiprobe) or IVF on
+    structure-less data, as a number inside the correctness gate rather
+    than a surprise in production."""
+    prepare(spark)
+    exact_k = q_ext_cosine_knn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh_k = q_ext_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact_k.join(lsh_k, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    denom = exact_k.groupBy("query_id").agg(F.count("*").alias("k"))
+    return denom.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("k").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
 # --- banded hyperplane LSH for embedding near-dup ---------------------------
 # NEARDUP_BANDS bands of NEARDUP_ROWS sign-bits each.  A pair at
 # cos >= 0.9 agrees on one hyperplane with p = 1 - acos(0.9)/pi ~ 0.857,

