@@ -310,3 +310,94 @@ def q_ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# --- end-to-end curation pipeline -------------------------------------------
+
+PIPE_MIN_WORDS = 20
+PIPE_MIN_TTR = 0.05  # type-token ratio floor (kills degenerate repeats)
+
+
+def _duck_pipe_bucket() -> str:
+    key = "'split:' || CAST(doc_id AS VARCHAR)"
+    return f"{duck_hex32(key)} % 100"
+
+
+@register(
+    "q_ext_curation_pipeline",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+  FROM documents
+), filtered AS (
+  SELECT * FROM staged
+  WHERE n_words >= {PIPE_MIN_WORDS} AND ttr >= {PIPE_MIN_TTR}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT lang,
+         CASE WHEN {_duck_pipe_bucket()} < 90 THEN 'train'
+              WHEN {_duck_pipe_bucket()} < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         n_words
+  FROM deduped
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_words) AS n_tokens
+FROM assigned GROUP BY lang, split
+""",
+)
+def q_ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as ONE composed plan: quality gate
+    (length + type-token-ratio floors, map-only) -> exact dedup
+    (keep-lowest-id per md5(text), one hash shuffle) -> deterministic
+    split assignment (salted md5 bucket, map-only) -> per-(lang, split)
+    corpus accounting.  This is the end-to-end shape a training-data
+    pipeline actually runs; each stage is the same logic as its
+    standalone operator (q_ext_text_stats, q_ext_dedup_exact,
+    q_ext_split_assign), composed here so Catalyst fuses the map-only
+    stages into the scan and the whole funnel costs two shuffles (dedup
+    key, final rollup) at any scale."""
+    from binancedatapipelineinaws_spark.operators.stats import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    n_words = F.size("words")
+    ttr = F.size(F.array_distinct("words")).cast("double") / n_words
+    filtered = docs.select(
+        "doc_id", "lang", "text", n_words.alias("n_words")
+    ).filter((n_words >= PIPE_MIN_WORDS) & (ttr >= PIPE_MIN_TTR))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = (
+        hex32(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    assigned = deduped.select(
+        "lang",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_words",
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("n_tokens")
+    )

@@ -204,6 +204,14 @@ def test_profile_single_pass(spark):
     assert "partial_" in plan
 
 
+def test_curation_pipeline_two_shuffles_one_scan(spark):
+    # quality gate + split assignment fuse into the scan; only the
+    # dedup key and the final rollup shuffle
+    plan = _plan(queries()["q_ext_curation_pipeline"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_gapfill_persists_aggregated_series(spark):
     # the hourly aggregate feeds both the bounds subtree and the join
     # probe side; persist() keeps the 100 TB scan single-pass (an
