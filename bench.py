@@ -47,6 +47,7 @@ HEADLINE = [
     "q_ext_gapfill",
     "q_win_rolling_corr",
     "q_ext_source_cosine",
+    "q_ext_curation_pipeline",
 ]
 
 
