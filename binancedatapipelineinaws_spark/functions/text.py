@@ -143,6 +143,71 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_lang_confusion",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang AS declared_lang, string_split(text, ' ') AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, declared_lang,
+         len(list_filter(words, x -> x IN ('the', 'a', 'value', 'row'))) AS s_en,
+         len(list_filter(words, x -> x IN ('der', 'und', 'nicht', 'ist'))) AS s_de,
+         len(list_filter(words, x -> x IN ('el', 'la', 'que', 'de'))) AS s_es,
+         len(list_filter(words, x -> x IN ('le', 'la', 'et', 'est'))) AS s_fr
+  FROM w
+), pred AS (
+  SELECT declared_lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored
+), cells AS (
+  SELECT declared_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT declared_lang, sum(n_docs) AS n_lang FROM cells GROUP BY 1
+)
+SELECT c.declared_lang, c.predicted_lang, c.n_docs,
+       round(c.n_docs / CAST(t.n_lang AS DOUBLE), 6) AS frac,
+       CASE WHEN c.declared_lang = c.predicted_lang THEN 1 ELSE 0 END
+         AS is_correct
+FROM cells c JOIN totals t ON c.declared_lang = t.declared_lang
+""",
+)
+def q_ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared x predicted doc counts
+    with per-language row fractions — the classifier-quality eval as a
+    first-class oracle-checked query (same eval-as-query family as
+    q_ext_ann_recall: a marker-list change shows its accuracy cost
+    inside the correctness gate).
+
+    Plan: the map-only lang-id projection feeds one (declared,
+    predicted) aggregate — a #langs^2-bounded output at any corpus
+    size; row totals come from a window over that tiny table (a
+    totals-join would re-execute the corpus aggregate per branch)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    pred = q_ext_lang_id(spark, sf_dir).select(
+        "declared_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    n_lang = F.sum("n_docs").over(Window.partitionBy("declared_lang"))
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / n_lang.cast("double"), 6).alias("frac"),
+        F.when(F.col("declared_lang") == F.col("predicted_lang"), 1)
+        .otherwise(0)
+        .alias("is_correct"),
+    )
+
+
+@register(
     "q_ext_token_count",
     oracle=f"""
 SELECT doc_id,
