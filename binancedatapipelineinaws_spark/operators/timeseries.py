@@ -1,9 +1,9 @@
-"""Time-series operators over `events` / `lineitem`: calendar-spine
-gap-fill (resample + forward-fill) and rolling correlation — the
-time-series query shapes a consumer of the reference's 1-minute OHLCV
-rollup (reference main.py:26-40, the minute-bucket loop) needs next:
-a candle stream with NO missing minutes, and a rolling co-movement
-signal between two series.
+"""Time-series operators: calendar-spine gap-fill (resample +
+forward-fill), rolling correlation, and the market-microstructure
+trio (TWAP, realized volatility, intraday drawdown) — the query
+shapes a consumer of the reference's 1-minute OHLCV rollup (reference
+main.py:26-40, the minute-bucket loop) needs next: a candle stream
+with NO missing minutes, co-movement and risk signals on top of it.
 
 Scale notes (100 TB):
 - Gap-fill's heavy lift is the per-(key, bucket) aggregate — fully
@@ -167,4 +167,179 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         n.alias("n"),
         F.round(corr, 5).alias("rolling_corr"),
+    )
+
+
+# --- market microstructure over the canonical tick table --------------------
+# These run on the reference's own data product (the canonicalized
+# BTCUSDT table, main.py:56-67): TWAP over raw ticks, realized
+# volatility and intraday drawdown over the 1-minute candle layer.
+# Post-candle inputs are calendar-bounded (minutes in range), so every
+# window below is safe at any tick volume — same argument as
+# q_ext_gapfill.
+
+
+from binancedatapipelineinaws_spark.canonical import btcusdt  # noqa: E402
+from binancedatapipelineinaws_spark.operators.aggregations import (  # noqa: E402
+    BTCUSDT_CTE,
+    q_agg_ohlcv_1min,
+)
+
+# DuckDB CTE chain producing per-minute closes from the canonical tick
+# table (tie-break identical to q_agg_ohlcv_1min).
+_CLOSES_CTE = """
+, ranked AS (
+  SELECT date_trunc('minute', "time") AS m, price,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time" DESC, bid DESC) AS rn_d
+  FROM btcusdt
+), closes AS (
+  SELECT m, max(CASE WHEN rn_d = 1 THEN price END) AS close
+  FROM ranked GROUP BY m
+)
+"""
+
+
+@register(
+    "q_ext_twap",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, t AS (
+  SELECT date_trunc('hour', "time") AS h, price,
+         (CAST(epoch(coalesce(
+            lead("time") OVER (PARTITION BY date_trunc('hour', "time")
+                               ORDER BY "time", bid),
+            date_trunc('hour', "time") + INTERVAL 1 HOUR)) AS BIGINT)
+          - CAST(epoch("time") AS BIGINT)) AS dt
+  FROM btcusdt
+)
+SELECT h AS hour_start, count(*) AS trades, sum(dt) AS total_dt,
+       round(sum(price * dt) / sum(dt), 6) AS twap
+FROM t GROUP BY h
+""",
+)
+def q_ext_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average price: each trade's price weighted
+    by its holding time (gap to the next trade, last trade carried to
+    the hour boundary) — the execution-quality benchmark VWAP
+    (q_agg_vwap) does not give when trade sizes are uninformative.
+
+    One window pass (lead over the hour partition, totally ordered by
+    time+trade id) then one aggregate; per-hour partitions keep window
+    state bounded by an hour of one symbol's ticks.  Epochs are cast to
+    BIGINT before differencing in the oracle — DuckDB's epoch() is
+    DOUBLE and its // does not floor doubles."""
+    prepare(spark)
+    df = btcusdt(spark, sf_dir)
+    hour = F.date_trunc("hour", "time")
+    w = Window.partitionBy(hour).orderBy("time", "bid")
+    next_ts = F.coalesce(
+        F.lead("time").over(w), hour + F.expr("INTERVAL 1 HOUR")
+    )
+    dt = (
+        F.unix_timestamp(next_ts).cast("long")
+        - F.unix_timestamp("time").cast("long")
+    )
+    return (
+        df.select(hour.alias("hour_start"), "price", dt.alias("dt"))
+        .groupBy("hour_start")
+        .agg(
+            F.count("*").alias("trades"),
+            F.sum("dt").alias("total_dt"),
+            F.round(F.sum(F.col("price") * F.col("dt")) / F.sum("dt"), 6)
+            .alias("twap"),
+        )
+    )
+
+
+@register(
+    "q_ext_realized_vol",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + _CLOSES_CTE
+    + """
+, rets AS (
+  SELECT m, ln(close / lag(close) OVER (PARTITION BY CAST(m AS DATE)
+                                        ORDER BY m)) AS r
+  FROM closes
+)
+SELECT date_trunc('hour', m) AS hour_start,
+       count(r) AS n_returns,
+       round(sqrt(sum(r * r)), 6) AS realized_vol
+FROM rets GROUP BY 1
+""",
+)
+def q_ext_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly realized volatility: sqrt of the sum of squared 1-minute
+    log close-to-close returns — the standard high-frequency vol
+    estimator, computed on the CANDLE layer (calendar-bounded: the
+    lag window runs over minutes-per-day, not ticks; the tick-sized
+    work all happened inside the reused q_agg_ohlcv_1min plan).
+    Returns are day-partitioned, so the first minute of each day has no
+    return (count(r) skips the NULL in both engines)."""
+    prepare(spark)
+    closes = q_agg_ohlcv_1min(spark, sf_dir).select(
+        F.col("minute_start").alias("m"), "close"
+    )
+    day_w = Window.partitionBy(F.col("m").cast("date")).orderBy("m")
+    r = F.log(F.col("close") / F.lag("close").over(day_w))
+    return (
+        closes.select(F.date_trunc("hour", "m").alias("hour_start"), r.alias("r"))
+        .groupBy("hour_start")
+        .agg(
+            F.count("r").alias("n_returns"),
+            F.round(F.sqrt(F.sum(F.col("r") * F.col("r"))), 6).alias(
+                "realized_vol"
+            ),
+        )
+    )
+
+
+@register(
+    "q_ext_drawdown",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + _CLOSES_CTE
+    + """
+, dd AS (
+  SELECT CAST(m AS DATE) AS day, close,
+         max(close) OVER (PARTITION BY CAST(m AS DATE) ORDER BY m
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM closes
+)
+SELECT day, count(*) AS n_minutes,
+       round(max(peak), 2) AS day_peak,
+       round(max((peak - close) / peak), 6) AS max_drawdown
+FROM dd GROUP BY day
+""",
+)
+def q_ext_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum intraday drawdown per day: running peak of the 1-minute
+    closes (cumulative-max window within the day) vs the current close,
+    rolled up to the worst peak-to-trough fraction.  Runs entirely on
+    the calendar-bounded candle layer; the running-extrema window is
+    the pattern (cumulative max) that rolling frames can't replace."""
+    prepare(spark)
+    closes = q_agg_ohlcv_1min(spark, sf_dir).select(
+        F.col("minute_start").alias("m"), "close"
+    )
+    day = F.col("m").cast("date")
+    run_w = (
+        Window.partitionBy(day)
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = closes.select(
+        day.alias("day"),
+        "close",
+        F.max("close").over(run_w).alias("peak"),
+    )
+    return dd.groupBy("day").agg(
+        F.count("*").alias("n_minutes"),
+        F.round(F.max("peak"), 2).alias("day_peak"),
+        F.round(
+            F.max((F.col("peak") - F.col("close")) / F.col("peak")), 6
+        ).alias("max_drawdown"),
     )

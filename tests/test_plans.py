@@ -204,6 +204,12 @@ def test_profile_single_pass(spark):
     assert "partial_" in plan
 
 
+def test_twap_single_window_pass(spark):
+    plan = _plan(queries()["q_ext_twap"](spark, SF))
+    assert plan.count(" Window [") == 1
+    assert "Join" not in plan
+
+
 def test_curation_pipeline_two_shuffles_one_scan(spark):
     # quality gate + split assignment fuse into the scan; only the
     # dedup key and the final rollup shuffle
