@@ -325,6 +325,56 @@ def ohlcv_stream(
     )
 
 
+def ohlcv_rollup_stream(
+    canonical: DataFrame,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Chained streaming aggregation: 1-minute candles re-aggregated
+    into 5-minute candles inside ONE streaming query — the streaming
+    form of the batch hypertable chain (q_agg_ohlcv_rollup_5min),
+    using the window-of-window overload (multiple stateful operators,
+    Spark >= 3.4).  The first stage's window struct is kept as the
+    event-time column so the second stage's watermark bookkeeping
+    composes; a 5-minute bucket emits when the watermark passes its
+    end, i.e. after its last minute closed.
+
+    Scale: state for stage 1 is (symbol-minute) candles within the
+    watermark; stage 2 holds one partial candle per open 5-minute
+    bucket — both bounded by the calendar, not the tick rate."""
+    one = (
+        canonical.withWatermark("time", watermark)
+        .groupBy(F.window("time", "1 minute").alias("w"))
+        .agg(
+            F.min_by("price", F.struct("time", "bid")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("time", "bid")).alias("close"),
+            F.sum(F.col("quantity").cast("decimal(18,5)")).alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    return (
+        one.groupBy(F.window(F.col("w"), "5 minutes").alias("w5"))
+        .agg(
+            F.min_by("open", F.col("w.start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("w.start")).alias("close"),
+            F.sum("volume").cast("double").alias("volume"),
+            F.sum("trades").alias("trades"),
+        )
+        .select(
+            F.col("w5.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "trades",
+        )
+    )
+
+
 def dedup_stream(canonical: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """Engine superset (SURVEY §2.8): stateful dedup on trade id within
     the watermark — duplicate trades pass straight through the

@@ -461,3 +461,62 @@ def test_stateful_rotation_detector(spark, tick_files, tmp_path):
         | (F.abs(F.col("g.volume") - F.col("b.volume")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_streaming_rollup_chain_matches_batch(spark, tick_files, tmp_path):
+    """Chained 1-min -> 5-min streaming aggregation: every emitted
+    5-minute candle must equal the batch 5-minute OHLCV computed
+    directly from the ticks (the two are mathematically identical
+    because OHLCV is mergeable and the tie-breaks align)."""
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        ohlcv_rollup_stream,
+    )
+
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt_rollup")
+
+    def run():
+        q = (
+            ohlcv_rollup_stream(
+                canonical_stream(read_tick_stream(spark, tick_files)),
+                watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    run()  # second pass flushes windows closed by the final watermark
+    got = spark.read.parquet(out)
+    batch = (
+        btcusdt(spark, SF)
+        .groupBy(F.window("time", "5 minutes").start.alias("bucket_start"))
+        .agg(
+            F.min_by("price", F.struct("time", "bid")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("time", "bid")).alias("close"),
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    merged = got.alias("g").join(batch.alias("b"), "bucket_start")
+    assert merged.count() == got.count(), "stream emitted unknown bucket"
+    mismatches = merged.filter(
+        (F.col("g.open") != F.col("b.open"))
+        | (F.col("g.high") != F.col("b.high"))
+        | (F.col("g.low") != F.col("b.low"))
+        | (F.col("g.close") != F.col("b.close"))
+        | (F.col("g.volume") != F.col("b.volume"))
+        | (F.col("g.trades") != F.col("b.trades"))
+    )
+    assert mismatches.count() == 0
+    # all but the last (watermark-open) bucket must have emitted
+    assert got.count() >= batch.count() - 1
