@@ -118,7 +118,7 @@ def _duck_assign(src_cent: str, out: str) -> str:
 ), {out} AS (SELECT vec_id, q, cluster FROM {out}_rn WHERE rn = 1)"""
 
 
-_DUCK_KMEANS = (
+_DUCK_KMEANS_CTES = (
     "WITH "
     + DUCK_QUANT_CTE
     + f""",
@@ -136,6 +136,10 @@ upd1 AS (
   FROM upd1 GROUP BY cluster
 ),"""
     + _duck_assign("cent1", "assign2")
+)
+
+_DUCK_KMEANS = (
+    _DUCK_KMEANS_CTES
     + """
 SELECT a.vec_id, a.cluster, e.label
 FROM assign2 a JOIN embeddings e ON a.vec_id = e.vec_id
@@ -168,3 +172,52 @@ def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(
         emb.select("vec_id", "label"), "vec_id"
     ).select("vec_id", "cluster", "label")
+
+
+@register(
+    "q_ext_cluster_balance",
+    oracle=_DUCK_KMEANS_CTES
+    + f"""
+, sizes AS (SELECT cluster, count(*) AS n FROM assign2 GROUP BY cluster)
+SELECT cluster, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS frac,
+       round(-(n / CAST(sum(n) OVER () AS DOUBLE))
+             * ln(n / CAST(sum(n) OVER () AS DOUBLE)) / ln({KMEANS_K}), 6)
+         AS entropy_term
+FROM sizes
+""",
+)
+def q_ext_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus balance: k-means cluster sizes with each
+    cluster's share of the ln({KMEANS_K})-normalized entropy (the terms
+    sum to 1.0 for a perfectly balanced corpus, toward 0 as one
+    semantic mode dominates) — the diversity diagnostic a training
+    pipeline checks before sampling.
+
+    Reuses the full q_ext_kmeans assignment plan; everything on top is
+    a {KMEANS_K}-row aggregate, with the share computed by a window
+    over those K rows (K-bounded, so the unpartitioned window holds K
+    rows at any corpus size — never a totals join that would re-run
+    the clustering per branch)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    sizes = (
+        q_ext_kmeans(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(
+        Window.partitionBy()
+    )
+    frac = F.col("n") / total.cast("double")
+    import math
+
+    return sizes.select(
+        "cluster",
+        "n",
+        F.round(frac, 6).alias("frac"),
+        F.round(-frac * F.log(frac) / math.log(KMEANS_K), 6).alias(
+            "entropy_term"
+        ),
+    )
