@@ -161,3 +161,71 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_without_type"
         ),
     )
+
+
+SORTED_FILES = 8  # range partitions for the sorted layout
+
+
+@register(
+    "q_maint_sorted_write",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       {SORTED_FILES} AS n_files,
+       0 AS n_overlapping_pairs,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+""",
+)
+def q_maint_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned sorted layout for min/max data skipping:
+    `repartitionByRange` + `sortWithinPartitions` on the filter column
+    writes files whose l_shipdate ranges are DISJOINT, so a date
+    predicate prunes whole files from the footer statistics alone (the
+    complement of q_ext_zorder, which interleaves two dimensions).
+
+    The reported n_files / overlap count are measured from the ACTUAL
+    parquet footers (pyarrow), not assumed: range partitioning routes
+    equal keys to one side of each boundary, so zero overlapping file
+    ranges is an invariant of the layout, and the oracle states it as
+    the expected constant.  At 100 TB the same two-liner scales by
+    raising the partition count to ceil(bytes / 512 MB)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _tmp_path("lineitem_sorted", sf_dir)
+    (
+        li.repartitionByRange(SORTED_FILES, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            st = col.statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+    overlaps = sum(
+        1
+        for i in range(len(spans))
+        for j in range(i + 1, len(spans))
+        if spans[i][0] <= spans[j][1] and spans[j][0] <= spans[i][1]
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(len(spans)).alias("n_files"),
+        F.lit(overlaps).alias("n_overlapping_pairs"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
