@@ -192,6 +192,62 @@ def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RI_RELATIONS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+@register(
+    "q_ext_ri_check",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_rows,
+       (SELECT count(*) FROM {child} c
+        WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans"""
+        for name, child, fk, parent, pk in RI_RELATIONS
+    )
+    + "\n)",
+)
+def q_ext_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema: per foreign-key
+    relation, the child row count and the number of orphans (non-null
+    FKs with no parent) — the constraint validation a warehouse load
+    runs because parquet lakes, unlike the reference's Aurora target,
+    enforce nothing.
+
+    Each relation is one left-anti join on its key: the parent side
+    ships as a broadcast when small (dims) and a uniform-key shuffle
+    otherwise, so the sweep is a handful of independent single-join
+    passes — embarrassingly parallel across relations at any scale."""
+    prepare(spark)
+    parts = []
+    for name, child, fk, parent, pk in RI_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        )
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, F.col(fk) == F.col("__pk"), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        totals = c.agg(F.count("*").alias("n_rows"))
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("relation"), "n_rows", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
 SPLIT_BUCKETS = 100
 SPLIT_TRAIN, SPLIT_VAL = 90, 95  # 90/5/5
 
