@@ -7,7 +7,7 @@ consumer queries, re-expressed as Spark plans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binancedatapipelineinaws_spark.registry import register
@@ -207,4 +207,96 @@ def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("xs").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
+    )
+
+
+@register(
+    "q_ext_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev, event_type AS next, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev, next, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+FROM pairs
+""",
+)
+def q_ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current), estimated from per-user
+    lag pairs — the behavioral model behind next-action prediction and
+    anomaly scoring on the event stream.
+
+    One lag window per user partition (state = one row), one pair
+    aggregate (map-side combined, #types^2-bounded output), and the
+    row normalization runs as a window over the TINY pair table — the
+    same no-totals-join discipline as q_ext_lang_confusion."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    pairs = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev"))
+    return pairs.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") / row_total.cast("double"), 6).alias("p"),
+    )
+
+
+CHURN_IDLE = "INTERVAL 1 DAY"
+
+
+@register(
+    "q_ext_churn",
+    oracle=f"""
+WITH lasts AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY user_id
+), horizon AS (SELECT max(ts) AS h FROM events)
+SELECT l.user_id, l.n_events, l.last_ts,
+       CASE WHEN h.h - l.last_ts > {CHURN_IDLE} THEN 1 ELSE 0 END
+         AS churned
+FROM lasts l CROSS JOIN horizon h
+""",
+)
+def q_ext_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn flag: a user is churned when their last event
+    is more than a day behind the stream horizon (the corpus's max
+    event time — computed from the data so the query is reproducible,
+    where wall-clock `now()` would not be).
+
+    Two aggregates: per-user last-seen (uniform key, map-side
+    combined) and the 1-row horizon, broadcast back — the comparison
+    is then map-only.  Timestamp arithmetic stays in the timestamp
+    domain in both engines (no epoch doubles)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lasts = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    return lasts.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        "last_ts",
+        F.when(
+            F.col("h") > F.col("last_ts") + F.expr(CHURN_IDLE), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
     )
