@@ -83,3 +83,87 @@ def test_salted_agg_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_dupspan_gram_rows_linear_in_hot_gram(spark):
+    """A gram shared by k docs must cost O(k) rows through the dupspan
+    plan, never O(k^2): plant one ubiquitous gram across every doc and
+    assert the windowed row count stays corpus-gram-sized."""
+    import pyspark.sql.functions as F
+
+    from binancedatapipelineinaws_spark.functions.corpus import DUPSPAN_N
+
+    boiler = " ".join(f"w{i}" for i in range(DUPSPAN_N))
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "), F.col("id").cast("string"),
+            F.lit(" x y z u v"),
+        ).alias("text"),
+    )
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    pos = words.select(
+        "doc_id", "words",
+        F.explode(
+            F.when(
+                F.size("words") >= DUPSPAN_N,
+                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    )
+    grams = pos.select(
+        "doc_id",
+        F.array_join(F.slice("words", F.col("j") + 1, DUPSPAN_N), "_").alias(
+            "gram"
+        ),
+    )
+    # the window input IS the gram stream: 200 docs x (len-4) grams,
+    # no pair blowup from the gram all 200 docs share
+    n_grams = grams.count()
+    assert n_grams < 200 * 20  # linear bound; k^2 would be >= 40000
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy("gram")
+    flagged = grams.select(
+        "doc_id",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias("d"),
+    )
+    assert flagged.count() == n_grams  # row-preserving, not pair-making
+
+
+def test_bigram_lm_table_is_vocab_bounded(spark):
+    """The broadcast LM table must be bounded by vocabulary^2, not by
+    corpus row count: doubling the corpus by unioning it with itself
+    must not grow the LM."""
+    from binancedatapipelineinaws_spark.functions.retrieval import (
+        q_ext_bigram_lm_score,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def lm_size(frame):
+        w = frame.select("doc_id", F.split("text", " ").alias("words"))
+        pos = w.select(
+            "doc_id", "words",
+            F.explode(
+                F.when(
+                    F.size("words") >= 2,
+                    F.sequence(F.lit(0), F.size("words") - 2),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("j"),
+        )
+        bg = pos.select(
+            F.element_at("words", F.col("j") + 1).alias("w1"),
+            F.element_at("words", F.col("j") + 2).alias("w2"),
+        )
+        return bg.groupBy("w1", "w2").count().count()
+
+    single = lm_size(docs)
+    doubled = lm_size(
+        docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+    )
+    assert doubled == single
