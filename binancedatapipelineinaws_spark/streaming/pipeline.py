@@ -375,6 +375,53 @@ def ohlcv_rollup_stream(
     )
 
 
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to every
+    click by the same user in the preceding `horizon` — the streaming
+    attribution join (SURVEY §2.4's as-of idiom, event-to-event form).
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time against click time, so Spark can expire click state once the
+    purchase-side watermark passes click_ts + horizon: state per user
+    is `horizon` worth of clicks, independent of stream length.  The
+    shuffle key is user_id (uniform); late events beyond `watermark`
+    drop instead of corrupting emitted matches."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "amount",
+    )
+
+
 def dedup_stream(canonical: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """Engine superset (SURVEY §2.8): stateful dedup on trade id within
     the watermark — duplicate trades pass straight through the

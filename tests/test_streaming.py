@@ -520,3 +520,64 @@ def test_streaming_rollup_chain_matches_batch(spark, tick_files, tmp_path):
     assert mismatches.count() == 0
     # all but the last (watermark-open) bucket must have emitted
     assert got.count() >= batch.count() - 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Click->purchase attribution as a watermarked stream-stream
+    interval join must equal the batch interval join over the same
+    events."""
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    def stream(d):
+        return (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .parquet(d)
+        )
+
+    out = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ckpt_ssj")
+    q = (
+        interval_join_stream(stream(clicks_dir), stream(purch_dir))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    want = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "click_ts", "purchase_id", "purchase_ts", "amount",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
