@@ -761,3 +761,97 @@ def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.3)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "q_ext_minhash_error",
+    oracle=_NEAR_CTES
+    + f"""
+, exact AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jx
+  FROM inter i
+  JOIN doc_size_c na ON na.doc_id = i.doc_a
+  JOIN doc_size_c nb ON nb.doc_id = i.doc_b
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(
+             f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+             for j in range(N_HASHES)
+         )}) / {N_HASHES}.0 AS je
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT count(*) AS n_pairs,
+       round(avg(abs(e.je - x.jx)), 6) AS mae,
+       round(max(abs(e.je - x.jx)), 6) AS max_err,
+       round(avg(x.jx), 6) AS mean_exact
+FROM exact x
+JOIN est e ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+""",
+)
+def q_ext_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation error of the {N_HASHES}-component MinHash Jaccard
+    sketch against the exact set Jaccard, over the LSH candidate
+    pairs — the third eval-as-query (with q_ext_ann_recall and
+    q_ext_lang_confusion): it prices the sketch-only fast path
+    (q_ext_minhash_estimate) in the same gate that checks correctness,
+    so shrinking N_HASHES shows its accuracy cost as a number.
+
+    Exact side reuses the df-capped shingle intersection of
+    q_ext_dedup_near (candidates only, never all pairs); estimated
+    side touches only the one-row-per-doc signature table.  Both
+    persisted tables feed multiple join branches."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir).persist()
+    cand = lsh_candidate_pairs(sig)
+    sh = capped_shingle_rows(shingle_rows(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jx"),
+        )
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        [
+            F.when(F.col(f"sa.h{j}") == F.col(f"sb.h{j}"), 1).otherwise(0)
+            for j in range(N_HASHES)
+        ],
+        start=F.lit(0),
+    )
+    est = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(N_HASHES))).alias("je"),
+        )
+    )
+    err = F.abs(F.col("je") - F.col("jx"))
+    return exact.join(est, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(F.max(err), 6).alias("max_err"),
+        F.round(F.avg("jx"), 6).alias("mean_exact"),
+    )
