@@ -186,3 +186,61 @@ def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_seqs_spanned"
         ),
     )
+
+
+IMP_BASE_BP = 3000  # base keep rate in basis points of 10000, weight 1.0
+IMP_CAP_BP = 10000
+
+
+@register(
+    "q_ext_importance_sample",
+    oracle=f"""
+WITH stats AS (SELECT avg(n_chars) AS avg_chars FROM documents)
+SELECT d.doc_id, d.lang, d.n_chars,
+       least(CAST(floor({IMP_BASE_BP} * d.n_chars / s.avg_chars) AS BIGINT),
+             {IMP_CAP_BP}) AS keep_bp
+FROM documents d CROSS JOIN stats s
+WHERE {duck_hex32("'imp:' || CAST(doc_id AS VARCHAR)")} % {IMP_CAP_BP} <
+      least(CAST(floor({IMP_BASE_BP} * d.n_chars / s.avg_chars) AS BIGINT),
+            {IMP_CAP_BP})
+""",
+)
+def q_ext_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: each document's keep
+    probability scales with its weight (here length relative to the
+    corpus mean, the DSIR shape — swap in any score column), capped at
+    1.  The accept test compares a salted md5 bucket against the
+    weight-scaled threshold, so membership is a pure row function given
+    the corpus mean: reproducible across engines, partitionings, and
+    reruns, unlike rand()-based weighted sampling.
+
+    Plan: one 1-row aggregate broadcast back, then a map-only filter —
+    the corpus-sized stage has no shuffle.  Both engines floor() the
+    weight-scaled threshold explicitly before the integer cast (DuckDB
+    CAST rounds doubles where Spark truncates), keeping the accept
+    boundary exact."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(F.avg("n_chars").alias("avg_chars"))
+    keep_bp = F.least(
+        F.floor(IMP_BASE_BP * F.col("n_chars") / F.col("avg_chars")).cast(
+            "long"
+        ),
+        F.lit(IMP_CAP_BP).cast("long"),
+    )
+    bucket = (
+        hex32(F.concat(F.lit("imp:"), F.col("doc_id").cast("string")))
+        % IMP_CAP_BP
+    )
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            keep_bp.alias("keep_bp"),
+            bucket.alias("__b"),
+        )
+        .filter(F.col("__b") < F.col("keep_bp"))
+        .drop("__b")
+    )
