@@ -343,3 +343,61 @@ def q_ext_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("peak") - F.col("close")) / F.col("peak")), 6
         ).alias("max_drawdown"),
     )
+
+
+@register(
+    "q_ext_return_autocorr",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + _CLOSES_CTE
+    + """
+, rets AS (
+  SELECT m, ln(close / lag(close) OVER (PARTITION BY CAST(m AS DATE)
+                                        ORDER BY m)) AS r
+  FROM closes
+), pairs AS (
+  SELECT r, lag(r) OVER (PARTITION BY CAST(m AS DATE) ORDER BY m) AS rp
+  FROM rets
+), s AS (
+  SELECT count(*) AS n, sum(r) AS sx, sum(rp) AS sy,
+         sum(r * r) AS sxx, sum(rp * rp) AS syy, sum(r * rp) AS sxy
+  FROM pairs WHERE r IS NOT NULL AND rp IS NOT NULL
+)
+SELECT n,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+             5) AS autocorr_lag1
+FROM s
+""",
+)
+def q_ext_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of 1-minute log returns — the
+    mean-reversion / momentum diagnostic, and the statistical test
+    behind microstructure noise detection (negative lag-1 autocorr =
+    bid-ask bounce).
+
+    Same component-sums discipline as q_win_rolling_corr, collapsed to
+    a single global pair: two day-partitioned lag windows on the
+    calendar-bounded candle layer, then ONE 1-row aggregate computes
+    Pearson r from (n, Sx, Sy, Sxx, Syy, Sxy).  Day partitioning drops
+    cross-midnight pairs in both engines identically."""
+    prepare(spark)
+    closes = q_agg_ohlcv_1min(spark, sf_dir).select(
+        F.col("minute_start").alias("m"), "close"
+    )
+    day_w = Window.partitionBy(F.col("m").cast("date")).orderBy("m")
+    r = F.log(F.col("close") / F.lag("close").over(day_w))
+    pairs = closes.select(
+        F.col("m").alias("m"), r.alias("r")
+    ).select("m", "r", F.lag("r").over(day_w).alias("rp"))
+    p = pairs.filter(F.col("r").isNotNull() & F.col("rp").isNotNull())
+    n = F.count("*")
+    sx, sy = F.sum("r"), F.sum("rp")
+    sxx = F.sum(F.col("r") * F.col("r"))
+    syy = F.sum(F.col("rp") * F.col("rp"))
+    sxy = F.sum(F.col("r") * F.col("rp"))
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / F.when(denom != 0, denom)
+    return p.agg(
+        n.alias("n"), F.round(corr, 5).alias("autocorr_lag1")
+    )

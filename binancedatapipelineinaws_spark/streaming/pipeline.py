@@ -422,6 +422,16 @@ def interval_join_stream(
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment: join each streaming record against a
+    static dimension on `key` — the most common production streaming
+    pattern (attach user profile / instrument metadata at ingest).
+    The static side is re-read per micro-batch by Spark (so a dim
+    refresh is picked up) and broadcasts when small; no state, no
+    watermark needed for an inner stream-static join."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def dedup_stream(canonical: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """Engine superset (SURVEY §2.8): stateful dedup on trade id within
     the watermark — duplicate trades pass straight through the

@@ -581,3 +581,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Streaming events enriched with a static per-user profile must
+    equal the batch left join."""
+    from binancedatapipelineinaws_spark.streaming.pipeline import enrich_stream
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    profile = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"), F.count("*").alias("lifetime_events")
+    )
+
+    out = str(tmp_path / "enriched")
+    q = (
+        enrich_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+            profile,
+            "user_id",
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = ev.join(profile, "user_id", "left")
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
