@@ -300,3 +300,122 @@ def q_ext_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("churned"),
     )
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+@register(
+    "q_ext_active_users",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT d.day, u.user_id, u.day AS active_day
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day > d.day - {ACTIVE_WINDOW_DAYS}
+)
+SELECT day,
+       count(DISTINCT CASE WHEN active_day = day THEN user_id END) AS dau,
+       count(DISTINCT user_id) AS wau
+FROM contrib GROUP BY day
+""",
+)
+def q_ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-{ACTIVE_WINDOW_DAYS}-day active users per
+    day — the DAU/WAU engagement staple.  Distinct-over-sliding-window
+    can't use a window frame (no windowed COUNT DISTINCT), so each
+    (day, user) activity row is EXPLODED to the {ACTIVE_WINDOW_DAYS}
+    window anchors it contributes to (map-only, x{ACTIVE_WINDOW_DAYS})
+    and anchors re-aggregate with countDistinct — no range join, no
+    day-spine nested loop.
+
+    The (day, user) table is persisted: it feeds both the observed-day
+    spine (a semi-join keeps anchors inside the observed range) and
+    the explode.  At 100 TB the exploded stream is users x days x
+    {ACTIVE_WINDOW_DAYS} — linear, uniform keys; swap countDistinct
+    for approx_count_distinct (mergeable HLL) for the sketch path."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .persist()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(ACTIVE_WINDOW_DAYS - 1))).alias(
+            "off"
+        ),
+    ).select(
+        "user_id",
+        "active_day",
+        F.date_add("active_day", F.col("off")).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "q_ext_winsorize",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, {WINSOR_LO})
+           OVER (PARTITION BY event_type) AS lo,
+         quantile_cont(value, {WINSOR_HI})
+           OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+SELECT event_id, event_type, value,
+       round(least(greatest(value, lo), hi), 6) AS clipped,
+       CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS was_clipped
+FROM b
+""",
+)
+def q_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values to its [{WINSOR_LO},
+    {WINSOR_HI}] percentile band — the outlier treatment that keeps
+    rows (unlike q_ext_mad_outliers, which flags them).  Same
+    single-scan shape as MAD: both boundaries come from ONE
+    whole-partition percentile window (no stats join back), then the
+    clip is scalar algebra; `percentile` and `quantile_cont`
+    interpolate identically so the boundaries agree across engines."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.selectExpr(
+        "event_id",
+        "event_type",
+        "value",
+        f"percentile(value, {WINSOR_LO})"
+        " OVER (PARTITION BY event_type) AS lo",
+        f"percentile(value, {WINSOR_HI})"
+        " OVER (PARTITION BY event_type) AS hi",
+    )
+    return b.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+        ).alias("clipped"),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("was_clipped"),
+    )
