@@ -855,3 +855,50 @@ def q_ext_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(err), 6).alias("max_err"),
         F.round(F.avg("jx"), 6).alias("mean_exact"),
     )
+
+
+EDITDIST_SIM = 0.8  # normalized similarity threshold
+
+
+@register(
+    "q_ext_dedup_editdist",
+    oracle=_NEAR_CTES
+    + f"""
+SELECT c.doc_a, c.doc_b,
+       levenshtein(da.text, db.text) AS dist,
+       round(1 - levenshtein(da.text, db.text)
+                 / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE),
+             6) AS sim
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE 1 - levenshtein(da.text, db.text)
+        / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE)
+      >= {EDITDIST_SIM}
+""",
+)
+def q_ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup tier: LSH candidates verified by normalized
+    Levenshtein similarity (1 - dist/max_len >= {EDITDIST_SIM}) — the
+    character-level metric that catches small in-place edits token
+    Jaccard dilutes (and the costliest verify in the family, which is
+    exactly why it runs on CANDIDATES only: O(len^2) per pair is
+    affordable after the banded prefilter prunes ~n^2/bands pairs, and
+    never on all pairs).  Both engines implement unit-cost
+    Levenshtein, so dist is integer-identical."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir).persist()
+    cand = lsh_candidate_pairs(sig)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    sim = 1 - dist / F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("dist", dist)
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= EDITDIST_SIM)
+        .select("doc_a", "doc_b", "dist", F.round("sim_raw", 6).alias("sim"))
+    )

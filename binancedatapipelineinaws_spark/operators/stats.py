@@ -294,3 +294,75 @@ def q_ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _corr_pairs():
+    cols = PROFILE_COLS
+    return [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+
+def _duck_corr_matrix() -> str:
+    # price is scaled before squaring (same cancellation guard as
+    # q_win_rolling_corr); corr is scale-invariant so outputs match
+    scale = {"l_extendedprice": 1000.0}
+
+    def v(c):
+        s = scale.get(c)
+        return f"(CAST({c} AS DOUBLE) / {s})" if s else f"CAST({c} AS DOUBLE)"
+
+    selects = []
+    for a, b in _corr_pairs():
+        x, y = v(a), v(b)
+        selects.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round((count(*) * sum({x} * {y}) - sum({x}) * sum({y}))
+             / nullif(sqrt(count(*) * sum({x} * {x}) - sum({x}) * sum({x}))
+                      * sqrt(count(*) * sum({y} * {y}) - sum({y}) * sum({y})),
+                      0), 5) AS corr
+FROM lineitem"""
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+@register("q_ext_corr_matrix", oracle=_duck_corr_matrix())
+def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    measures — the multivariate step after q_ext_profile.  All six
+    pairs compute from component sums inside ONE single-pass aggregate
+    (map-side combined), then unpivot to (col_a, col_b, corr) rows via
+    a map-only stack(); price is pre-scaled so the n*Sxx - Sx^2
+    cancellation stays in double precision (corr is scale-invariant,
+    so both engines see identical values at 5 dp)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    scale = {"l_extendedprice": 1000.0}
+
+    def v(c):
+        col = F.col(c).cast("double")
+        return col / scale[c] if c in scale else col
+
+    aggs = [F.count("*").alias("n")]
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(v(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(v(c) * v(c)).alias(f"ss_{c}"))
+    for a, b in _corr_pairs():
+        aggs.append(F.sum(v(a) * v(b)).alias(f"sp_{a}__{b}"))
+    wide = li.agg(*aggs)
+    corr_exprs = []
+    for a, b in _corr_pairs():
+        num = f"(n * sp_{a}__{b} - s_{a} * s_{b})"
+        den = (
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a})"
+            f" * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        corr_exprs.append(
+            f"'{a}', '{b}', round({num} / nullif({den}, 0), 5)"
+        )
+    return wide.selectExpr(
+        f"stack({len(corr_exprs)}, {', '.join(corr_exprs)})"
+        " AS (col_a, col_b, corr)"
+    )
