@@ -204,6 +204,29 @@ def test_profile_single_pass(spark):
     assert "partial_" in plan
 
 
+def test_winsorize_single_scan_one_window(spark):
+    # both percentile boundaries share one whole-partition window
+    plan = _plan(queries()["q_ext_winsorize"](spark, SF))
+    assert plan.count(" Window [") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_corr_matrix_single_pass(spark):
+    # six pair correlations from one aggregate over one scan; the
+    # unpivot adds no shuffle
+    plan = _plan(queries()["q_ext_corr_matrix"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "partial_" in plan
+
+
+def test_active_users_persists_day_user_table(spark):
+    # the (day, user) distinct table feeds spine and explode branches
+    plan = _plan(queries()["q_ext_active_users"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_twap_single_window_pass(spark):
     plan = _plan(queries()["q_ext_twap"](spark, SF))
     assert plan.count(" Window [") == 1
