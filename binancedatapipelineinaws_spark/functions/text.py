@@ -492,3 +492,92 @@ def q_ext_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row_id", "col_id")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _duck_cms_error_oracle() -> str:
+    from binancedatapipelineinaws_spark.functions.dedup import duck_hex32
+
+    h_cells = duck_hex32("CAST(j.j AS VARCHAR) || ':' || term")
+    h_query = duck_hex32("CAST(j.j AS VARCHAR) || ':' || e.term")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cells AS (
+  SELECT j.j AS row_id, {h_cells} % {CMS_W} AS col_id, count(*) AS cnt
+  FROM words, range({CMS_D}) j(j) GROUP BY 1, 2
+), exact AS (
+  SELECT term, count(*) AS n FROM words GROUP BY term
+), est AS (
+  SELECT e.term, min(c.cnt) AS est
+  FROM exact e, range({CMS_D}) j(j)
+  JOIN cells c ON c.row_id = j.j AND c.col_id = {h_query} % {CMS_W}
+  GROUP BY e.term
+)
+SELECT count(*) AS n_terms,
+       sum(CASE WHEN est = n THEN 1 ELSE 0 END) AS n_exact,
+       round(avg(est - n), 6) AS mean_over,
+       max(est - n) AS max_over,
+       min(est - n) AS min_over
+FROM exact JOIN est USING (term)
+"""
+
+
+@register("q_ext_cms_error", oracle=_duck_cms_error_oracle())
+def q_ext_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimation error: every term's CMS estimate
+    (min over its {CMS_D} cells) against its exact count — the eval
+    that prices the sketch's one-sided overestimate (min_over must be
+    >= 0, the CMS guarantee; mean_over shows the collision pressure of
+    a {CMS_D}x{CMS_W} table against this vocabulary).
+
+    The sketch table is {CMS_D}*{CMS_W} cells regardless of corpus
+    size, so the estimate join is a broadcast: exact counts explode
+    x{CMS_D} to their cell coordinates (map-only), the cell lookup is
+    map-side, and min-over-rows is a vocabulary-sized aggregate."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from binancedatapipelineinaws_spark.functions.dedup import hex32
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    cells = (
+        words.select(
+            "term",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_id"),
+        )
+        .select(
+            "row_id",
+            (
+                hex32(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("term")))
+                % CMS_W
+            ).alias("col_id"),
+        )
+        .groupBy("row_id", "col_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = words.groupBy("term").agg(F.count("*").alias("n"))
+    probes = exact.select(
+        "term",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_id"),
+    ).select(
+        "term",
+        "n",
+        "row_id",
+        (
+            hex32(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("term")))
+            % CMS_W
+        ).alias("col_id"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("term", "n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    over = F.col("est") - F.col("n")
+    return est.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(over == 0, 1).otherwise(0)).alias("n_exact"),
+        F.round(F.avg(over), 6).alias("mean_over"),
+        F.max(over).alias("max_over"),
+        F.min(over).alias("min_over"),
+    )

@@ -366,3 +366,54 @@ def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(corr_exprs)}, {', '.join(corr_exprs)})"
         " AS (col_a, col_b, corr)"
     )
+
+
+@register(
+    "q_ext_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice >= 1
+)
+SELECT d, count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+         AS observed,
+       round(ln(1.0 + 1.0 / d) / ln(10), 6) AS benford
+FROM digits GROUP BY d
+""",
+)
+def q_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) analysis of extended price — the audit
+    check for fabricated financial data: naturally-grown amounts
+    follow log10(1 + 1/d), uniform synthetics (like this corpus —
+    observed ~0.105 flat) do not, and the side-by-side columns make
+    the divergence a number.
+
+    Map-only digit projection (explicit floor() before the integer
+    cast — DuckDB rounds double casts) -> 9-row aggregate; the share
+    normalizes via a window over those 9 rows."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    d = (
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    digits = li.filter(F.col("l_extendedprice") >= 1).select(d)
+    import math
+
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "d",
+        "n",
+        F.round(F.col("n") / total.cast("double"), 6).alias("observed"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("d")) / math.log(10), 6
+        ).alias("benford"),
+    )
