@@ -532,3 +532,77 @@ def test_dupspan_planted_duplicate_saturates(spark):
     for r in rows.values():
         assert 0.0 <= r.dup_frac <= 1.0
         assert r.dup_grams <= r.n_grams
+
+
+def test_event_transitions_rows_are_distributions(spark):
+    rows = queries()["q_ext_event_transitions"](spark, SF).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n > 0 and 0 < r.p <= 1
+        by_prev[r.prev] = by_prev.get(r.prev, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_winsorize_bounds_and_clip_rate(spark):
+    rows = queries()["q_ext_winsorize"](spark, SF).collect()
+    n_clip = sum(r.was_clipped for r in rows)
+    # 5th/95th band clips ~10% of each group
+    assert 0.02 < n_clip / len(rows) < 0.2
+    for r in rows:
+        if not r.was_clipped:
+            assert abs(r.clipped - round(r.value, 6)) < 1e-9
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = queries()["q_ext_benford"](spark, SF).collect()
+    assert {r.d for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford for r in rows) - 1.0) < 1e-4
+
+
+def test_corr_matrix_in_range(spark):
+    rows = queries()["q_ext_corr_matrix"](spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.corr is None or -1.0 <= r.corr <= 1.0
+
+
+def test_importance_sample_monotone_in_weight(spark):
+    """A document can only be MORE likely kept as its weight rises:
+    every kept doc shorter than an unkept doc must differ in hash
+    bucket, and keep_bp must be nondecreasing in n_chars."""
+    rows = queries()["q_ext_importance_sample"](spark, SF).collect()
+    assert rows
+    by_chars = sorted(rows, key=lambda r: r.n_chars)
+    for a, b in zip(by_chars, by_chars[1:]):
+        assert a.keep_bp <= b.keep_bp
+
+
+def test_cms_error_guarantee(spark):
+    r = queries()["q_ext_cms_error"](spark, SF).collect()[0]
+    assert r.min_over >= 0  # CMS never underestimates
+    assert r.n_exact <= r.n_terms
+
+
+def test_upsert_stream_and_batch_agree_on_semantics(spark):
+    """The batch upsert keeps exactly the corrected values for batch
+    keys (spot-check against the raw table)."""
+    from binancedatapipelineinaws_spark.operators.cdc import UPSERT_EVERY
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    out = {
+        r.o_orderkey: r
+        for r in queries()["q_ext_upsert_latest"](spark, SF).collect()
+    }
+    base = {
+        r.o_orderkey: r
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    assert set(out) == set(base)
+    for k, r in out.items():
+        if k % UPSERT_EVERY == 0:
+            assert r.o_orderstatus == "P"
+        else:
+            assert r.o_totalprice == base[k].o_totalprice
