@@ -401,3 +401,57 @@ def q_ext_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.agg(
         n.alias("n"), F.round(corr, 5).alias("autocorr_lag1")
     )
+
+
+@register(
+    "q_ext_seasonality",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, g AS (
+  SELECT CAST(extract(dow FROM "time") AS BIGINT) AS day_of_week,
+         CAST(extract(hour FROM "time") AS BIGINT) AS hour_of_day,
+         count(*) AS trades,
+         round(avg(price), 6) AS avg_price,
+         CAST(sum(CAST(quantity AS DECIMAL(18,5))) AS DOUBLE) AS volume
+  FROM btcusdt GROUP BY 1, 2
+)
+SELECT day_of_week, hour_of_day, trades, avg_price, volume,
+       round(trades / CAST(sum(trades) OVER () AS DOUBLE), 6)
+         AS trade_share
+FROM g
+""",
+)
+def q_ext_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: trade count, average price, and
+    exact-decimal volume per (day-of-week, hour-of-day) cell — the
+    7x24 activity heatmap behind capacity planning and anomalous-quiet
+    detection on the tick stream.
+
+    One map-side-combined aggregate to at most 168 cells; the share
+    normalizes via a window over those cells.  Spark's dayofweek() is
+    1=Sunday while DuckDB's extract(dow) is 0=Sunday, so the Spark
+    side subtracts 1 to align the encodings."""
+    prepare(spark)
+    df = btcusdt(spark, sf_dir)
+    g = df.groupBy(
+        (F.dayofweek("time") - 1).cast("long").alias("day_of_week"),
+        F.hour("time").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("trades"),
+        F.round(F.avg("price"), 6).alias("avg_price"),
+        F.sum(F.col("quantity").cast("decimal(18,5)"))
+        .cast("double")
+        .alias("volume"),
+    )
+    total = F.sum("trades").over(Window.partitionBy())
+    return g.select(
+        "day_of_week",
+        "hour_of_day",
+        "trades",
+        "avg_price",
+        "volume",
+        F.round(F.col("trades") / total.cast("double"), 6).alias(
+            "trade_share"
+        ),
+    )
