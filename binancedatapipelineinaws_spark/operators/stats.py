@@ -417,3 +417,107 @@ def q_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(1.0 + 1.0 / F.col("d")) / math.log(10), 6
         ).alias("benford"),
     )
+
+
+@register(
+    "q_ext_chi_square",
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT rf, ls, o,
+         sum(o) OVER (PARTITION BY rf) AS row_tot,
+         sum(o) OVER (PARTITION BY ls) AS col_tot,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT count(*) AS n_cells,
+       round(sum((o - row_tot * col_tot / CAST(n AS DOUBLE))
+                 * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+                 / (row_tot * col_tot / CAST(n AS DOUBLE))), 5) AS chi2
+FROM m
+""",
+)
+def q_ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic of independence for returnflag x linestatus
+    — the categorical-association test behind drift detection between
+    a column pair.  The corpus-sized work is ONE contingency aggregate
+    (map-side combined, categories^2-bounded); marginals and the
+    statistic come from windows over that tiny cells table, so no
+    totals join re-executes the scan."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    ).agg(F.count("*").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("rf"))
+    col_tot = F.sum("o").over(Window.partitionBy("ls"))
+    n = F.sum("o").over(Window.partitionBy())
+    expected = row_tot * col_tot / n.cast("double")
+    term = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    return cells.select(term.alias("t")).agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("t"), 5).alias("chi2"),
+    )
+
+
+@register(
+    "q_ext_spearman",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS g,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_quantity) AS rx,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice) AS ry
+  FROM lineitem
+)
+SELECT g, count(*) AS n,
+       round((count(*) * sum(CAST(rx AS DOUBLE) * ry)
+              - sum(CAST(rx AS DOUBLE)) * sum(CAST(ry AS DOUBLE)))
+             / nullif(
+                 sqrt(count(*) * sum(CAST(rx AS DOUBLE) * rx)
+                      - sum(CAST(rx AS DOUBLE)) * sum(CAST(rx AS DOUBLE)))
+                 * sqrt(count(*) * sum(CAST(ry AS DOUBLE) * ry)
+                        - sum(CAST(ry AS DOUBLE)) * sum(CAST(ry AS DOUBLE))),
+                 0), 5) AS spearman
+FROM r GROUP BY g
+""",
+)
+def q_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Spearman rank correlation between quantity and price
+    (min-rank tie handling — both engines' rank() agree, so the
+    statistic is deterministic).  Two rank windows over the same group
+    partitioning, then Pearson-on-ranks from component sums: the rank
+    products are integer-valued doubles, so every partial sum is EXACT
+    regardless of partition order — cross-engine equality at 5 dp
+    without ordering tricks.
+
+    Exact ranks need the group's rows sorted on one task — inherent to
+    rank statistics; at 100 TB bucket the group by value range first
+    or use the percentile-sketch approximation."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    gw_x = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    gw_y = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.rank().over(gw_x).cast("double").alias("rx"),
+        F.rank().over(gw_y).cast("double").alias("ry"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("rx"), F.sum("ry")
+    sxx = F.sum(F.col("rx") * F.col("rx"))
+    syy = F.sum(F.col("ry") * F.col("ry"))
+    sxy = F.sum(F.col("rx") * F.col("ry"))
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / F.when(denom != 0, denom)
+    return r.groupBy("g").agg(
+        n.alias("n"), F.round(corr, 5).alias("spearman")
+    )
