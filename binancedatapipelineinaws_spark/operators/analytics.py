@@ -419,3 +419,73 @@ def q_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("was_clipped"),
     )
+
+
+@register(
+    "q_ext_audience_overlap",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM du GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS ni
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.ni AS n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       round(i.ni / CAST(sa.n + sb.n - i.ni AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+)
+def q_ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair — the segment-overlap question every
+    analytics warehouse answers (and the exact-set ground truth for a
+    MinHash/HLL-sketch variant at extreme scale).
+
+    The corpus collapses to the DISTINCT (type, user) table first
+    (persisted — it feeds the self-join's both sides and the size
+    aggregate); the self-join is keyed on user_id (uniform) and each
+    user contributes at most types^2 pairs, so the join output is
+    users x types^2-bounded, never event-count-bounded."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct().persist()
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
