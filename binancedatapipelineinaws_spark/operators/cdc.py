@@ -93,3 +93,78 @@ def q_ext_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q_ext_table_diff",
+    oracle=f"""
+WITH curr AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % {UPSERT_EVERY} = 0 THEN 'P'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % {UPSERT_EVERY} = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST('1.1' AS DECIMAL(2,1)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 0
+), joined AS (
+  SELECT b.o_orderkey AS bk, c.o_orderkey AS ck,
+         CASE WHEN b.o_orderkey IS NULL THEN 'added'
+              WHEN c.o_orderkey IS NULL THEN 'removed'
+              WHEN b.o_orderstatus != c.o_orderstatus
+                OR b.o_totalprice != c.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM orders b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey
+)
+SELECT status, count(*) AS n FROM joined GROUP BY status
+""",
+)
+def q_ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    versions as added / removed / changed / unchanged — the audit
+    query run after any MERGE or backfill (here the 'current' version
+    is derived deterministically: every {UPSERT_EVERY}th order
+    repriced, every 7th order deleted).
+
+    One full-outer join on the primary key (uniform, single shuffle)
+    with the row comparison as scalar expressions; the rollup output
+    is 4 rows at any scale.  Versus content-hash approaches: comparing
+    named columns keeps the diff schema-evolution-safe."""
+    prepare(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    curr = base.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % UPSERT_EVERY == 0, "P")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % UPSERT_EVERY == 0,
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)")
+            ).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    b = base.alias("b")
+    c = curr.alias("c")
+    joined = b.join(
+        c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("c.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("b.o_orderstatus") != F.col("c.o_orderstatus"))
+            | (F.col("b.o_totalprice") != F.col("c.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )

@@ -455,3 +455,58 @@ def q_ext_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trade_share"
         ),
     )
+
+
+TREND_EPOCH0 = 1704067200  # 2024-01-01 UTC: centers x to avoid the
+# classic OLS cancellation (raw epoch^2 sums would exceed 2^53)
+
+
+@register(
+    "q_ext_trend",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) - {TREND_EPOCH0}) / 3600.0 AS h,
+         value AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n, sum(h) AS sx, sum(y) AS sy,
+         sum(h * h) AS sxx, sum(h * y) AS sxy
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+         AS slope_per_hour,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx)
+             / n, 6) AS intercept
+FROM s
+""",
+)
+def q_ext_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope and intercept of value over time
+    (hours since {TREND_EPOCH0}) for each event type — the drift /
+    trend-detection regression, computed from component sums in ONE
+    map-side-combined aggregate (no windows, no sorting; same
+    discipline as the correlation family).
+
+    The time axis is centered on a fixed epoch and scaled to hours
+    BEFORE squaring: raw epoch-seconds squared would put n*Sxx beyond
+    2^53 and the n*Sxx - Sx^2 cancellation would eat the slope.  Both
+    engines truncate the timestamp to whole seconds first
+    (unix_timestamp ≡ floor(epoch()))."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp("ts").cast("long") - TREND_EPOCH0) / 3600.0
+    x = ev.select("event_type", h.alias("h"), F.col("value").alias("y"))
+    n = F.count("*")
+    sx, sy = F.sum("h"), F.sum("y")
+    sxx = F.sum(F.col("h") * F.col("h"))
+    sxy = F.sum(F.col("h") * F.col("y"))
+    slope = (n * sxy - sx * sy) / F.when(
+        (n * sxx - sx * sx) != 0, n * sxx - sx * sx
+    )
+    return x.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
