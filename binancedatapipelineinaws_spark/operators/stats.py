@@ -521,3 +521,62 @@ def q_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("g").agg(
         n.alias("n"), F.round(corr, 5).alias("spearman")
     )
+
+
+@register(
+    "q_ext_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS mean,
+         var_samp(value) AS var
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.mean - b.mean, 6) AS mean_diff,
+       round((a.mean - b.mean)
+             / nullif(sqrt(a.var / a.n + b.var / b.n), 0), 5) AS t_stat
+FROM g a JOIN g b ON a.event_type < b.event_type
+""",
+)
+def q_ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic for every event-type pair — the
+    unequal-variance mean-comparison test behind A/B readouts and
+    distribution-drift alarms.
+
+    The corpus collapses to per-group (n, mean, var) in one map-side-
+    combined aggregate; the pair join runs on that groups-bounded
+    table, so the statistic costs one scan regardless of pair count.
+    var_samp is Spark's numerically-stable single-pass variance and
+    DuckDB's matches at the 5-dp round (means/diffs at 6 dp)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # persisted: the groups table feeds both self-join sides, and
+    # without it each side re-executes the corpus scan+aggregate
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+        .persist()
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.when(
+        F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n"))
+        != 0,
+        F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+            F.round(t, 5).alias("t_stat"),
+        )
+    )
