@@ -47,8 +47,11 @@ g AS (
   FROM pos
 ),
 d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
 SELECT g.doc_id, count(*) AS n_grams,
-       sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+       CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_grams,
        round(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS dup_frac
 FROM g JOIN d USING (gram)

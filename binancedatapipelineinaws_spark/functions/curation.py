@@ -349,7 +349,10 @@ WITH staged AS (
          n_words
   FROM deduped
 )
-SELECT lang, split, count(*) AS n_docs, sum(n_words) AS n_tokens
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens
 FROM assigned GROUP BY lang, split
 """,
 )

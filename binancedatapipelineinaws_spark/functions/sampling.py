@@ -79,7 +79,11 @@ WITH toks AS (
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM toks
 )
-SELECT doc_id, lang, shard, ws_tokens, round(ttr, 6) AS ttr, cum_tokens
+-- CASTs: DuckDB len() is BIGINT but sum() OVER is HUGEINT -> pandas
+-- float64; Spark's running sum is bigint -> int64.  The driver hashes
+-- pandas dtypes-sensitively, so both engines must land on int64.
+SELECT doc_id, lang, shard, ws_tokens, round(ttr, 6) AS ttr,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET // N_BUDGET_SHARDS}
 """,
 )
@@ -97,7 +101,8 @@ def q_ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "lang",
-        F.size("words").alias("ws_tokens"),
+        # long: match DuckDB len()'s BIGINT in the driver's pandas hash
+        F.size("words").cast("long").alias("ws_tokens"),
         (
             F.size(F.array_distinct("words")).cast("double") / F.size("words")
         ).alias("ttr"),
@@ -148,10 +153,12 @@ WITH toks AS (
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM toks
 )
+-- CASTs: sum() OVER is HUGEINT -> pandas float64; Spark emits bigint.
 SELECT doc_id, shard, ws_tokens,
-       (cum_tokens - ws_tokens) // {SEQ_LEN} AS start_seq,
-       (cum_tokens - ws_tokens) % {SEQ_LEN} AS start_offset,
-       (cum_tokens - 1) // {SEQ_LEN} - (cum_tokens - ws_tokens) // {SEQ_LEN} + 1
+       CAST((cum_tokens - ws_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((cum_tokens - ws_tokens) % {SEQ_LEN} AS BIGINT) AS start_offset,
+       CAST((cum_tokens - 1) // {SEQ_LEN}
+            - (cum_tokens - ws_tokens) // {SEQ_LEN} + 1 AS BIGINT)
          AS n_seqs_spanned
 FROM cum
 """,
@@ -166,7 +173,8 @@ def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        # long: match DuckDB len()'s BIGINT in the driver's pandas hash
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         (hex32(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias("shard"),
     )
     w = (

@@ -747,7 +747,9 @@ def quantized_codes(emb: DataFrame) -> DataFrame:
     + """
 SELECT vec_id,
        list_aggregate(q, 'string_agg', ',') AS qvec,
-       list_sum(q) AS checksum
+       -- BIGINT: DuckDB list_sum over ints is HUGEINT -> pandas
+       -- float64, which hash-mismatches Spark's bigint in the driver
+       CAST(list_sum(q) AS BIGINT) AS checksum
 FROM quant
 """,
 )

@@ -513,8 +513,10 @@ WITH words AS (
   JOIN cells c ON c.row_id = j.j AND c.col_id = {h_query} % {CMS_W}
   GROUP BY e.term
 )
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
 SELECT count(*) AS n_terms,
-       sum(CASE WHEN est = n THEN 1 ELSE 0 END) AS n_exact,
+       CAST(sum(CASE WHEN est = n THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        round(avg(est - n), 6) AS mean_over,
        max(est - n) AS max_over,
        min(est - n) AS min_over

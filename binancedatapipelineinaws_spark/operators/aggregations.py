@@ -139,7 +139,9 @@ SELECT (CAST(epoch(m) AS BIGINT) // 300) * 300 AS bucket_epoch_s,
        min(low) AS low,
        arg_max(close, m) AS close,
        CAST(sum(volume) AS DOUBLE) AS volume,
-       sum(trades) AS trades
+       -- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+       -- hash-mismatches Spark's bigint in the driver's canonicalizer
+       CAST(sum(trades) AS BIGINT) AS trades
 FROM one_min
 GROUP BY 1
 """,

@@ -214,7 +214,10 @@ _CLOSES_CTE = """
           - CAST(epoch("time") AS BIGINT)) AS dt
   FROM btcusdt
 )
-SELECT h AS hour_start, count(*) AS trades, sum(dt) AS total_dt,
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
+SELECT h AS hour_start, count(*) AS trades,
+       CAST(sum(dt) AS BIGINT) AS total_dt,
        round(sum(price * dt) / sum(dt), 6) AS twap
 FROM t GROUP BY h
 """,

@@ -73,83 +73,53 @@ def _load_all() -> None:
 # caps a round at ~50 queries (CORRECTNESS_r01.json stopped exactly at the
 # 50th registration).  Ordering is therefore coverage policy:
 # `_verified_names()` reads the driver's own CORRECTNESS_r*.json records
-# and `all_specs` front-loads queries that have never produced a clean
-# driver row (never checked, or checked and errored), so every round the
-# ~50-query window lands on the least-verified part of the surface and
-# coverage rotates to completion by itself.  `_PRIORITY` fixes the order
-# WITHIN that policy for this round (round-1-unverified families first,
-# then the three fixed canonicalizer ERRs, then two oracle-text re-checks).
+# (latest record per name wins) and `all_specs` front-loads queries whose
+# latest driver row is not clean, so every round the ~50-query window
+# lands on the least-verified part of the surface and coverage rotates to
+# completion by itself.  `_PRIORITY` fixes the order WITHIN that policy
+# for this round: first the 9 queries that ERR'd in r03/r04 on the
+# testdata TIMESTAMP_NTZ switch (fixed in tables._load_events), then the
+# 8 hash-mismatch rows fixed by the dtype-parity sweep
+# (tools/check_dtypes.py — DuckDB sum(int) is HUGEINT -> pandas float64
+# vs Spark bigint -> int64).
 _PRIORITY: tuple[str, ...] = (
-    # §2.6 sort/set-op tail (q_sort_limit already green)
-    "q_sort_multi_nulls",
-    "q_distinct",
-    "q_drop_duplicates",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_except_all",
-    # subqueries / pivot / grouping-sets / vwap
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_correlated_scalar",
-    "q_pivot",
-    "q_agg_grouping_sets",
-    "q_agg_vwap",
-    # §2.5 window functions
-    "q_win_row_number",
-    "q_win_rank_dense",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    "q_win_moving_avg",
-    "q_win_range_frame",
-    "q_win_ntile_first_last",
-    "q_win_percent_cume",
-    # §2.1 sources / sinks
-    "q_scan_parquet",
+    # r03/r04 ERR: unix_millis(TIMESTAMP_NTZ) — loader now normalizes
     "q_scan_tsv",
     "q_sink_tsv",
     "q_sink_table_append",
-    # §2.9 / LLM-pipeline operators
-    "q_ext_dedup_exact",
-    "q_ext_dedup_minhash",
-    "q_ext_dedup_near",
-    "q_ext_dedup_survivors",
-    "q_ext_dedup_simhash",
-    "q_ext_dedup_ngram",
-    "q_ext_multimodal_meta",
-    "q_ext_multimodal_frames",
-    "q_ext_cosine_knn",
-    "q_ext_ann_lsh",
-    "q_ext_embed_neardup",
-    "q_ext_ann_ivf",
-    "q_ext_text_stats",
-    "q_ext_lang_id",
-    "q_ext_token_count",
-    "q_ext_fingerprint",
-    "q_ext_pandas_scalar",
-    "q_ext_grouped_zscore",
-    "q_ext_udtf_explode_keys",
-    # round-1 ERRs, fixed to emit scalar (JSON-text) columns
-    "q_fn_array_map",
-    "q_fn_map",
-    "q_agg_approx_percentiles",
-    # oracle text amended this round -> re-verify under the driver
-    "q_agg_session_window",
-    "q_canonicalize_btcusdt",
+    "q_scan_tsv_quarantine",
+    "q_ext_twap",
+    "q_ext_realized_vol",
+    "q_ext_drawdown",
+    "q_ext_return_autocorr",
+    "q_ext_seasonality",
+    # r02/r03/r04 hash mismatch: pandas dtype parity fixed
+    "q_agg_ohlcv_rollup_5min",
+    "q_scan_merge_schema",
+    "q_ext_quantize",
+    "q_ext_dupspan",
+    "q_ext_curation_pipeline",
+    "q_ext_token_budget",
+    "q_ext_pack_sequences",
+    "q_ext_cms_error",
 )
 
 
-def _verified_names() -> set[str]:
+def _verified_names(repo_root: Optional[str] = None) -> set[str]:
     """Query names with a clean row in any driver CORRECTNESS record: a
-    value-verified pass, or a rows-only run that completed (no_oracle).
-    Rows that errored don't count — those need the window again."""
+    value-verified pass (hash included), or a rows-only run that
+    completed (no_oracle).  Rows that errored OR hash-mismatched don't
+    count — those need the window again.  A later failure un-verifies an
+    earlier pass: the newest driver record for a name wins, so a query
+    that regresses (e.g. after a testdata format change) re-enters the
+    window even if it was green in a previous round."""
     import glob
     import json
     import os
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -159,9 +129,21 @@ def _verified_names() -> set[str]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("rows_match") is True or rec.get("err") == "no_oracle":
-                verified.add(name)
-    return verified
+            latest[name] = _is_clean_record(rec)
+    return {name for name, ok in latest.items() if ok}
+
+
+def _is_clean_record(rec: dict) -> bool:
+    """True only for a fully-clean driver row: value-verified with the
+    hash matching, or a completed rows-only run (no oracle by design)."""
+    if rec.get("err") == "no_oracle":
+        return True
+    return (
+        rec.get("err") is None
+        and rec.get("rows_match") is True
+        and rec.get("schema_match") is True
+        and rec.get("hash_match") is True
+    )
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -130,8 +130,12 @@ def q_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_merge_schema",
     oracle="""
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_type,
-       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_without_type
+       -- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+       -- hash-mismatches Spark's bigint in the driver's canonicalizer
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_type,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_without_type
 FROM events
 """,
 )

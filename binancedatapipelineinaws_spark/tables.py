@@ -34,14 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects.  Read it as a long (legacy conf) and truncate
-    nanos -> micros, matching DuckDB's ns->us truncation."""
+    """Normalize `events.ts` to TIMESTAMP (LTZ, UTC session) across the
+    parquet encodings the driver has shipped:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as a
+      long (legacy conf) and truncate nanos -> micros, matching DuckDB's
+      ns->us truncation.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which `unix_millis`/`window` reject.  The session
+      timezone is pinned to UTC engine-wide, so casting NTZ -> TIMESTAMP
+      reinterprets the wall-clock micros as epoch micros — exactly what
+      DuckDB's `epoch_ms(ts)` does with its naive timestamps.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         # integer DIV: float division would lose precision at int64 scale
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

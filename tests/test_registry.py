@@ -1,0 +1,82 @@
+"""Registry coverage-rotation policy tests (no SparkSession needed).
+
+The driver's correctness window caps at ~50 queries/round; `all_specs`
+front-loads queries whose LATEST driver record is not clean.  Round 2's
+verdict found the original `_verified_names` counted a rows_match-true /
+hash_match-false record as verified, which would have rotated the one
+failing query out of the window forever — these tests pin the fixed
+semantics.
+"""
+
+from __future__ import annotations
+
+from binancedatapipelineinaws_spark.registry import _is_clean_record
+
+
+def _rec(rows=True, schema=True, hash_=True, err=None):
+    return {
+        "rows_match": rows,
+        "schema_match": schema,
+        "hash_match": hash_,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": err,
+    }
+
+
+def test_clean_pass_is_verified():
+    assert _is_clean_record(_rec())
+
+
+def test_hash_fail_is_not_verified():
+    # the round-2 bug: rows matched, hash didn't -> must re-enter window
+    assert not _is_clean_record(_rec(hash_=False))
+
+
+def test_rows_fail_is_not_verified():
+    assert not _is_clean_record(_rec(rows=False))
+
+
+def test_schema_fail_is_not_verified():
+    assert not _is_clean_record(_rec(schema=False))
+
+
+def test_error_is_not_verified():
+    assert not _is_clean_record(
+        _rec(rows=None, schema=None, hash_=None, err="AnalysisException: ...")
+    )
+
+
+def test_rows_only_no_oracle_is_verified():
+    assert _is_clean_record(
+        _rec(rows=None, schema=None, hash_=None, err="no_oracle")
+    )
+
+
+def test_latest_record_wins(tmp_path):
+    """A query green in round N but red in round N+1 must be unverified."""
+    import json
+
+    from binancedatapipelineinaws_spark.registry import _verified_names
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_a": _rec(), "q_b": _rec()})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_a": _rec(hash_=False)})
+    )
+    verified = _verified_names(repo_root=str(tmp_path))
+    assert "q_b" in verified
+    assert "q_a" not in verified  # r02 hash-fail overrides r01 pass
+
+
+def test_err_then_fixed_pass_is_verified(tmp_path):
+    import json
+
+    from binancedatapipelineinaws_spark.registry import _verified_names
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_a": _rec(rows=None, schema=None, hash_=None, err="boom")})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"q_a": _rec()}))
+    assert "q_a" in _verified_names(repo_root=str(tmp_path))
