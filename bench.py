@@ -48,6 +48,9 @@ HEADLINE = [
     "q_win_rolling_corr",
     "q_ext_source_cosine",
     "q_ext_curation_pipeline",
+    "q_ext_semdedup",
+    "q_ext_sessionize",
+    "q_ext_ngram_novelty",
 ]
 
 

@@ -253,3 +253,94 @@ def q_ext_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- n-gram novelty ----------------------------------------------------------
+# The complement of q_ext_dupspan: instead of asking "how much of this
+# doc appears elsewhere", ask "how much of this doc is the corpus's
+# FIRST sighting".  In doc_id (ingestion) order, a positional n-gram is
+# novel iff this doc is the minimum doc_id that contains it — the
+# novelty curve of an append-only corpus is what contamination /
+# memorization audits track across crawls (Lee et al. 2022 dedup
+# framing, applied longitudinally).
+
+
+@register(
+    "q_ext_ngram_novelty",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
+  FROM w
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
+           AS gram
+  FROM pos
+),
+first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+FROM g JOIN first_seen f USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def q_ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's positional
+    {DUPSPAN_N}-grams whose corpus-wide first occurrence (minimum
+    doc_id) is this document.
+
+    Plan mirrors q_ext_dupspan's single-pass shape: positional gram
+    explode -> gram-partitioned window min(doc_id) -> per-doc rollup.
+    No pair join — a gram shared by k docs costs k rows, never k^2, and
+    the gram shuffle is the only exchange.  At 100 TB the same plan
+    runs incrementally: new-crawl grams join against the first_seen
+    table instead of recomputing it."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    pos = docs.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.size("words") - F.lit(DUPSPAN_N), F.lit(-1)
+                ),
+            )
+        ).alias("j"),
+    )
+    grams = pos.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("words"), F.col("j") + 1, DUPSPAN_N), "_"
+        ).alias("gram"),
+    )
+    w = Window.partitionBy("gram")
+    flagged = grams.withColumn("first_doc", F.min("doc_id").over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("novel_grams"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            / F.count("*").cast("double"),
+            6,
+        ).alias("novelty_frac"),
+    )

@@ -252,3 +252,70 @@ def q_ext_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__b") < F.col("keep_bp"))
         .drop("__b")
     )
+
+
+# --- temperature resampling --------------------------------------------------
+# Multilingual mixing a la XLM-R / mC4: sampling probability q_l is
+# proportional to p_l^ALPHA (ALPHA < 1 flattens the language
+# distribution), realized as a per-language keep rate r_l proportional
+# to p_l^(ALPHA-1) and normalized so the rarest language keeps
+# everything.  The rate table is languages-sized; the corpus pass is a
+# map-only deterministic md5-threshold filter (same machinery as
+# q_ext_stratified_sample, but the rates come from the data instead of
+# a config).
+
+TEMP_ALPHA = 0.3  # sampling exponent (XLM-R's multilingual setting)
+
+
+@register(
+    "q_ext_temperature_resample",
+    oracle=f"""
+WITH lang_stats AS (
+  SELECT lang, count(*) AS n_docs,
+         count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+  FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(floor(10000 * pow(p, {TEMP_ALPHA} - 1.0)
+                    / max(pow(p, {TEMP_ALPHA} - 1.0)) OVER ()) AS BIGINT)
+           AS keep_bp
+  FROM lang_stats
+)
+SELECT d.doc_id, d.lang, r.keep_bp
+FROM documents d JOIN rates r USING (lang)
+WHERE {duck_hex32("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.keep_bp
+""",
+)
+def q_ext_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing: each language's keep
+    rate scales with p_lang^(ALPHA-1), normalized so the rarest
+    language is kept whole — rare languages survive, dominant ones
+    thin out (ALPHA={TEMP_ALPHA}, the XLM-R exponent).
+
+    Plan: one languages-sized aggregate (map-side combined) -> window
+    over that tiny table for the normalizer -> broadcast join back ->
+    map-only md5-threshold filter.  The corpus-sized stage has no
+    shuffle and the accept test is reproducible across engines,
+    partitionings, and reruns."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lang_stats = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double")
+    weight = F.pow(p, F.lit(TEMP_ALPHA - 1.0))
+    rates = lang_stats.select(
+        "lang",
+        F.floor(10000 * weight / F.max(weight).over(w_all))
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    bucket = (
+        hex32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_bp"))
+        .select("doc_id", "lang", "keep_bp")
+    )

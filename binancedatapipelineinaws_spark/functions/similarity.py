@@ -769,3 +769,133 @@ def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("checksum"),
     )
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------
+# Cluster-then-compare semantic deduplication (Abbas et al. 2023,
+# "SemDeDup"): k-means-style cells bound the pair search, then exact
+# cosine inside each cell marks semantic duplicates; the keeper is the
+# lowest vec_id of each pair (the same survivor rule as the text tiers,
+# functions/dedup.py).  At 100 TB the pair join is an equi-join on the
+# cell id — sum over cells of n_c^2 comparisons instead of n^2, and the
+# centroid table stays a broadcast no matter the corpus size.
+
+SEMDEDUP_COS = 0.9  # duplicate threshold (matches NEARDUP_COS)
+
+_DUCK_COS_AB = (
+    f"({duck_dot('a.embedding', 'b.embedding')} / "
+    f"(sqrt({duck_dot('a.embedding', 'a.embedding')}) * "
+    f"sqrt({duck_dot('b.embedding', 'b.embedding')})))"
+)
+
+
+@register(
+    "q_ext_semdedup",
+    oracle="WITH "
+    + _DUCK_CENTROIDS
+    + f""",
+assigned AS (
+  SELECT e.vec_id, e.embedding, cv.label AS cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DUCK_DOT_VC} / ({_DUCK_NORM_V} * {_DUCK_NORM_C}) DESC,
+                    cv.label) AS rn
+  FROM embeddings e CROSS JOIN centroid_vecs cv
+),
+cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+pairs AS (
+  SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DUCK_COS_AB} >= {SEMDEDUP_COS}
+),
+cell_stats AS (SELECT cell, count(*) AS n_vectors FROM cells GROUP BY cell),
+pair_stats AS (
+  SELECT cell, count(*) AS n_pairs, count(DISTINCT dup_id) AS n_removed
+  FROM pairs GROUP BY cell
+)
+SELECT cs.cell,
+       cs.n_vectors,
+       CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(ps.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(cs.n_vectors - coalesce(ps.n_removed, 0) AS BIGINT) AS n_survivors
+FROM cell_stats cs LEFT JOIN pair_stats ps USING (cell)
+""",
+)
+def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup accounting per cluster cell: vectors, duplicate
+    pairs (cosine >= {SEMDEDUP_COS} within the cell), vectors removed
+    (higher vec_id of any pair), and survivors.
+
+    Plan: broadcast K-row centroids -> map-only nearest-cell argmin
+    (reusing q_ext_ann_ivf's assignment) -> PERSISTED cell table ->
+    cell-keyed self-join (never all-pairs) -> two tiny aggregates.
+    The oracle replays the identical fold-ordered float math in DuckDB."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        centroids(spark, sf_dir).select(
+            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+        )
+    )
+    e = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.col("label")
+    )
+    # persisted: the self-join below would otherwise re-run the
+    # assignment lineage twice (same guard as simhash/near-dup)
+    cells = (
+        e.crossJoin(cents)
+        .select("vec_id", "embedding", "nrm", "label", cos_vc.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = cells.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos_ab = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("keep_id") < F.col("dup_id")),
+        )
+        .select("cell", "keep_id", "dup_id", cos_ab.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_COS)
+    )
+    cell_stats = cells.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    pair_stats = pairs.groupBy("cell").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("dup_id").alias("n_removed"),
+    )
+    return (
+        cell_stats.join(pair_stats, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            (
+                F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_survivors"),
+        )
+    )

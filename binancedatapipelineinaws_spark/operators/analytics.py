@@ -489,3 +489,60 @@ def q_ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- sessionization ----------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap, the industry default
+
+
+@register(
+    "q_ext_sessionize",
+    oracle=f"""
+WITH gapped AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - CAST(epoch(lag(ts) OVER w) AS BIGINT) > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_idx,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS user_event_seq
+FROM gapped
+""",
+)
+def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level session assignment: a new session starts after
+    {SESSION_GAP_S} s of inactivity; every event gets its user-scoped
+    session index and sequence number.  The row-level complement of
+    q_agg_session_window (which emits per-session aggregates via
+    `session_window` — this keeps the events and labels them).
+
+    Plan: the classic gaps-and-islands pair — lag + running sum over
+    the SAME (user_id; ts, event_id) window spec, so Catalyst plans ONE
+    Window node and one exchange.  Total order within user is
+    (ts, event_id); tied timestamps cannot flip sessions between
+    engines.  At 100 TB users hash uniformly across tasks and no
+    global sort exists."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(wsum).alias("session_idx"),
+        F.row_number().over(w).cast("long").alias("user_event_seq"),
+    )

@@ -135,3 +135,49 @@ def write_bucketed_tables(
             .saveAsTable(name)
         )
     return li_name, o_name
+
+
+# --- partition-skew audit ----------------------------------------------------
+
+SKEW_BUCKETS = 32  # candidate partition count to audit
+
+
+@register(
+    "q_ext_skew_profile",
+    oracle=f"""
+WITH buckets AS (
+  SELECT CAST(user_id % {SKEW_BUCKETS} AS BIGINT) AS bucket, count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       min(cnt) AS min_cnt,
+       max(cnt) AS max_cnt,
+       round(avg(cnt), 6) AS avg_cnt,
+       round(max(cnt) / avg(cnt), 6) AS skew_factor
+FROM buckets
+""",
+)
+def q_ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a candidate partitioning key: bucket
+    `events` by user_id into {SKEW_BUCKETS} hash buckets and report the
+    max/avg imbalance — the number that predicts whether a groupBy or
+    join on this key straggles.  skew_factor ~1 means AQE can leave the
+    plan alone; >>1 means salt the key (q_skew_salted_agg is the
+    companion fix).
+
+    Plan: one map-side-combined aggregate to {SKEW_BUCKETS} cells, then
+    a 1-row rollup — the audit costs one scan regardless of data size,
+    which is why it's worth running BEFORE a 100 TB shuffle rather than
+    discovering the straggler after."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        (F.col("user_id") % SKEW_BUCKETS).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
+    )

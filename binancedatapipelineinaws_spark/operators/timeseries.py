@@ -513,3 +513,47 @@ def q_ext_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_hour"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# --- rolling median ----------------------------------------------------------
+
+ROLL_MED_ROWS = 20  # frame: current row + 20 preceding
+
+
+@register(
+    "q_ext_rolling_median",
+    oracle=f"""
+SELECT event_id, event_type,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN {ROLL_MED_ROWS} PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median
+FROM events
+""",
+)
+def q_ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of `value` over the last {ROLL_MED_ROWS + 1}
+    events per event type — the robust companion to q_win_moving_avg
+    (a mean window an outlier can drag, a median it cannot).
+
+    Plan: ONE Window node over (event_type; ts, event_id) with a
+    bounded ROWS frame — `percentile(0.5)` re-sorts only the 21-row
+    frame per step, so the cost is rows x frame, not rows x partition.
+    Both engines define the median as the linear interpolation of the
+    two middle values (Spark `percentile` == DuckDB `quantile_cont`),
+    and the frame's total order (ts, event_id) leaves no tie ambiguity
+    at any scale."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLL_MED_ROWS, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(w), 6
+        ).alias("rolling_median"),
+    )

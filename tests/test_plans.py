@@ -249,3 +249,46 @@ def test_gapfill_persists_aggregated_series(spark):
     # appears inside each InMemoryRelation definition but executes once)
     plan = _plan(queries()["q_ext_gapfill"](spark, SF))
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_sessionize_one_window_exchange(spark):
+    # lag + running sum + row_number share ONE (user_id; ts, event_id)
+    # window spec -> a single exchange on user_id, no global sort
+    df = queries()["q_ext_sessionize"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rolling_median_single_window_pass(spark):
+    df = queries()["q_ext_rolling_median"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Window") <= 2  # one Window node (+AQE wrapper noise)
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semdedup_no_cartesian(spark):
+    # the pair search must ride the cell equi-join, never all-pairs
+    df = queries()["q_ext_semdedup"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the tiny broadcast centroid
+    # cross join (K rows); the vector-vector pair join must hash on cell
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_skew_profile_map_side_combine(spark):
+    # bucket aggregate must partial-aggregate before its exchange
+    df = queries()["q_ext_skew_profile"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    # the languages-sized rate table must broadcast; the corpus side
+    # must not shuffle for the join
+    df = queries()["q_ext_temperature_resample"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan

@@ -606,3 +606,76 @@ def test_upsert_stream_and_batch_agree_on_semantics(spark):
             assert r.o_orderstatus == "P"
         else:
             assert r.o_totalprice == base[k].o_totalprice
+
+
+def test_sessionize_invariants(spark):
+    df = queries()["q_ext_sessionize"](spark, SF).cache()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # every event labeled exactly once
+    assert df.count() == ev.count()
+    # session_idx starts at 1 and never exceeds the user's event count
+    bad = df.filter(
+        (F.col("session_idx") < 1)
+        | (F.col("session_idx") > F.col("user_event_seq"))
+    )
+    assert bad.count() == 0
+    # per-user: seq is dense 1..n (max == count) and sessions are
+    # monotone in seq (checked via max(session_idx) == last session)
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.max("user_event_seq").alias("max_seq"),
+    )
+    assert per_user.filter(F.col("n") != F.col("max_seq")).count() == 0
+
+
+def test_semdedup_counts_partition(spark):
+    df = queries()["q_ext_semdedup"](spark, SF).cache()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    agg = df.agg(F.sum("n_vectors"), F.sum("n_removed"), F.sum("n_survivors")).first()
+    assert agg[0] == n_vecs  # cells partition the corpus
+    assert agg[1] + agg[2] == n_vecs  # removed + survivors == all
+    assert df.filter(F.col("n_removed") > F.col("n_pairs")).count() == 0
+
+
+def test_ngram_novelty_invariants(spark):
+    df = queries()["q_ext_ngram_novelty"](spark, SF).cache()
+    assert df.filter(F.col("novel_grams") > F.col("n_grams")).count() == 0
+    # the earliest document is by definition all-novel
+    first = df.orderBy("doc_id").first()
+    assert first["novel_grams"] == first["n_grams"]
+
+
+def test_temperature_resample_keeps_rarest_whole(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rarest, n_rarest = (
+        docs.groupBy("lang").count().orderBy("count", "lang").first()
+    )
+    kept = queries()["q_ext_temperature_resample"](spark, SF)
+    # the rarest language's keep rate normalizes to 10000 bp == keep all
+    assert kept.filter(F.col("lang") == rarest).count() == n_rarest
+    # dominant languages are thinned, never inflated
+    per_lang = kept.groupBy("lang").count()
+    joined = per_lang.join(
+        docs.groupBy("lang").agg(F.count("*").alias("total")), "lang"
+    )
+    assert joined.filter(F.col("count") > F.col("total")).count() == 0
+
+
+def test_skew_profile_consistency(spark):
+    row = queries()["q_ext_skew_profile"](spark, SF).first()
+    ev_count = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert row["n_buckets"] >= 1
+    assert row["min_cnt"] <= row["avg_cnt"] <= row["max_cnt"]
+    assert row["skew_factor"] >= 1.0
+    assert abs(row["avg_cnt"] * row["n_buckets"] - ev_count) < 1
+
+
+def test_rolling_median_bounded_by_frame(spark):
+    df = queries()["q_ext_rolling_median"](spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    bad = df.filter(
+        (F.col("rolling_median") < lo - 1e-9)
+        | (F.col("rolling_median") > hi + 1e-9)
+    )
+    assert bad.count() == 0
