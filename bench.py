@@ -54,6 +54,21 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed-work single-core microbenchmark (pure numpy mat-mul), so
+    per-round totals can be normalized for host speed: the same query
+    set measured 17.6 s and 28.5 s across rounds on identical code and
+    data purely from machine variance.  Report, don't guess."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ a / np.abs(a).max()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from binancedatapipelineinaws_spark.registry import queries
@@ -90,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_calib_sec": _calibrate(),
             }
         )
     )

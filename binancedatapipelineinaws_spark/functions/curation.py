@@ -404,3 +404,80 @@ def q_ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"), F.sum("n_words").alias("n_tokens")
     )
+
+
+# --- filter-funnel accounting ------------------------------------------------
+# Every curation run needs the per-rule kill report: how many documents
+# each quality rule removes, applied in pipeline order (a doc counts
+# against the FIRST rule that rejects it).  Rules mirror the
+# q_ext_curation_pipeline gate plus the repetition screen.
+
+FUNNEL_MAX_DUP_BIGRAM = 0.2  # repetition ceiling (Gopher-style)
+
+
+@register(
+    "q_ext_quality_funnel",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+         CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE
+           1.0 - (len(list_distinct(list_transform(
+                    range(len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i + 1] || '_' ||
+                         string_split(text, ' ')[i + 2])))
+                  / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+         END AS dup_bigram_frac
+  FROM documents
+),
+ruled AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_words < {PIPE_MIN_WORDS} THEN 'min_words'
+           WHEN ttr < {PIPE_MIN_TTR} THEN 'min_ttr'
+           WHEN dup_bigram_frac > {FUNNEL_MAX_DUP_BIGRAM} THEN 'repetition'
+           ELSE 'pass'
+         END AS rule
+  FROM staged
+)
+SELECT rule, count(*) AS n_docs
+FROM ruled GROUP BY rule
+""",
+)
+def q_ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule kill accounting for the quality gate: each document is
+    charged to the FIRST rule that rejects it (min-words -> TTR floor ->
+    repetition ceiling), survivors land in 'pass'.  The report every
+    curation run publishes before anyone trusts the survivor corpus.
+
+    Plan: all rule features are map-only list ops in ONE projection (no
+    joins, no windows), then a rules-bounded aggregate — a single scan
+    at any corpus size, and the funnel order is explicit in the CASE
+    chain so rule-attribution is deterministic."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    n_words = F.size("words")
+    ttr = F.size(F.array_distinct("words")).cast("double") / n_words
+    bigrams = F.expr(
+        "transform(sequence(0, size(words) - 2), "
+        "i -> concat(words[i], '_', words[i + 1]))"
+    )
+    dup_bigram = F.when(n_words < 2, F.lit(0.0)).otherwise(
+        1.0
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n_words - 1)
+    )
+    rule = (
+        F.when(n_words < PIPE_MIN_WORDS, F.lit("min_words"))
+        .when(ttr < PIPE_MIN_TTR, F.lit("min_ttr"))
+        .when(dup_bigram > FUNNEL_MAX_DUP_BIGRAM, F.lit("repetition"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        docs.select(rule.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_docs"))
+    )

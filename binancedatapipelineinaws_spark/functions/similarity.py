@@ -899,3 +899,64 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_survivors"),
         )
     )
+
+
+# --- per-dimension embedding profile ----------------------------------------
+# The QA step before whitening / quantization / ANN indexing: per-dim
+# mean, population std, and range over the whole corpus.  A dead
+# dimension (std ~ 0) or a runaway one (range >> others) breaks
+# distance metrics silently; this is the 64-row report that catches it.
+# Sums run in exact decimal (order-independent, bit-identical across
+# partial-agg schedules and engines), like `centroids()`.
+
+
+@register(
+    "q_ext_embed_dim_profile",
+    oracle=f"""
+WITH exploded AS (
+  SELECT d, CAST(embedding[d + 1] AS DOUBLE) AS v,
+         CAST(embedding[d + 1] AS DECIMAL(18,9)) AS vd
+  FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS d) t
+)
+SELECT CAST(d AS BIGINT) AS dim,
+       count(*) AS n,
+       round(CAST(sum(vd) AS DOUBLE) / count(*), 6) AS mean,
+       round(sqrt(greatest(
+         CAST(sum(vd * vd) AS DOUBLE) / count(*)
+         - (CAST(sum(vd) AS DOUBLE) / count(*))
+           * (CAST(sum(vd) AS DOUBLE) / count(*)), 0)), 6) AS std,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM exploded GROUP BY d
+""",
+)
+def q_ext_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus profile of the embedding column: mean,
+    population std (from exact-decimal component sums), min, max — the
+    {DIM}-row diagnostic run before any whitening, quantization
+    (q_ext_quantize uses the same ranges), or index build.
+
+    Plan: posexplode -> ONE {DIM}-group partial-aggregated pass; output
+    is dimension-bounded regardless of corpus size.  The decimal sums
+    make mean/std bit-identical across engines and partial-agg
+    schedules; the E[x^2]-E[x]^2 cancellation is guarded by greatest(0)
+    in both engines."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("d", "v_raw")).select(
+        "d",
+        F.col("v_raw").cast("double").alias("v"),
+        F.col("v_raw").cast("decimal(18,9)").alias("vd"),
+    )
+    n = F.count("*")
+    sx = F.sum("vd").cast("double")
+    sxx = F.sum(F.col("vd") * F.col("vd")).cast("double")
+    mean = sx / n
+    var = F.greatest(sxx / n - mean * mean, F.lit(0.0))
+    return ex.groupBy(F.col("d").cast("long").alias("dim")).agg(
+        n.alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

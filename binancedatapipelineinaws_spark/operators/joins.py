@@ -301,3 +301,63 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship 6-table chain (plans/flagship.py)."""
     prepare(spark)
     return local_supplier_revenue(spark, sf_dir)
+
+
+# --- TPC-H Q3 shape: top-k pending revenue ----------------------------------
+
+
+@register(
+    "q_join_topk_revenue",
+    oracle="""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (public spec): the 10 highest-revenue orders not
+    yet shipped by a cutoff date, for one market segment — the classic
+    filter-join-aggregate-topk pipeline a relational consumer of the
+    reference's Aurora surface runs daily
+    (start_all_pipeline.py:504-520's delegated SELECT family).
+
+    Plan: both date filters push to the parquet scans, the filtered
+    customer dim broadcasts, the orders-lineitem join shuffles on the
+    shared key, the aggregate is partial+final, and the top-10 is
+    TakeOrderedAndProject — no global sort.  Exact-decimal revenue
+    (order-independent sums) cast to double at the boundary."""
+    prepare(spark)
+    cutoff = "1995-03-15"
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    dec = "decimal(18,2)"
+    revenue = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -292,3 +292,29 @@ def test_temperature_resample_broadcasts_rates(spark):
     df = queries()["q_ext_temperature_resample"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_revenue_broadcast_and_topk(spark):
+    # customer dim broadcasts; the top-10 is TakeOrderedAndProject
+    # (no global sort); date filters reach the scans
+    df = queries()["q_join_topk_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "1995-03-15" in plan
+
+
+def test_quality_funnel_single_scan_no_shuffle_before_agg(spark):
+    # all rule features are map-only; the only exchange is the
+    # rules-bounded aggregate
+    df = queries()["q_ext_quality_funnel"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+    assert "Join" not in plan
+
+
+def test_embed_dim_profile_dimension_bounded(spark):
+    df = queries()["q_ext_embed_dim_profile"](spark, SF)
+    plan = _plan(df)
+    assert "Generate" in plan  # posexplode off the scan
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -679,3 +679,28 @@ def test_rolling_median_bounded_by_frame(spark):
         | (F.col("rolling_median") > hi + 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_quality_funnel_partitions_corpus(spark):
+    df = queries()["q_ext_quality_funnel"](spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.agg(F.sum("n_docs")).first()[0] == n_docs
+
+
+def test_topk_revenue_ordered_and_bounded(spark):
+    rows = queries()["q_join_topk_revenue"](spark, SF).collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_embed_dim_profile_invariants(spark):
+    df = queries()["q_ext_embed_dim_profile"](spark, SF).cache()
+    assert df.count() == 64
+    bad = df.filter(
+        (F.col("std") < 0)
+        | (F.col("min_v") > F.col("max_v"))
+        | (F.col("mean") < F.col("min_v") - 1e-6)
+        | (F.col("mean") > F.col("max_v") + 1e-6)
+    )
+    assert bad.count() == 0
