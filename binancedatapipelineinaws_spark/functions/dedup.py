@@ -902,3 +902,127 @@ def q_ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_raw") >= EDITDIST_SIM)
         .select("doc_a", "doc_b", "dist", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- LSH banding-parameter sweep ---------------------------------------------
+# Tuning eval for the (bands x rows) choice: each factorization of the
+# 16-component signature trades candidate volume (cost) against the
+# S-curve threshold (recall).  Running the sweep as a query prices that
+# trade-off inside the oracle gate, like q_ext_ann_recall does for ANN.
+# Everything runs on the SIGNATURE table (16 ints per doc), never the
+# corpus: at 100 TB the sweep costs the same as one extra LSH pass.
+
+BAND_SWEEP = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with bands*rows = 16
+
+
+def _duck_band_sweep_oracle() -> str:
+    per_config = []
+    for bands, rows in BAND_SWEEP:
+        keys = []
+        for b in range(bands):
+            comps = " || ':' || ".join(
+                f"CAST(a.h{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows)
+            )
+            bcomps = " || ':' || ".join(
+                f"CAST(b.h{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows)
+            )
+            keys.append(f"({comps}) = ({bcomps})")
+        agree = " + ".join(
+            f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+            for j in range(N_HASHES)
+        )
+        per_config.append(
+            f"""
+SELECT {bands} AS bands, {rows} AS "rows",
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN ({agree}) >= {N_HASHES // 2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_est_ge_half,
+       round(avg(({agree}) / {float(N_HASHES)}), 6) AS mean_est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {" OR ".join(keys)}
+"""
+        )
+    return (
+        "WITH "
+        + DUCK_SHINGLES_CTE
+        + ","
+        + _duck_sig_cte()
+        + " UNION ALL ".join(per_config)
+    )
+
+
+@register("q_ext_lsh_band_sweep", oracle=_duck_band_sweep_oracle())
+def q_ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter sweep over the MinHash signature table: for
+    each (bands x rows) factorization, the candidate-pair volume, the
+    candidates whose sketch-estimated Jaccard clears 1/2, and the mean
+    estimate — the numbers that pick LSH parameters BEFORE a corpus-
+    scale dedup run commits to them.
+
+    Plan: signatures computed once and persisted; per config the band
+    keys explode doc-wise (bands rows per doc) into an equi-join on the
+    band key, pair-distinct, then the pair set joins the two signature
+    rows back for the component-agreement estimate.  All joins are
+    hash joins on high-entropy keys; nothing touches text again."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir).persist()
+    results = None
+    for bands, rows in BAND_SWEEP:
+        band_cols = [
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"h{j}").cast("string") for j in range(b * rows, (b + 1) * rows)],
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        keyed = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        pairs = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b"),
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sig_a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)],
+        )
+        sig_b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)],
+        )
+        agree = sum(
+            [
+                F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+                for j in range(N_HASHES)
+            ],
+            start=F.lit(0),
+        )
+        est = agree / float(N_HASHES)
+        cfg = (
+            pairs.join(sig_a, "doc_a")
+            .join(sig_b, "doc_b")
+            .agg(
+                F.count("*").alias("n_candidates"),
+                F.sum(F.when(agree >= N_HASHES // 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_est_ge_half"),
+                F.round(F.avg(est), 6).alias("mean_est_jaccard"),
+            )
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows"),
+                "n_candidates",
+                "n_est_ge_half",
+                "mean_est_jaccard",
+            )
+        )
+        results = cfg if results is None else results.unionByName(cfg)
+    return results

@@ -583,3 +583,138 @@ def q_ext_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(over).alias("max_over"),
         F.min(over).alias("min_over"),
     )
+
+
+# --- Zipf rank-frequency slope -----------------------------------------------
+
+ZIPF_TOP_N = 200  # OLS over the top-N frequency ranks
+
+
+@register(
+    "q_ext_zipf_slope",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM words GROUP BY term),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk
+  FROM counts
+),
+top AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+  FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+),
+sums AS (
+  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM top
+)
+SELECT m AS n_ranks,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+       round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+         AS intercept
+FROM sums
+""",
+)
+def q_ext_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostic: OLS slope of log(frequency) on log(rank) over
+    the top {ZIPF_TOP_N} terms.  Natural text sits near slope -1;
+    template spam and synthetic filler drift toward 0 — a one-row
+    corpus fingerprint that catches generation artifacts a per-doc
+    filter can't see.
+
+    Plan: term counts (partial-aggregated explode, the q_ext_tfidf
+    shuffle), a top-N rank window over the vocabulary-sized count
+    table, then one component-sum aggregate -> scalar OLS algebra
+    (same 2^53-guarded shape as q_ext_trend).  The corpus-sized stage
+    is only the term count."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("n").desc(), "term")
+    )
+    top = (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    sums = top.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m, sx, sy, sxx, sxy = (F.col(c) for c in ("m", "sx", "sy", "sxx", "sxy"))
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return sums.select(
+        m.alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / m, 6).alias("intercept"),
+    )
+
+
+# --- per-source language-mix entropy ----------------------------------------
+
+
+@register(
+    "q_ext_source_lang_entropy",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, lang, n,
+         CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS src_n,
+         count(*) OVER (PARTITION BY source) AS n_langs
+  FROM cells
+)
+SELECT source,
+       CAST(max(src_n) AS BIGINT) AS n_docs,
+       CAST(max(n_langs) AS BIGINT) AS n_langs,
+       round(-sum((n / src_n) * ln(n / src_n)), 6) AS lang_entropy
+FROM tot GROUP BY source
+""",
+)
+def q_ext_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source: 0 for monolingual
+    feeds, ln(k) for a uniform k-language mix — the drift diagnostic
+    that catches a crawl source changing its language composition
+    between snapshots (the upstream cause q_ext_lang_confusion then
+    quantifies per classifier).
+
+    Plan: one (source, lang)-bounded aggregate, share windows over that
+    tiny cells table, an entropy rollup to one row per source.  Single
+    corpus scan; every post-scan stage is bounded by sources x langs."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source")
+    src_n = F.sum("n").over(w).cast("double")
+    p = F.col("n") / src_n
+    tot = cells.select(
+        "source",
+        "n",
+        src_n.alias("src_n"),
+        F.count("*").over(w).alias("n_langs"),
+        (p * F.log(p)).alias("plogp"),
+    )
+    return tot.groupBy("source").agg(
+        F.max("src_n").cast("long").alias("n_docs"),
+        F.max("n_langs").cast("long").alias("n_langs"),
+        F.round(-F.sum("plogp"), 6).alias("lang_entropy"),
+    )

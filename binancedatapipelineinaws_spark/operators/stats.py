@@ -580,3 +580,68 @@ def q_ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(t, 5).alias("t_stat"),
         )
     )
+
+
+# --- daily activity anomaly --------------------------------------------------
+
+ANOMALY_Z = 3.0  # |z| flag threshold
+
+
+@register(
+    "q_ext_daily_anomaly",
+    oracle=f"""
+WITH daily AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT day, n_events,
+         CAST(sum(n_events) OVER () AS DOUBLE) / count(*) OVER () AS mu,
+         sqrt(greatest(
+           CAST(sum(n_events * n_events) OVER () AS DOUBLE)
+             / count(*) OVER ()
+           - (CAST(sum(n_events) OVER () AS DOUBLE) / count(*) OVER ())
+             * (CAST(sum(n_events) OVER () AS DOUBLE) / count(*) OVER ()),
+           0)) AS sigma
+  FROM daily
+)
+SELECT day, n_events,
+       round((n_events - mu) / nullif(sigma, 0), 6) AS z,
+       CASE WHEN abs((n_events - mu) / nullif(sigma, 0)) > {ANOMALY_Z}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+""",
+)
+def q_ext_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags: per-day counts z-scored against
+    the whole series (population mean/std from integer-exact component
+    sums), |z| > {ANOMALY_Z} flagged — the pager query for a pipeline
+    whose feed silently halves (the reference's WebSocket dropping,
+    main.py:35-47, detected from the data instead of the process).
+
+    Plan: one map-side-combined day aggregate (calendar-bounded
+    output), then whole-partition windows over the tiny day table.
+    Component-sum z-scores, not two passes: the corpus is scanned
+    once at any scale."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy()
+    n = F.count("*").over(w)
+    s1 = F.sum("n_events").over(w).cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    mu = s1 / n
+    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    z = (F.col("n_events") - mu) / F.when(sigma != 0, sigma)
+    return daily.select(
+        "day",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
+    )

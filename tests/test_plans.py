@@ -318,3 +318,36 @@ def test_embed_dim_profile_dimension_bounded(spark):
     plan = _plan(df)
     assert "Generate" in plan  # posexplode off the scan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_band_sweep_runs_on_signatures_only(spark):
+    # every config reads the PERSISTED signature table (InMemoryTableScan;
+    # FileScan occurrences in the plan string are the cached lineage
+    # description repeated per cache reference, not live scans), and the
+    # pair joins are hash joins, never nested loops
+    plan = _plan(queries()["q_ext_lsh_band_sweep"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 9  # 3 configs x 3 refs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_anomaly_single_scan(spark):
+    # day aggregate then windows over the tiny day table — no join, no
+    # second scan
+    plan = _plan(queries()["q_ext_daily_anomaly"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_zipf_corpus_stage_is_term_count(spark):
+    # the only corpus-sized shuffle is the term count; rank + OLS run on
+    # the vocabulary-sized table
+    plan = _plan(queries()["q_ext_zipf_slope"](spark, SF))
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_source_lang_entropy_bounded_post_agg(spark):
+    plan = _plan(queries()["q_ext_source_lang_entropy"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan

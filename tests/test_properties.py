@@ -704,3 +704,42 @@ def test_embed_dim_profile_invariants(spark):
         | (F.col("mean") > F.col("max_v") + 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_band_sweep_monotone_candidates(spark):
+    # fewer, wider bands -> stricter AND within band -> fewer candidates
+    rows = {
+        (r["bands"], r["rows"]): r
+        for r in queries()["q_ext_lsh_band_sweep"](spark, SF).collect()
+    }
+    assert rows[(2, 8)]["n_candidates"] <= rows[(4, 4)]["n_candidates"]
+    assert rows[(4, 4)]["n_candidates"] <= rows[(8, 2)]["n_candidates"]
+    for r in rows.values():
+        assert 0 <= r["n_est_ge_half"] <= r["n_candidates"]
+
+
+def test_daily_anomaly_zscores_center(spark):
+    import math
+
+    rows = queries()["q_ext_daily_anomaly"](spark, SF).collect()
+    zs = [r["z"] for r in rows if r["z"] is not None]
+    if zs:
+        assert abs(sum(zs)) < 1e-3 * len(zs) + 1e-6  # z-scores sum ~0
+        assert all(not math.isnan(z) for z in zs)
+
+
+def test_zipf_slope_negative(spark):
+    row = queries()["q_ext_zipf_slope"](spark, SF).first()
+    assert row["slope"] < 0  # frequency decreases with rank, always
+    assert row["n_ranks"] >= 1
+
+
+def test_source_lang_entropy_bounds(spark):
+    import math
+
+    df = queries()["q_ext_source_lang_entropy"](spark, SF)
+    bad = df.filter(
+        (F.col("lang_entropy") < -1e-9)
+        | (F.col("lang_entropy") > F.log(F.col("n_langs").cast("double")) + 1e-9)
+    )
+    assert bad.count() == 0
