@@ -1026,3 +1026,130 @@ def q_ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         results = cfg if results is None else results.unionByName(cfg)
     return results
+
+
+# --- asymmetric containment tier ---------------------------------------------
+# Jaccard dilutes when one document CONTAINS another (a quote plus
+# commentary, a page plus boilerplate): |A∩B|/|A∪B| shrinks as the
+# larger doc grows, but |A∩B|/min(|A|,|B|) stays ~1.  This tier runs
+# the same banded-LSH candidate generation and scores containment
+# instead — the subset-dup detector Jaccard-threshold dedup misses.
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "q_ext_dedup_containment",
+    oracle=_NEAR_CTES
+    + f"""
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / least(na.n, nb.n), 6) AS containment,
+       round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN doc_size_c na ON na.doc_id = i.doc_a
+JOIN doc_size_c nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def q_ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored near-dups: |A∩B| / min(|A|, |B|) over the
+    banded-LSH candidates — flags subset relationships (quotes,
+    boilerplate wrappers) whose Jaccard sits far below the usual dedup
+    threshold.  Reported beside Jaccard so the asymmetry is visible.
+
+    Plan: identical shape to q_ext_dedup_near (persisted signatures ->
+    banded candidates -> df-capped shingle intersection), only the
+    final scalar differs — at 100 TB the marginal cost of the second
+    tier is one more filter over the same intersection table."""
+    prepare(spark)
+    sig = minhash_signature(spark, sf_dir).persist()
+    cand = lsh_candidate_pairs(sig)
+    sh = capped_shingle_rows(shingle_rows(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    containment = F.col("ni").cast("double") / F.least(
+        F.col("na.n"), F.col("nb.n")
+    )
+    jac = F.col("ni").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    )
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --- incremental dedup (new batch vs historical corpus) ----------------------
+# The production shape: dedup never re-runs over the full corpus — each
+# incoming batch checks itself against the HISTORICAL content-hash
+# table.  Here the batch is the doc_id % INC_MOD == 0 slice; everything
+# else plays the historical corpus.
+
+INC_MOD = 5  # every 5th doc plays the incoming batch
+
+
+@register(
+    "q_ext_incremental_dedup",
+    oracle=f"""
+WITH hist AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical
+  FROM documents WHERE doc_id % {INC_MOD} <> 0
+  GROUP BY md5(text)
+),
+batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {INC_MOD} = 0
+)
+SELECT b.doc_id, h.canonical AS dup_of,
+       CASE WHEN h.canonical IS NULL THEN 1 ELSE 0 END AS is_new_unique
+FROM batch b LEFT JOIN hist h ON b.h = h.h
+""",
+)
+def q_ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the incoming batch (doc_id %
+    {INC_MOD} == 0) joins the historical content-hash table; each new
+    doc reports the historical canonical it duplicates, or flags
+    itself as genuinely new.
+
+    Plan: the historical side aggregates to one row per distinct hash
+    (partial-agged), the batch side is a map-only hash projection, and
+    the left join keys on the uniform md5 — the batch-sized work is
+    independent of history size once the hash table exists, which is
+    the whole point of incremental dedup at 100 TB: the corpus-scale
+    job ran once, every later crawl pays only its own size."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % INC_MOD != 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("canonical"))
+    )
+    batch = docs.filter(F.col("doc_id") % INC_MOD == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return batch.join(hist, "h", "left").select(
+        "doc_id",
+        F.col("canonical").alias("dup_of"),
+        F.when(F.col("canonical").isNull(), 1).otherwise(0).alias(
+            "is_new_unique"
+        ),
+    )

@@ -233,3 +233,74 @@ def q_maint_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+
+
+# --- bucketed co-located join ------------------------------------------------
+# THE 100 TB join strategy the one-shot queries can't show: write both
+# fact tables bucketed (and sorted) on the join key, and every future
+# join on that key runs with ZERO Exchange — the shuffle is paid once
+# at write time, then amortized over every downstream query.  This is
+# the Spark-native equivalent of co-located/partitioned joins in MPP
+# warehouses.
+
+N_BUCKETS = 8
+
+
+@register(
+    "q_maint_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q_maint_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables PRE-BUCKETED on the join key: orders and
+    lineitem are written with `bucketBy({N_BUCKETS}, orderkey)` +
+    `sortBy`, then joined — the plan has no Exchange on either side
+    (machine-asserted in tests/test_plans.py), because matching bucket
+    counts + key make the join a per-bucket merge.
+
+    At 100 TB this is the difference between shuffling the fact table
+    on EVERY join (TBs of network per query) and shuffling it once at
+    ingest: the layout the reference's Aurora gets from its B-tree
+    primary key (start_all_pipeline.py:463-464), re-expressed as a
+    lake-table property."""
+    prepare(spark)
+    digest = __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"b_orders_{digest}_{os.getpid()}"
+    t_lineitem = f"b_lineitem_{digest}_{os.getpid()}"
+    # external tables at explicit tmp paths: a foreign session (the
+    # driver hands us one) would otherwise write ./spark-warehouse into
+    # its own CWD
+    if not spark.catalog.tableExists(t_orders):
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            N_BUCKETS, "o_orderkey"
+        ).sortBy("o_orderkey").option(
+            "path", _tmp_path(t_orders, sf_dir)
+        ).mode("overwrite").saveAsTable(t_orders)
+    if not spark.catalog.tableExists(t_lineitem):
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(
+            N_BUCKETS, "l_orderkey"
+        ).sortBy("l_orderkey").option(
+            "path", _tmp_path(t_lineitem, sf_dir)
+        ).mode("overwrite").saveAsTable(t_lineitem)
+    # merge-join hint: at test scale AQE would broadcast the small side,
+    # which hides the property under test — the bucketed sort-merge join
+    # with NO shuffle on either input (at 100 TB neither side broadcasts
+    # and this hinted plan is the one that runs anyway)
+    o = spark.table(t_orders).hint("merge")
+    li = spark.table(t_lineitem)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -351,3 +351,29 @@ def test_source_lang_entropy_bounded_post_agg(spark):
     plan = _plan(queries()["q_ext_source_lang_entropy"](spark, SF))
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_bucketed_join_zero_exchange(spark):
+    # the whole point: pre-bucketed layout -> sort-merge join with NO
+    # shuffle on either input (the broadcast would hide it, hence the
+    # merge hint in the query)
+    plan = _plan(queries()["q_maint_bucketed_join"](spark, SF))
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join
+    assert "SelectedBucketsCount" in plan
+
+
+def test_incremental_dedup_hash_join_on_md5(spark):
+    # uniform md5 keys -> hash join; history side partial-aggregates
+    plan = _plan(queries()["q_ext_incremental_dedup"](spark, SF))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_all_pairs(spark):
+    plan = _plan(queries()["q_ext_dedup_containment"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted sig + shingles

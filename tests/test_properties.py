@@ -743,3 +743,46 @@ def test_source_lang_entropy_bounds(spark):
         | (F.col("lang_entropy") > F.log(F.col("n_langs").cast("double")) + 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_containment_geq_jaccard(spark):
+    # |A∩B|/min always dominates |A∩B|/|A∪B|
+    df = queries()["q_ext_dedup_containment"](spark, SF)
+    assert df.filter(F.col("containment") < F.col("jaccard") - 1e-9).count() == 0
+    assert df.filter(
+        (F.col("containment") < 0) | (F.col("containment") > 1 + 1e-9)
+    ).count() == 0
+
+
+def test_incremental_dedup_covers_batch(spark):
+    df = queries()["q_ext_incremental_dedup"](spark, SF).cache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_batch = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert df.count() == n_batch
+    # a dup's canonical must be a historical doc (never in the batch)
+    assert df.filter(
+        F.col("dup_of").isNotNull() & (F.col("dup_of") % 5 == 0)
+    ).count() == 0
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    # identical result to the unbucketed join of the same tables
+    got = {
+        r["o_orderpriority"]: (r["n_lineitems"], r["total_price"])
+        for r in queries()["q_maint_bucketed_join"](spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    want = {
+        r["o_orderpriority"]: (r["n"], float(r["s"]))
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
