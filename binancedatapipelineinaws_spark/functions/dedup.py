@@ -732,7 +732,12 @@ def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the LSH path replaces; only pairs sharing >= 1 shingle
     materialize, via the shingle-equijoin).  The df-cap bounds the
     equi-join's per-key fan-out: without it one boilerplate shingle in
-    k documents materializes k^2 rows."""
+    k documents materializes k^2 rows.
+
+    NOT A SCALE PATH — deliberately quadratic in co-shingled pairs.
+    This query exists as the brute-force ground truth that prices the
+    LSH tiers (q_ext_dedup_near / _simhash / _containment recall is
+    measured against it); at 100 TB run those, never this."""
     prepare(spark)
     sh = capped_shingle_rows(shingle_rows(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
