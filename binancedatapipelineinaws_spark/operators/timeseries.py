@@ -306,7 +306,7 @@ def q_ext_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _CLOSES_CTE
     + """
 , dd AS (
-  SELECT CAST(m AS DATE) AS day, close,
+  SELECT CAST(CAST(m AS DATE) AS TIMESTAMP) AS day, close,
          max(close) OVER (PARTITION BY CAST(m AS DATE) ORDER BY m
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS peak
@@ -334,8 +334,11 @@ def q_ext_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("m")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # day emitted as TIMESTAMP, not DATE: a date object lands in pandas
+    # as `object` while DuckDB's CAST(ts) gives datetime64 — the driver
+    # canonicalizer has only ever hash-passed the datetime64 pair here
     dd = closes.select(
-        day.alias("day"),
+        day.cast("timestamp").alias("day"),
         "close",
         F.max("close").over(run_w).alias("peak"),
     )
