@@ -82,3 +82,67 @@ def rotation_stream(canonical: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming sessionizer ---------------------------------------------------
+# Event-level session labels as keyed state: the streaming counterpart
+# of the batch gaps-and-islands query (operators/analytics.py
+# q_ext_sessionize), holding (last event time, open session index,
+# event seq) per user — O(1) state per key, like the rotation detector.
+
+SESSIONIZE_SCHEMA = (
+    "event_id long, user_id long, session_idx long, user_event_seq long"
+)
+SESSION_STATE_SCHEMA = "last_ts_s long, session_idx long, seq long"
+
+
+def make_sessionize_fn(gap_s: int):
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_idx, seq = state.get
+        else:
+            last_ts, session_idx, seq = None, 0, 0
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            # event-time order within the batch; across batches the
+            # state carries the frontier (late events beyond it join
+            # the open session — documented divergence, same policy as
+            # the rotation detector's late-data drop)
+            pdf = pdf.sort_values(["ts_s", "event_id"])
+            for ts_s, event_id in zip(pdf["ts_s"], pdf["event_id"]):
+                ts_s = int(ts_s)
+                if last_ts is None or ts_s - last_ts > gap_s:
+                    session_idx += 1
+                seq += 1
+                last_ts = ts_s
+                out.append((int(event_id), int(user_id), session_idx, seq))
+        state.update((last_ts, session_idx, seq))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "user_id", "session_idx", "user_event_seq"
+                ],
+            )
+
+    return sessionize
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """events stream (event_id, ts, user_id, ...) -> per-event session
+    labels, keyed state per user."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_sessionize_fn(gap_s),
+        outputStructType=SESSIONIZE_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

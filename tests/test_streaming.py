@@ -615,3 +615,44 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     want = ev.join(profile, "user_id", "left")
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer replayed over the events table
+    must label every event exactly like the batch gaps-and-islands
+    query (q_ext_sessionize)."""
+    import shutil
+
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "events_src")
+    # stage the events table (normalized ts) as the stream input
+    load_table(spark, SF, "events").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "sessions")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    want = queries()["q_ext_sessionize"](spark, SF)
+    assert got.count() == want.count()
+    j = got.alias("g").join(want.alias("w"), "event_id")
+    bad = j.filter(
+        (F.col("g.session_idx") != F.col("w.session_idx"))
+        | (F.col("g.user_event_seq") != F.col("w.user_event_seq"))
+        | (F.col("g.user_id") != F.col("w.user_id"))
+    )
+    assert bad.count() == 0
