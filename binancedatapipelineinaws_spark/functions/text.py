@@ -718,3 +718,80 @@ def q_ext_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_langs").cast("long").alias("n_langs"),
         F.round(-F.sum("plogp"), 6).alias("lang_entropy"),
     )
+
+
+# --- vocabulary coverage curve -----------------------------------------------
+
+COVERAGE_KS = (100, 1000)  # vocabulary sizes to report
+
+
+@register(
+    "q_ext_vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM words GROUP BY term),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk,
+         sum(n) OVER (ORDER BY n DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         sum(n) OVER () AS total_n,
+         count(*) OVER () AS vocab_size
+  FROM counts
+)
+SELECT CAST(k.k AS BIGINT) AS top_k,
+       CAST(max(vocab_size) AS BIGINT) AS vocab_size,
+       round(max(CASE WHEN rnk <= k.k THEN cum_n END)
+             / CAST(max(total_n) AS DOUBLE), 6) AS token_coverage
+FROM ranked CROSS JOIN (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) k(k)
+GROUP BY k.k
+""",
+)
+def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve: the fraction of all corpus tokens covered
+    by the top-k most frequent terms, for k in {COVERAGE_KS} — the
+    number a tokenizer/vocabulary decision reads first (how much of the
+    stream the head of the Zipf curve absorbs; complement of
+    q_ext_zipf_slope's shape parameter).
+
+    Plan: corpus-sized work is the one partial-aggregated term count;
+    rank, running sum, and totals are windows over the
+    vocabulary-sized table, and the k-grid cross join is literal-sized.
+    """
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    order = Window.partitionBy().orderBy(F.col("n").desc(), "term")
+    whole = Window.partitionBy()
+    ranked = counts.select(
+        "n",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("n")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("n").over(whole).alias("total_n"),
+        F.count("*").over(whole).alias("vocab_size"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in COVERAGE_KS], "k long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max("vocab_size").cast("long").alias("vocab_size"),
+            F.round(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum_n")))
+                / F.max("total_n").cast("double"),
+                6,
+            ).alias("token_coverage"),
+        )
+        .select(F.col("k").alias("top_k"), "vocab_size", "token_coverage")
+    )

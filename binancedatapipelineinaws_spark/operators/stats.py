@@ -645,3 +645,107 @@ def q_ext_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# --- Kolmogorov-Smirnov drift between crawl halves ---------------------------
+
+
+from binancedatapipelineinaws_spark.functions.dedup import duck_hex32  # noqa: E402
+
+
+@register(
+    "q_ext_ks_drift",
+    oracle=f"""
+WITH halves AS (
+  -- md5-bucket split, NOT doc_id parity: the synthetic tables assign
+  -- sources round-robin, so parity would put whole sources in one half
+  SELECT source, n_chars AS v,
+         {duck_hex32("'ks:' || CAST(doc_id AS VARCHAR)")} % 2 AS half
+  FROM documents
+),
+sizes AS (
+  SELECT source,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+  FROM halves GROUP BY source
+),
+steps AS (
+  SELECT h.source, h.v,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) OVER w AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) OVER w AS c1
+  FROM halves h
+  WINDOW w AS (PARTITION BY source ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT s.source,
+       CAST(z.n0 AS BIGINT) AS n_a, CAST(z.n1 AS BIGINT) AS n_b,
+       -- NULLIF: a source whose doc_ids are all one parity has an
+       -- empty half; KS is undefined there (NULL), never an error
+       round(max(abs(CAST(s.c0 AS DOUBLE) / nullif(z.n0, 0)
+                     - CAST(s.c1 AS DOUBLE) / nullif(z.n1, 0))), 6)
+         AS ks_stat
+FROM steps s JOIN sizes z USING (source)
+GROUP BY s.source, z.n0, z.n1
+""",
+)
+def q_ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per source between the
+    even- and odd-doc_id halves of the corpus (stand-ins for two crawl
+    snapshots): the supremum gap between the two empirical CDFs of
+    document length.  Near-zero = stable source; large = the source
+    changed what it emits between snapshots — the distribution-drift
+    alarm that length means/medians smooth over.
+
+    Plan: ONE window pass over (source; value) computes both cumulative
+    counts at every observed value (RANGE frame so ties step together),
+    then a per-source max rollup.  No sort beyond the window's, no
+    join of the corpus to itself; the per-source sizes table is
+    sources-bounded and joins broadcast."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from binancedatapipelineinaws_spark.functions.dedup import hex32
+
+    halves = docs.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        (
+            hex32(F.concat(F.lit("ks:"), F.col("doc_id").cast("string"))) % 2
+        ).alias("half"),
+    )
+    sizes = halves.groupBy("source").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    steps = halves.select(
+        "source",
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).over(w).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).over(w).alias("c1"),
+    )
+    # nullif: an empty half makes KS undefined (NULL), never an
+    # ANSI divide-by-zero error
+    gap = F.abs(
+        F.col("c0").cast("double") / F.expr("nullif(n0, 0)")
+        - F.col("c1").cast("double") / F.expr("nullif(n1, 0)")
+    )
+    return (
+        steps.join(F.broadcast(sizes), "source")
+        .groupBy("source", "n0", "n1")
+        .agg(F.round(F.max(gap), 6).alias("ks_stat"))
+        .select(
+            "source",
+            F.col("n0").alias("n_a"),
+            F.col("n1").alias("n_b"),
+            "ks_stat",
+        )
+    )

@@ -377,3 +377,19 @@ def test_containment_no_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted sig + shingles
+
+
+def test_ks_drift_one_window_pass(spark):
+    # both cumulative counts from ONE (source; v) window; sizes join
+    # broadcasts
+    plan = _plan(queries()["q_ext_ks_drift"](spark, SF))
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_corpus_stage_is_term_count(spark):
+    plan = _plan(queries()["q_ext_vocab_coverage"](spark, SF))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "CartesianProduct" not in plan

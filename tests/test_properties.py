@@ -786,3 +786,23 @@ def test_bucketed_join_matches_plain_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_ks_drift_bounds(spark):
+    df = queries()["q_ext_ks_drift"](spark, SF)
+    bad = df.filter(
+        F.col("ks_stat").isNotNull()
+        & ((F.col("ks_stat") < -1e-9) | (F.col("ks_stat") > 1 + 1e-9))
+    )
+    assert bad.count() == 0
+    # identical halves would give 0; distinct samples give > 0 a.s.
+    assert df.filter(F.col("ks_stat").isNotNull()).count() > 0
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = {r["top_k"]: r for r in queries()["q_ext_vocab_coverage"](spark, SF).collect()}
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a]["token_coverage"] <= rows[b]["token_coverage"] + 1e-9
+    for r in rows.values():
+        assert 0 <= r["token_coverage"] <= 1 + 1e-9
