@@ -1158,3 +1158,40 @@ def q_ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_new_unique"
         ),
     )
+
+
+# --- duplicate-cluster size distribution -------------------------------------
+
+
+@register(
+    "q_ext_dup_cluster_sizes",
+    oracle="""
+WITH clusters AS (
+  SELECT md5(text) AS h, count(*) AS cluster_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size
+""",
+)
+def q_ext_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: how many content
+    clusters exist at each copy count, and how many documents they
+    absorb — the one-table summary of corpus duplication (a heavy tail
+    here predicts big wins from dedup before paying for it; cf. Lee et
+    al. 2022 on duplication's training cost).
+
+    Plan: two stacked partial-aggregated groupBys (content hash, then
+    size), both map-side combined on uniform keys; output is bounded by
+    the distinct cluster sizes, a handful of rows at any corpus."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )

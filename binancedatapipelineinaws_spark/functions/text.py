@@ -795,3 +795,38 @@ def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("k").alias("top_k"), "vocab_size", "token_coverage")
     )
+
+
+# --- per-language length bands -----------------------------------------------
+
+
+@register(
+    "q_ext_len_bands_by_lang",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.10), 6) AS p10,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90
+FROM documents GROUP BY lang
+""",
+)
+def q_ext_len_bands_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentile bands (p10/p50/p90 of n_chars) per
+    language — the per-language numbers a min/max-length quality gate
+    should be calibrated from (a fixed global threshold over- or
+    under-filters scripts with different char/token ratios).
+
+    Plan: one languages-bounded aggregate; `percentile` buffers one
+    language's values per task at exact precision — swap
+    `approx_percentile` (mergeable sketch, same plan shape) at 100 TB,
+    keeping this exact form as the oracle (the q_ext_mad_outliers
+    discipline)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.10)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
+    )

@@ -806,3 +806,17 @@ def test_vocab_coverage_monotone(spark):
         assert rows[a]["token_coverage"] <= rows[b]["token_coverage"] + 1e-9
     for r in rows.values():
         assert 0 <= r["token_coverage"] <= 1 + 1e-9
+
+
+def test_len_bands_ordered(spark):
+    df = queries()["q_ext_len_bands_by_lang"](spark, SF)
+    bad = df.filter(
+        (F.col("p10") > F.col("p50")) | (F.col("p50") > F.col("p90"))
+    )
+    assert bad.count() == 0
+
+
+def test_dup_cluster_sizes_partition_corpus(spark):
+    df = queries()["q_ext_dup_cluster_sizes"](spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.agg(F.sum("n_docs")).first()[0] == n_docs
