@@ -830,3 +830,54 @@ def q_ext_len_bands_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
     )
+
+
+# --- corpus-hapax fraction per document --------------------------------------
+
+
+@register(
+    "q_ext_hapax_fraction",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+df AS (
+  SELECT doc_id, term,
+         count(*) OVER (PARTITION BY term) AS corpus_n
+  FROM toks
+)
+-- BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64, which
+-- hash-mismatches Spark's bigint in the driver's canonicalizer
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN corpus_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(sum(CASE WHEN corpus_n = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+FROM df GROUP BY doc_id
+""",
+)
+def q_ext_hapax_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens that are corpus hapax legomena
+    (appear exactly once anywhere) — a high fraction flags OCR noise,
+    mojibake, and generated gibberish that per-doc TTR misses (every
+    token unique INSIDE the doc is normal; unique across the corpus is
+    not).  Token-level cousin of q_ext_ngram_novelty.
+
+    Plan: token explode -> ONE term-partitioned count window -> per-doc
+    rollup, the single-pass dupspan shape: a term in k docs costs k
+    rows, never a join back."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    w = Window.partitionBy("term")
+    flagged = toks.select(
+        "doc_id", (F.count("*").over(w) == 1).alias("is_hapax")
+    )
+    hap = F.sum(F.when(F.col("is_hapax"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        hap.cast("long").alias("n_hapax"),
+        F.round(hap / F.count("*").cast("double"), 6).alias("hapax_frac"),
+    )

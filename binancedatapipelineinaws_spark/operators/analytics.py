@@ -546,3 +546,61 @@ def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_new).over(wsum).alias("session_idx"),
         F.row_number().over(w).cast("long").alias("user_event_seq"),
     )
+
+
+# --- participation inequality ------------------------------------------------
+
+
+@register(
+    "q_ext_activity_gini",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c, user_id) AS i,
+         count(*) OVER () AS n,
+         CAST(sum(c) OVER () AS DOUBLE) AS total
+  FROM per_user
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(total) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * c) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+""",
+)
+def q_ext_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of events-per-user: 0 = perfectly even
+    participation, ->1 = a handful of users generate everything — the
+    single number that flags bot farms and engagement concentration
+    (and, read as key-frequency inequality, predicts shuffle skew on
+    user-keyed operations; q_ext_skew_profile is its per-bucket view).
+
+    Plan: corpus-sized work is one per-user count; the rank/cumulative
+    windows run over the users-sized table.  The Gini sum uses exact
+    integer products (i * c < 2^53 at any plausible scale) before the
+    one double division."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    order = Window.partitionBy().orderBy("c", "user_id")
+    whole = Window.partitionBy()
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(order).alias("i"),
+        F.count("*").over(whole).alias("n"),
+        F.sum("c").over(whole).cast("double").alias("total"),
+    )
+    n = F.max("n")
+    total = F.max("total")
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        total.cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c")) / (n * total)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

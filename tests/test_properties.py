@@ -820,3 +820,19 @@ def test_dup_cluster_sizes_partition_corpus(spark):
     df = queries()["q_ext_dup_cluster_sizes"](spark, SF)
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert df.agg(F.sum("n_docs")).first()[0] == n_docs
+
+
+def test_hapax_fraction_bounds(spark):
+    df = queries()["q_ext_hapax_fraction"](spark, SF)
+    assert df.filter(F.col("n_hapax") > F.col("n_tokens")).count() == 0
+    assert df.filter(
+        (F.col("hapax_frac") < 0) | (F.col("hapax_frac") > 1)
+    ).count() == 0
+
+
+def test_activity_gini_bounds(spark):
+    row = queries()["q_ext_activity_gini"](spark, SF).first()
+    assert 0 <= row["gini"] < 1
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert row["n_events"] == ev.count()
+    assert row["n_users"] == ev.select("user_id").distinct().count()
