@@ -276,9 +276,12 @@ WITH lang_stats AS (
   FROM documents GROUP BY lang
 ),
 rates AS (
+  -- round to 9 dp BEFORE floor: JVM Math.pow and libm pow may differ
+  -- in the last ulp, and a bare floor at an integer boundary would
+  -- flip keep_bp (and the kept set) between engines
   SELECT lang, n_docs,
-         CAST(floor(10000 * pow(p, {TEMP_ALPHA} - 1.0)
-                    / max(pow(p, {TEMP_ALPHA} - 1.0)) OVER ()) AS BIGINT)
+         CAST(floor(round(10000 * pow(p, {TEMP_ALPHA} - 1.0)
+                    / max(pow(p, {TEMP_ALPHA} - 1.0)) OVER (), 9)) AS BIGINT)
            AS keep_bp
   FROM lang_stats
 )
@@ -304,9 +307,10 @@ def q_ext_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     p = F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double")
     weight = F.pow(p, F.lit(TEMP_ALPHA - 1.0))
+    # round to 9 dp before floor — ulp-parity with the oracle's libm pow
     rates = lang_stats.select(
         "lang",
-        F.floor(10000 * weight / F.max(weight).over(w_all))
+        F.floor(F.round(10000 * weight / F.max(weight).over(w_all), 9))
         .cast("long")
         .alias("keep_bp"),
     )

@@ -501,8 +501,12 @@ SESSION_GAP_S = 1800  # 30-minute inactivity gap, the industry default
     oracle=f"""
 WITH gapped AS (
   SELECT event_id, user_id, ts,
-         CASE WHEN CAST(epoch(ts) AS BIGINT)
-                   - CAST(epoch(lag(ts) OVER w) AS BIGINT) > {SESSION_GAP_S}
+         -- floor() before CAST: DuckDB CAST(double AS BIGINT) ROUNDS
+         -- half-up while Spark's unix_timestamp FLOORS; a gap within
+         -- 1s of the threshold would otherwise flip is_new between
+         -- engines (same discipline as the q_ext_trend oracle)
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
               OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -578,29 +582,46 @@ def q_ext_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and, read as key-frequency inequality, predicts shuffle skew on
     user-keyed operations; q_ext_skew_profile is its per-bucket view).
 
-    Plan: corpus-sized work is one per-user count; the rank/cumulative
-    windows run over the users-sized table.  The Gini sum uses exact
-    integer products (i * c < 2^53 at any plausible scale) before the
-    one double division."""
+    Plan (count-of-counts, the r5-verdict fix): the old form ranked
+    every user in one unpartitioned row_number window — a single-task
+    sort of billions of rows at 100 TB.  But the Gini rank-sum is
+    order-independent within a tie group (ranks of the m users sharing
+    count c span a fixed block, and sum(i*c) over the block is
+    c*(off*m + m*(m+1)/2) whatever the within-block order), so the
+    exact same value falls out of the events-per-user HISTOGRAM
+    (count c -> m users).  Corpus-sized work is one per-user count +
+    one partial-aggregated histogram; the only window is a running sum
+    over the histogram, whose row count is bounded by max
+    events-per-user (a small, corpus-growth-insensitive domain), not
+    by users.  Integer products stay exact below 2^53."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
-    order = Window.partitionBy().orderBy("c", "user_id")
-    whole = Window.partitionBy()
-    ranked = per_user.select(
+    hist = per_user.groupBy("c").agg(F.count("*").alias("m"))
+    order = Window.partitionBy().orderBy("c")
+    off = (
+        F.coalesce(
+            F.sum("m").over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    ).alias("off")
+    # sum of rank*c over the tie block with ranks (off, off+m]:
+    #   c * (off*m + m*(m+1)/2)
+    tri = F.expr("CAST(m AS BIGINT) * (m + 1) DIV 2")
+    blk = hist.withColumn("off", off).select(
         "c",
-        F.row_number().over(order).alias("i"),
-        F.count("*").over(whole).alias("n"),
-        F.sum("c").over(whole).cast("double").alias("total"),
+        "m",
+        (F.col("c") * (F.col("off") * F.col("m") + tri)).alias("ic_sum"),
     )
-    n = F.max("n")
-    total = F.max("total")
-    return ranked.agg(
+    n = F.sum("m")
+    total = F.sum(F.col("c") * F.col("m")).cast("double")
+    return blk.agg(
         n.cast("long").alias("n_users"),
         total.cast("long").alias("n_events"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("c")) / (n * total)
-            - (n + 1.0) / n,
+            2.0 * F.sum("ic_sum") / (n * total) - (n + 1.0) / n,
             6,
         ).alias("gini"),
     )

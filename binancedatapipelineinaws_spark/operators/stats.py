@@ -689,10 +689,11 @@ GROUP BY s.source, z.n0, z.n1
 """,
 )
 def q_ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov statistic per source between the
-    even- and odd-doc_id halves of the corpus (stand-ins for two crawl
-    snapshots): the supremum gap between the two empirical CDFs of
-    document length.  Near-zero = stable source; large = the source
+    """Two-sample Kolmogorov-Smirnov statistic per source between two
+    deterministic halves of the corpus — docs split by the parity of a
+    salted md5 bucket of doc_id, so the halves are engine-portable and
+    uncorrelated with load order (stand-ins for two crawl snapshots):
+    the supremum gap between the two empirical CDFs of document length.  Near-zero = stable source; large = the source
     changed what it emits between snapshots — the distribution-drift
     alarm that length means/medians smooth over.
 

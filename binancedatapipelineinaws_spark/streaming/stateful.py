@@ -107,13 +107,18 @@ def make_sessionize_fn(gap_s: int):
             last_ts, session_idx, seq = None, 0, 0
         out: list[tuple[int, int, int, int]] = []
         for pdf in pdfs:
-            # event-time order within the batch; across batches the
+            # event-time order within the batch at FULL microsecond
+            # precision — the batch query orders by (ts, event_id) with
+            # sub-second ts, so sorting by a second-truncated ts here
+            # could label same-second events in a different order.  The
+            # gap test itself stays on floored seconds (matching
+            # unix_timestamp in the batch query).  Across batches the
             # state carries the frontier (late events beyond it join
             # the open session — documented divergence, same policy as
             # the rotation detector's late-data drop)
-            pdf = pdf.sort_values(["ts_s", "event_id"])
-            for ts_s, event_id in zip(pdf["ts_s"], pdf["event_id"]):
-                ts_s = int(ts_s)
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, event_id in zip(pdf["ts_us"], pdf["event_id"]):
+                ts_s = int(ts_us) // 1_000_000
                 if last_ts is None or ts_s - last_ts > gap_s:
                     session_idx += 1
                 seq += 1
@@ -137,7 +142,7 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     from pyspark.sql import functions as F
 
     keyed = events.select(
-        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_sessionize_fn(gap_s),

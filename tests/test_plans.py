@@ -340,11 +340,16 @@ def test_daily_anomaly_single_scan(spark):
 
 
 def test_zipf_corpus_stage_is_term_count(spark):
-    # the only corpus-sized shuffle is the term count; rank + OLS run on
-    # the vocabulary-sized table
+    # the only corpus-sized shuffle is the term count; the top-N is a
+    # TakeOrderedAndProject (parallel partial top-k: each task keeps N
+    # rows), so no task ever sorts the whole vocabulary — the rank
+    # window that remains runs over the N-row limit output
     plan = _plan(queries()["q_ext_zipf_slope"](spark, SF))
     assert "partial_" in plan
     assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the window sits ABOVE the limit (bounded input), not below it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_source_lang_entropy_bounded_post_agg(spark):
@@ -389,7 +394,24 @@ def test_ks_drift_one_window_pass(spark):
 
 
 def test_vocab_coverage_corpus_stage_is_term_count(spark):
+    # rank/cumsum windows run over the TakeOrderedAndProject top-max(k)
+    # slice, never the full vocabulary; totals come from a one-row
+    # aggregate; the k-grid and totals attach by broadcast only
     plan = _plan(queries()["q_ext_vocab_coverage"](spark, SF))
     assert "partial_" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
-        or "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_activity_gini_histogram_no_user_rank(spark):
+    # count-of-counts Gini: no row_number over the users table at all;
+    # the only window is a running sum over the events-per-user
+    # histogram, whose size is bounded by max-events-per-user (a small
+    # domain that does not grow with the corpus)
+    plan = _plan(queries()["q_ext_activity_gini"](spark, SF))
+    assert "row_number" not in plan
+    assert plan.count("Window") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
