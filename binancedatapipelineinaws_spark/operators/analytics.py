@@ -368,6 +368,59 @@ def q_ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
+# approx_percentile sketch accuracy for the scale path: error <=
+# 1/ACCURACY of the rank, mergeable across partitions
+PCTL_ACCURACY = 10_000
+
+
+def winsorize_frame(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    """Winsorize with a path knob.  exact=True (the registered oracle
+    path) computes boundaries with whole-partition `percentile`
+    windows — bit-exact vs quantile_cont, but one task buffers one
+    event type's full row set.  exact=False is the 100 TB path: ONE
+    grouped `approx_percentile` aggregate (mergeable KLL-style sketch,
+    partial-aggregated map-side) over event_type, broadcast-joined
+    back — no whole-partition window anywhere, rank error bounded by
+    1/{PCTL_ACCURACY}."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    if exact:
+        b = ev.selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            f"percentile(value, {WINSOR_LO})"
+            " OVER (PARTITION BY event_type) AS lo",
+            f"percentile(value, {WINSOR_HI})"
+            " OVER (PARTITION BY event_type) AS hi",
+        )
+    else:
+        bounds = ev.groupBy("event_type").agg(
+            F.expr(
+                f"approx_percentile(value, array({WINSOR_LO}, {WINSOR_HI}),"
+                f" {PCTL_ACCURACY})"
+            ).alias("b")
+        ).select(
+            "event_type",
+            F.col("b")[0].alias("lo"),
+            F.col("b")[1].alias("hi"),
+        )
+        b = ev.join(F.broadcast(bounds), "event_type")
+    return b.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+        ).alias("clipped"),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("was_clipped"),
+    )
 
 
 @register(
@@ -394,31 +447,13 @@ def q_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan shape as MAD: both boundaries come from ONE
     whole-partition percentile window (no stats join back), then the
     clip is scalar algebra; `percentile` and `quantile_cont`
-    interpolate identically so the boundaries agree across engines."""
-    prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.selectExpr(
-        "event_id",
-        "event_type",
-        "value",
-        f"percentile(value, {WINSOR_LO})"
-        " OVER (PARTITION BY event_type) AS lo",
-        f"percentile(value, {WINSOR_HI})"
-        " OVER (PARTITION BY event_type) AS hi",
-    )
-    return b.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.round(
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
-        ).alias("clipped"),
-        F.when(
-            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
-        )
-        .otherwise(0)
-        .alias("was_clipped"),
-    )
+    interpolate identically so the boundaries agree across engines.
+
+    This exact form is the oracle; `winsorize_frame(exact=False)` is
+    the sketch-based scale path (grouped approx_percentile + broadcast
+    join-back, no whole-partition window) for event types too large to
+    buffer in one task — plan pinned in tests/test_plans.py."""
+    return winsorize_frame(spark, sf_dir, exact=True)
 
 
 @register(

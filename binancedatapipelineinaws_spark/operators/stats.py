@@ -92,20 +92,58 @@ def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per branch).  Both engines interpolate the median identically
     (percentile ≡ quantile_cont); the outlier predicate compares
     UNROUNDED doubles built from the same arithmetic, so the flagged
-    row set matches exactly."""
+    row set matches exactly.
+
+    This exact form is the oracle; `mad_outliers_frame(exact=False)`
+    is the sketch-based scale path (two grouped approx_percentile
+    aggregates + broadcast join-backs, no whole-partition window) for
+    event types too large to buffer in one task."""
+    return mad_outliers_frame(spark, sf_dir, exact=True)
+
+
+def mad_outliers_frame(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    """MAD outliers with a path knob: exact=True buffers each event
+    type in one task (whole-partition percentile windows, the oracle
+    form); exact=False computes median and MAD as two grouped
+    `approx_percentile` aggregates (mergeable sketches,
+    partial-aggregated) with broadcast join-backs — event-type
+    cardinality bounds only the tiny stats tables, never one task's
+    buffer."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
-    med = ev.selectExpr(
-        "event_id",
-        "event_type",
-        "value",
-        "percentile(value, 0.5) OVER (PARTITION BY event_type) AS med",
-    )
-    dev = med.selectExpr(
-        "*",
-        "percentile(abs(value - med), 0.5)"
-        " OVER (PARTITION BY event_type) AS mad",
-    )
+    if exact:
+        med = ev.selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            "percentile(value, 0.5) OVER (PARTITION BY event_type) AS med",
+        )
+        dev = med.selectExpr(
+            "*",
+            "percentile(abs(value - med), 0.5)"
+            " OVER (PARTITION BY event_type) AS mad",
+        )
+    else:
+        from binancedatapipelineinaws_spark.operators.analytics import (
+            PCTL_ACCURACY,
+        )
+
+        meds = ev.groupBy("event_type").agg(
+            F.expr(f"approx_percentile(value, 0.5, {PCTL_ACCURACY})").alias(
+                "med"
+            )
+        )
+        med = ev.select("event_id", "event_type", "value").join(
+            F.broadcast(meds), "event_type"
+        )
+        mads = med.groupBy("event_type").agg(
+            F.expr(
+                f"approx_percentile(abs(value - med), 0.5, {PCTL_ACCURACY})"
+            ).alias("mad")
+        )
+        dev = med.join(F.broadcast(mads), "event_type")
     return dev.filter(
         F.abs(F.col("value") - F.col("med"))
         > MAD_K * MAD_SCALE * F.col("mad")
@@ -701,7 +739,31 @@ def q_ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts at every observed value (RANGE frame so ties step together),
     then a per-source max rollup.  No sort beyond the window's, no
     join of the corpus to itself; the per-source sizes table is
-    sources-bounded and joins broadcast."""
+    sources-bounded and joins broadcast.
+
+    This exact form is the oracle; `ks_drift_frame(exact=False)` is the
+    binned scale path — per-(source, bin) counts first, the cumulative
+    window over a sources x bins table — for sources too large to put
+    one source's rows in a single window task."""
+    return ks_drift_frame(spark, sf_dir, exact=True)
+
+
+KS_BINS = 256  # equal-width bins for the approximate (binned) KS path
+
+
+def ks_drift_frame(
+    spark: SparkSession, sf_dir: str, exact: bool = True, bins: int = KS_BINS
+) -> DataFrame:
+    """KS drift with a path knob.  exact=True (the registered oracle
+    path) runs the cumulative window over every document row — one
+    task per source.  exact=False bucketizes value into `bins`
+    equal-width buckets on the global range, partial-aggregates
+    per-(source, bin, half) counts (corpus-sized work is that one
+    combinable aggregate), and runs the cumulative window over the
+    sources x bins table — bounded, corpus-growth-insensitive.  The
+    binned statistic is the CDF gap sampled at bin edges: a lower
+    bound on the exact KS with error at most the largest bin's
+    probability mass."""
     prepare(spark)
     from pyspark.sql import Window
 
@@ -715,24 +777,63 @@ def q_ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             hex32(F.concat(F.lit("ks:"), F.col("doc_id").cast("string"))) % 2
         ).alias("half"),
     )
-    sizes = halves.groupBy("source").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    steps = halves.select(
-        "source",
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).over(w).alias("c0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).over(w).alias("c1"),
-    )
+    if exact:
+        sizes = halves.groupBy("source").agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        steps = halves.select(
+            "source",
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .over(w)
+            .alias("c0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .over(w)
+            .alias("c1"),
+        )
+    else:
+        rng = halves.agg(
+            F.min("v").alias("vmin"), F.max("v").alias("vmax")
+        )
+        binned = halves.crossJoin(F.broadcast(rng)).select(
+            "source",
+            "half",
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    * bins
+                    / (F.col("vmax") - F.col("vmin") + 1)
+                ),
+            ).alias("bin"),
+        )
+        cells = binned.groupBy("source", "bin").agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("b0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b1"),
+        )
+        sizes = cells.groupBy("source").agg(
+            F.sum("b0").cast("long").alias("n0"),
+            F.sum("b1").cast("long").alias("n1"),
+        )
+        wb = (
+            Window.partitionBy("source")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        steps = cells.select(
+            "source",
+            F.sum("b0").over(wb).alias("c0"),
+            F.sum("b1").over(wb).alias("c1"),
+        )
     # nullif: an empty half makes KS undefined (NULL), never an
     # ANSI divide-by-zero error
     gap = F.abs(

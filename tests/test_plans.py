@@ -405,6 +405,50 @@ def test_vocab_coverage_corpus_stage_is_term_count(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_winsorize_approx_path_is_partial_aggregated(spark):
+    # the 100 TB path: grouped approx_percentile (mergeable sketch,
+    # map-side combined) + broadcast join-back — no whole-partition
+    # window buffering one event type's rows in one task
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        winsorize_frame,
+    )
+
+    plan = _plan(winsorize_frame(spark, SF, exact=False))
+    assert "Window" not in plan
+    assert "approx_percentile" in plan
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mad_outliers_approx_path_is_partial_aggregated(spark):
+    from binancedatapipelineinaws_spark.operators.stats import (
+        mad_outliers_frame,
+    )
+
+    plan = _plan(mad_outliers_frame(spark, SF, exact=False))
+    assert "Window" not in plan
+    assert "approx_percentile" in plan
+    assert "partial_" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # median + MAD join-backs
+
+
+def test_ks_drift_binned_window_over_bins_not_rows(spark):
+    # binned path: corpus-sized work is one combinable (source, bin,
+    # half) count; the cumulative window orders by bin over the
+    # sources x bins table, never by per-document value
+    from binancedatapipelineinaws_spark.operators.stats import (
+        ks_drift_frame,
+    )
+
+    plan = _plan(ks_drift_frame(spark, SF, exact=False))
+    assert "partial_" in plan
+    assert plan.count("Window") == 1
+    win_seg = plan.split("Window", 1)[1].splitlines()[0]
+    assert "bin#" in win_seg  # window spec sorts bins, not doc values
+    assert "v#" not in win_seg
+    assert "BroadcastHashJoin" in plan
+
+
 def test_activity_gini_histogram_no_user_rank(spark):
     # count-of-counts Gini: no row_number over the users table at all;
     # the only window is a running sum over the events-per-user

@@ -836,3 +836,78 @@ def test_activity_gini_bounds(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert row["n_events"] == ev.count()
     assert row["n_users"] == ev.select("user_id").distinct().count()
+
+
+def test_winsorize_approx_close_to_exact(spark):
+    # the sketch path must agree with the exact path on which rows get
+    # clipped up to the approx_percentile rank tolerance; at sf0.001
+    # with accuracy 10k the boundaries land on (nearly) the same order
+    # statistics, so disagreement is a small fraction of rows
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        winsorize_frame,
+    )
+
+    exact = winsorize_frame(spark, SF, exact=True).select(
+        "event_id", "was_clipped"
+    )
+    approx = winsorize_frame(spark, SF, exact=False).select(
+        F.col("event_id").alias("event_id_a"),
+        F.col("was_clipped").alias("was_clipped_a"),
+    )
+    joined = exact.join(
+        approx, F.col("event_id") == F.col("event_id_a"), "full"
+    )
+    n = joined.count()
+    assert joined.filter(F.col("event_id_a").isNull()).count() == 0
+    disagree = joined.filter(
+        F.col("was_clipped") != F.col("was_clipped_a")
+    ).count()
+    assert disagree / n < 0.01
+
+
+def test_mad_outliers_approx_flags_superset_tolerance(spark):
+    from binancedatapipelineinaws_spark.operators.stats import (
+        mad_outliers_frame,
+    )
+
+    exact_ids = {
+        r["event_id"]
+        for r in mad_outliers_frame(spark, SF, exact=True)
+        .select("event_id")
+        .collect()
+    }
+    approx_ids = {
+        r["event_id"]
+        for r in mad_outliers_frame(spark, SF, exact=False)
+        .select("event_id")
+        .collect()
+    }
+    # symmetric difference bounded: sketch medians shift the threshold
+    # by at most the rank tolerance, flipping only borderline rows
+    denom = max(1, len(exact_ids | approx_ids))
+    assert len(exact_ids ^ approx_ids) / denom < 0.05
+
+
+def test_ks_drift_binned_lower_bounds_exact(spark):
+    # the binned statistic samples the CDF gap at bin edges: it can
+    # only UNDERSTATE the exact supremum, and with 256 bins over the
+    # test range it should be close
+    from binancedatapipelineinaws_spark.operators.stats import (
+        ks_drift_frame,
+    )
+
+    exact = {
+        r["source"]: r["ks_stat"]
+        for r in ks_drift_frame(spark, SF, exact=True).collect()
+    }
+    binned = {
+        r["source"]: r["ks_stat"]
+        for r in ks_drift_frame(spark, SF, exact=False).collect()
+    }
+    assert set(binned) == set(exact)
+    for src, ks in exact.items():
+        if ks is None:
+            assert binned[src] is None
+            continue
+        assert binned[src] <= ks + 1e-9
+        assert binned[src] >= ks - 0.08
