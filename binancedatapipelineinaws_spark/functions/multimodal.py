@@ -30,21 +30,85 @@ from binancedatapipelineinaws_spark.tables import load_table
 
 META_SCHEMA = (
     "doc_id long, n_bytes long, head_hex string, content_md5 string, "
-    "fake_width int, fake_height int"
+    "img_format string, fake_width int, fake_height int"
 )
 
 
 def decode_image(data: bytes) -> "object":
-    """Real decode kernel — requires an image library not present in
-    this container."""
+    """Full pixel decode — requires an image library not present in
+    this container.  Header-only metadata (format, width, height) does
+    NOT need it: `parse_image_header` below is dependency-free."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires pillow; container ships without it — "
-            "use fake_decode_meta for deterministic tests"
+            "pixel decode requires pillow; container ships without it — "
+            "parse_image_header covers format/dimensions without any "
+            "library, fake_decode_meta is the deterministic test fake"
         ) from exc
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(data)) here")
+
+
+def make_header_parser():
+    """Dependency-free image-header parser factory (struct module
+    only).  Built as a closure so cloudpickle ships it BY VALUE inside
+    the mapInPandas kernel — Spark's Python workers never import this
+    package.
+
+    Recognizes PNG (IHDR), BMP (BITMAPCOREHEADER / BITMAPINFOHEADER
+    family) and JPEG (SOF marker scan).  Validation is strict enough
+    that plain ASCII text can never parse: PNG and JPEG magics contain
+    non-ASCII bytes, and the BMP branch requires the little-endian DIB
+    header size at offset 14 to be a known constant (ASCII bytes there
+    decode to >= 0x20202020) — this is what keeps the text-corpus
+    oracle on the deterministic-fake branch on both engines."""
+    bmp_dib_sizes = frozenset({12, 40, 52, 56, 64, 108, 124})
+
+    def parse_image_header(data: bytes):
+        import struct
+
+        if (
+            len(data) >= 24
+            and data[:8] == b"\x89PNG\r\n\x1a\n"
+            and data[12:16] == b"IHDR"
+        ):
+            w, h = struct.unpack(">II", data[16:24])
+            return ("png", int(w), int(h))
+        if len(data) >= 26 and data[:2] == b"BM":
+            dib = struct.unpack("<I", data[14:18])[0]
+            if dib in bmp_dib_sizes:
+                if dib == 12:  # BITMAPCOREHEADER: 16-bit dimensions
+                    w, h = struct.unpack("<HH", data[18:22])
+                else:  # INFOHEADER+: 32-bit signed, height<0 = top-down
+                    w, h = struct.unpack("<ii", data[18:26])
+                return ("bmp", int(w), abs(int(h)))
+        if len(data) >= 4 and data[:3] == b"\xff\xd8\xff":
+            i = 2
+            while i + 9 <= len(data):
+                if data[i] != 0xFF:
+                    break
+                marker = data[i + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    i += 2  # standalone markers carry no length
+                    continue
+                if i + 4 > len(data):
+                    break
+                (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                    and i + 9 <= len(data)
+                ):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return ("jpeg", int(w), int(h))
+                i += 2 + seglen
+        return None
+
+    return parse_image_header
+
+
+# module-level alias for unit tests (driver-side use only)
+parse_image_header = make_header_parser()
 
 
 def fake_decode_meta(data: bytes) -> tuple[int, int]:
@@ -60,6 +124,8 @@ def make_extract_meta_kernel():
     package importable on their own sys.path (the external driver may
     launch from any CWD)."""
 
+    parse = make_header_parser()  # closure-local: pickled by value
+
     def extract_meta_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -71,14 +137,27 @@ def make_extract_meta_kernel():
         for pdf in batches:
             blobs = pdf["blob"]
             digests = [_hashlib.md5(b).hexdigest() for b in blobs]
+            headers = [parse(b) for b in blobs]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(b) for b in blobs],
                     "head_hex": [b[:8].hex() for b in blobs],
                     "content_md5": digests,
-                    "fake_width": [int(h[:8], 16) % 1920 for h in digests],
-                    "fake_height": [int(h[8:16], 16) % 1080 for h in digests],
+                    "img_format": [
+                        hdr[0] if hdr else None for hdr in headers
+                    ],
+                    # real header dimensions when the blob IS an image;
+                    # the md5-derived deterministic fake otherwise (the
+                    # oracle's text corpus always takes the fake branch)
+                    "fake_width": [
+                        hdr[1] if hdr else int(h[:8], 16) % 1920
+                        for hdr, h in zip(headers, digests)
+                    ],
+                    "fake_height": [
+                        hdr[2] if hdr else int(h[8:16], 16) % 1080
+                        for hdr, h in zip(headers, digests)
+                    ],
                 }
             )
 
@@ -96,6 +175,9 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
        lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
        md5(text) AS content_md5,
+       -- ASCII text can never satisfy the header parser's magic-byte
+       -- checks, so img_format is NULL for the whole oracle corpus
+       CAST(NULL AS VARCHAR) AS img_format,
        CAST(("""
     + " + ".join(
         f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
@@ -116,7 +198,11 @@ FROM documents
 def q_ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction through Arrow-batched
     mapInPandas (documents.text cast to binary stands in for image
-    bytes; ASCII corpus, so byte length == char length)."""
+    bytes; ASCII corpus, so byte length == char length).  Blobs that
+    ARE images (PNG/BMP/JPEG) get their real header dimensions via the
+    dependency-free parser; everything else gets the md5-derived
+    deterministic fake — the text corpus exercises only the fake
+    branch, which is what the oracle reproduces."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select(

@@ -911,3 +911,93 @@ def test_ks_drift_binned_lower_bounds_exact(spark):
             continue
         assert binned[src] <= ks + 1e-9
         assert binned[src] >= ks - 0.08
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    header = b"BM" + struct.pack("<IHHI", 26 + 40, 0, 0, 54)
+    dib = struct.pack("<IiiHH", 40, w, -h, 1, 24) + b"\x00" * 20
+    return header + dib
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x00\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_parser_real_formats_and_ascii_rejection():
+    from binancedatapipelineinaws_spark.functions.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_bmp_bytes(31, 17)) == ("bmp", 31, 17)
+    assert parse_image_header(_jpeg_bytes(1920, 1080)) == (
+        "jpeg",
+        1920,
+        1080,
+    )
+    # ASCII text must NEVER parse — including text that begins with the
+    # BMP magic letters (the strict DIB-size check rejects it), which
+    # is what keeps the text-corpus oracle on the fake branch
+    assert parse_image_header(b"the quick brown fox" * 3) is None
+    assert parse_image_header(b"BM deposits rose 4% quarter on quarter") is None
+    assert parse_image_header(b"GIF89a looks like an image but is text") is None
+    assert parse_image_header(b"") is None
+
+
+def test_multimodal_meta_reports_real_dims_through_spark(spark):
+    # the done-criterion from the r5 verdict: synthesized PNG/BMP/JPEG
+    # bytes flow through the SAME Arrow-batched mapInPandas kernel the
+    # registered query uses and come out with their true dimensions,
+    # while a text blob still gets the md5 fake
+    import hashlib
+
+    from binancedatapipelineinaws_spark.functions.multimodal import (
+        META_SCHEMA,
+        make_extract_meta_kernel,
+    )
+
+    text = b"plain old document text, no magic anywhere"
+    blobs = [
+        (1, bytearray(_png_bytes(800, 600))),
+        (2, bytearray(_bmp_bytes(64, 32))),
+        (3, bytearray(_jpeg_bytes(320, 240))),
+        (4, bytearray(text)),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            make_extract_meta_kernel(), schema=META_SCHEMA
+        ).collect()
+    }
+    assert (out[1]["img_format"], out[1]["fake_width"], out[1]["fake_height"]) \
+        == ("png", 800, 600)
+    assert (out[2]["img_format"], out[2]["fake_width"], out[2]["fake_height"]) \
+        == ("bmp", 64, 32)
+    assert (out[3]["img_format"], out[3]["fake_width"], out[3]["fake_height"]) \
+        == ("jpeg", 320, 240)
+    h = hashlib.md5(text).hexdigest()
+    assert out[4]["img_format"] is None
+    assert out[4]["fake_width"] == int(h[:8], 16) % 1920
+    assert out[4]["fake_height"] == int(h[8:16], 16) % 1080
+    assert out[4]["content_md5"] == h
