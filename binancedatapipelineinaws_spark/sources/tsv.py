@@ -252,12 +252,44 @@ def write_btcusdt_jdbc(
     Aurora load (lambda_function.py:26-32 `LOAD DATA FROM S3 ... INTO
     TABLE btcusdt`): every partition opens a connection and ships
     batched INSERTs, so ingest parallelism == partition count.  Needs
-    the target database's JDBC driver jar on the Spark classpath; the
-    container bakes none in, so tests exercise the codepath up to driver
-    resolution and skip beyond it (tests/test_sources_jdbc.py)."""
+    the target database's JDBC driver jar on the Spark classpath;
+    tests round-trip it against embedded Derby, which pyspark ships in
+    its own jars directory (tests/test_sources_jdbc.py) — against
+    Aurora only the URL and driver class change."""
     (
         df.write.mode(mode)
         .option("batchsize", 10000)
         .option("isolationLevel", "READ_COMMITTED")
         .jdbc(url, table, properties=properties or {})
     )
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC read — the verification side of the round-trip.  Without a
+    partition column the whole table arrives through one connection
+    (fine for dimension-sized reads); pass `partition_column` (a
+    numeric/date column) to split the scan into `num_partitions`
+    range-bounded queries for large tables — the reader probes
+    min/max once and fans out WHERE-clause slices."""
+    reader = spark.read
+    if partition_column is not None:
+        bounds = spark.read.jdbc(
+            url,
+            f"(SELECT min({partition_column}) lo,"
+            f" max({partition_column}) hi FROM {table}) b",
+            properties=properties or {},
+        ).first()
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds["LO"]))
+            .option("upperBound", str(bounds["HI"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.jdbc(url, table, properties=properties or {})
