@@ -151,3 +151,37 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- cluster state-store sizing ---------------------------------------------
+
+ROCKSDB_STATE_CONF = {
+    # At 100 TB / billions of keys the default HDFS-backed state store
+    # keeps every key's state in executor heap — the sessionizer's
+    # per-user rows alone would OOM an executor.  RocksDB spills state
+    # to local disk with bounded memory and makes checkpoints
+    # incremental (changelog), so state size is bounded by disk, not
+    # heap, and restore time by the changelog, not the full snapshot.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+    # cap RocksDB block-cache + memtable memory per executor instead of
+    # letting every loaded store grab its own default
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "2048",
+}
+
+
+def apply_rocksdb_state_conf(spark) -> None:
+    """Opt a session into the RocksDB state store for the cluster path.
+    Local replay tests keep the default provider (state row counts are
+    asserted against distinct keys either way —
+    tests/test_streaming.py::test_sessionizer_state_bounded_by_distinct_keys);
+    on a real cluster call this BEFORE starting stateful queries: the
+    provider is fixed per checkpoint location."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
