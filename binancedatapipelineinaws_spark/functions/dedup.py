@@ -188,9 +188,10 @@ MINHASH_A = [(((j + 1) * 2_654_435_761) % (1 << 20)) | 1 for j in range(N_HASHES
 MINHASH_B = [((j + 1) * 40_503_919) % (1 << 40) for j in range(N_HASHES)]
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> h0..h15: min over shingles of 16 permutation hashes."""
-    rows = shingle_rows(spark, sf_dir).select(
+def minhash_signature_for(docs: DataFrame) -> DataFrame:
+    """doc_id -> h0..h15 for any (doc_id, text) frame: min over shingles
+    of 16 permutation hashes."""
+    rows = shingle_rows_for(docs).select(
         "doc_id", hex32(F.col("s")).alias("x")
     )
     aggs = [
@@ -200,6 +201,11 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(N_HASHES)
     ]
     return rows.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> h0..h15: min over shingles of 16 permutation hashes."""
+    return minhash_signature_for(load_table(spark, sf_dir, "documents"))
 
 
 def _duck_sig_cte() -> str:

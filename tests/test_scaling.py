@@ -167,3 +167,162 @@ def test_bigram_lm_table_is_vocab_bounded(spark):
         )
     )
     assert doubled == single
+
+
+# --- 10x dedup stress: the hot-shingle k^2 bomb and the band knobs ----------
+
+
+def _hot_corpus(spark, n_docs):
+    """Every doc shares an identical boilerplate run (hot shingles with
+    df == n_docs) followed by a doc-unique tail: the worst case for any
+    shingle-keyed join."""
+    import pyspark.sql.functions as F
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    tail = [F.concat(F.lit(f"t{j}x"), F.col("id").cast("string")) for j in range(12)]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit(boiler), *tail).alias("text"),
+    )
+
+
+def test_shingle_df_cap_keeps_candidate_volume_linear(spark):
+    """The r5-verdict stress: at 10x corpus scale the df-cap must hold
+    the verify-join volume to ~linear growth; without it the hot
+    shingle alone materializes k^2/2 join rows."""
+    import pyspark.sql.functions as F
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        capped_shingle_rows,
+        shingle_rows_for,
+    )
+
+    CAP = 100  # force the cap to be active at both scales
+
+    def verify_join_rows(n_docs, capped):
+        sh = shingle_rows_for(_hot_corpus(spark, n_docs))
+        if capped:
+            sh = capped_shingle_rows(sh, cap=CAP)
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        return pairs.count()
+
+    base_uncapped = verify_join_rows(200, capped=False)
+    assert base_uncapped >= (200 * 199 // 2) * 8  # the k^2 bomb is real
+    base = verify_join_rows(200, capped=True)
+    ten_x = verify_join_rows(2000, capped=True)
+    # unique-tail shingles never collide across docs, so the capped
+    # pipeline's join volume must grow ~linearly (10x docs -> ~10x
+    # rows, far from the 100x a quadratic term would add)
+    assert ten_x <= 15 * max(base, 1), (base, ten_x)
+
+
+def test_df_cap_triggers_at_default_threshold_at_10x(spark):
+    """At 10x (2000 docs) the DEFAULT SHINGLE_DF_CAP actually fires on
+    the hot fixture (df=2000 > 1000) while sub-cap shingles survive."""
+    import pyspark.sql.functions as F
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        capped_shingle_rows,
+        shingle_rows_for,
+    )
+
+    sh = shingle_rows_for(_hot_corpus(spark, 2000))
+    capped = capped_shingle_rows(sh)
+    hot_left = (
+        capped.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1000)
+        .count()
+    )
+    assert hot_left == 0
+    # the unique tails are untouched: every doc keeps its own shingles
+    assert capped.select("doc_id").distinct().count() == 2000
+
+
+def test_band_width_sweep_bounds_buckets_and_keeps_dup_recall(spark):
+    """rows_per_band sweep over the same 16 minhashes: wider bands ->
+    (weakly) smaller max bucket; every width still buckets planted
+    exact duplicates together; no bucket approaches corpus size."""
+    import pyspark.sql.functions as F
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        N_HASHES,
+        minhash_signature_for,
+    )
+
+    docs = _hot_corpus(spark, 1000)
+    # plant 25 exact-duplicate pairs: doc_id 2000+i duplicates doc i
+    dups = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    sig = minhash_signature_for(docs.union(dups)).cache()
+
+    def band_stats(rows_per_band):
+        n_bands = N_HASHES // rows_per_band
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{j}:"),
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    *[
+                                        F.col(
+                                            f"h{j * rows_per_band + k}"
+                                        ).cast("string")
+                                        for k in range(rows_per_band)
+                                    ],
+                                )
+                            ),
+                        )
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        max_bucket = (
+            bands.groupBy("band_key")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+        )
+        planted_found = cand.filter(
+            (F.col("b.doc_id") - F.col("a.doc_id")) == 2000
+        ).count()
+        return max_bucket, planted_found
+
+    stats = {rpb: band_stats(rpb) for rpb in (2, 4, 8)}
+    sig.unpersist()
+    for rpb, (max_bucket, planted_found) in stats.items():
+        # identical docs always share every band: recall on exact dups
+        # is structural, at every band width
+        assert planted_found == 25, (rpb, planted_found)
+    # wider bands are (weakly) more selective
+    assert stats[8][0] <= stats[4][0] <= stats[2][0]
+    # the production width (ROWS_PER_BAND=4) holds buckets to a small
+    # constant on this boilerplate-heavy corpus (measured: 51 of 1025
+    # docs; candidates 2288); the narrow 2-row bands are the
+    # demonstrated blowup (400-doc bucket, 149k candidates) — the
+    # reason the default is 4, pinned here so a knob change that
+    # reintroduces the blowup fails loudly
+    assert stats[4][0] <= 60, stats[4]
+    assert stats[8][0] <= 10, stats[8]
+    assert stats[2][0] > 5 * stats[4][0]
