@@ -960,3 +960,84 @@ def q_ext_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+# --- per-label centroid geometry ---------------------------------------------
+
+
+@register(
+    "q_ext_label_centroids",
+    oracle=f"""
+WITH exploded AS (
+  SELECT label, d, CAST(embedding[d + 1] AS DECIMAL(18,9)) AS vd
+  FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS d) t
+),
+cells AS (
+  SELECT label, d, sum(vd) AS sd, CAST(sum(vd) AS DOUBLE) AS s,
+         count(*) AS n_l
+  FROM exploded GROUP BY label, d
+),
+gctr AS (
+  -- exact decimal partials re-aggregate associatively, so the global
+  -- mean is bit-identical however the labels partition the sum
+  SELECT d, CAST(sum(sd) AS DOUBLE) / CAST(sum(n_l) AS BIGINT) AS g
+  FROM cells GROUP BY d
+),
+per AS (
+  SELECT c.label,
+         CAST(max(c.n_l) AS BIGINT) AS n_vecs,
+         sum((c.s / c.n_l) * (c.s / c.n_l)) AS norm2,
+         sum((c.s / c.n_l - g.g) * (c.s / c.n_l - g.g)) AS d2
+  FROM cells c JOIN gctr g ON c.d = g.d
+  GROUP BY c.label
+)
+SELECT CAST(label AS BIGINT) AS label, n_vecs,
+       round(sqrt(norm2), 6) AS centroid_norm,
+       round(sqrt(d2), 6) AS dist_to_global
+FROM per
+""",
+)
+def q_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid geometry: each label's mean embedding norm
+    and its distance to the global centroid — the class-separation
+    diagnostic read before trusting labels for stratified sampling or
+    a classifier probe (labels whose centroids collapse onto the
+    global mean carry no signal; far-out centroids flag label leakage
+    or batch effects).
+
+    Plan: ONE posexplode pass partial-aggregated to (label, dim) cells
+    (exact decimal component sums, the embed_dim_profile discipline);
+    the global centroid is the dims-bounded rollup of the same cells,
+    broadcast back; everything after the first aggregate is bounded by
+    labels x dims, independent of corpus size."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("d", "v_raw")
+    ).select(
+        "label", "d", F.col("v_raw").cast("decimal(18,9)").alias("vd")
+    )
+    cells = ex.groupBy("label", "d").agg(
+        F.sum("vd").alias("sd"),
+        F.sum("vd").cast("double").alias("s"),
+        F.count("*").alias("n_l"),
+    )
+    glob = cells.groupBy("d").agg(
+        (F.sum("sd").cast("double") / F.sum("n_l")).alias("g")
+    )
+    m = F.col("s") / F.col("n_l")
+    per = (
+        cells.join(F.broadcast(glob), "d")
+        .groupBy("label")
+        .agg(
+            F.max("n_l").cast("long").alias("n_vecs"),
+            F.sum(m * m).alias("norm2"),
+            F.sum((m - F.col("g")) * (m - F.col("g"))).alias("d2"),
+        )
+    )
+    return per.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        F.round(F.sqrt("norm2"), 6).alias("centroid_norm"),
+        F.round(F.sqrt("d2"), 6).alias("dist_to_global"),
+    )

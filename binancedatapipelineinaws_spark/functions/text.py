@@ -894,3 +894,78 @@ def q_ext_hapax_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         hap.cast("long").alias("n_hapax"),
         F.round(hap / F.count("*").cast("double"), 6).alias("hapax_frac"),
     )
+
+
+# --- out-of-vocabulary rate --------------------------------------------------
+
+OOV_VOCAB_K = 1000  # vocabulary budget the OOV rate is measured against
+
+
+@register(
+    "q_ext_oov_rate",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM words GROUP BY term),
+vocab AS (
+  SELECT term FROM counts
+  ORDER BY n DESC, term LIMIT {OOV_VOCAB_K}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+flags AS (
+  SELECT t.doc_id,
+         CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS nt, sum(oov) AS no
+  FROM flags GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(p.no / CAST(p.nt AS DOUBLE)), 6) AS mean_oov_rate
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def q_ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean out-of-vocabulary token rate per source against a
+    top-{OOV_VOCAB_K} corpus vocabulary — the tokenizer-impact number
+    a vocab-size decision turns into: how much of each source falls
+    outside the head the tokenizer will cover (q_ext_vocab_coverage
+    answers the corpus-wide version; this localizes the damage).
+
+    Plan: term counts (partial-aggregated explode) -> top-K via
+    `orderBy().limit()` = TakeOrderedAndProject (the constant-bounded
+    top-k, never a full-vocabulary sort) -> K-row vocab broadcast
+    against the token stream (map-only flag, no shuffle of the corpus)
+    -> two bounded rollups.  Ties at the K boundary break on
+    (count desc, term) identically in both engines."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flags = toks.join(F.broadcast(vocab), "term", "left")
+    per_doc = flags.groupBy("doc_id", "source").agg(
+        F.count("*").alias("nt"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "no"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(F.col("no") / F.col("nt").cast("double")), 6
+        ).alias("mean_oov_rate"),
+    )

@@ -660,3 +660,276 @@ def q_ext_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+
+@register(
+    "q_ext_rfm",
+    oracle="""
+WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 6) AS monetary,
+         max(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY o_custkey
+)
+SELECT p.o_custkey AS custkey,
+       CAST(date_diff('day', p.last_order, m.mx) AS BIGINT) AS recency_days,
+       CAST(p.frequency AS BIGINT) AS frequency,
+       p.monetary
+FROM per p CROSS JOIN maxd m
+""",
+)
+def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM base table: per-customer Recency (days since last order,
+    measured from the corpus frontier), Frequency (order count) and
+    Monetary (total spend) — the raw inputs every RFM segmentation
+    cuts into tiers.  Tier boundaries are policy, so this emits the
+    measures, not quintile labels (a quintile window over customers
+    would be the exact unpartitioned-rank scale-killer the r5 verdict
+    had us remove from activity_gini).
+
+    Plan: ONE partial-aggregated per-customer pass; the corpus
+    frontier is a 1-row aggregate attached by broadcast."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    frontier = o.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+    )
+    return per.crossJoin(F.broadcast(frontier)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff("mx", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+
+# --- top-1% concentration ----------------------------------------------------
+
+
+@register(
+    "q_ext_pareto_share",
+    oracle="""
+WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+tot AS (
+  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
+         CAST(ceil(count(*) / 100.0) AS BIGINT) AS k
+  FROM per
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS r FROM per
+)
+SELECT CAST(t.n AS BIGINT) AS n_users,
+       t.k AS top_k,
+       round(sum(CASE WHEN r.r <= t.k THEN c ELSE 0 END)
+             / CAST(t.total AS DOUBLE), 6) AS top_share
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.n, t.k, t.total
+""",
+)
+def q_ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of all events produced by the top 1% most-active users —
+    the concentration headline q_ext_activity_gini summarizes as a
+    coefficient ("the top 1% generate X% of traffic").
+
+    Plan (scale-safe top-k sum, same trick as the histogram Gini): the
+    oracle ranks every user, but the top-k SUM is order-independent
+    within a count tie, so it falls out of the events-per-user
+    histogram: users with count above the boundary contribute fully,
+    the boundary count contributes (k - users_above) * c.  Windows run
+    over the histogram (bounded by max events-per-user), never over
+    users."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    hist = per.groupBy("c").agg(F.count("*").alias("m"))
+    order = Window.partitionBy().orderBy(F.col("c").desc())
+    above = F.coalesce(
+        F.sum("m").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    whole = Window.partitionBy()
+    n = F.sum("m").over(whole)
+    k = F.ceil(n / F.lit(100.0)).cast("long")
+    total = F.sum(F.col("c") * F.col("m")).over(whole)
+    take = F.greatest(
+        F.lit(0), F.least(F.col("m"), k - above)
+    )  # rows of this count inside the top-k
+    blk = hist.select(
+        (take * F.col("c")).alias("top_c"),
+        n.alias("n"),
+        k.alias("k"),
+        total.alias("total"),
+    )
+    return blk.groupBy("n", "k", "total").agg(
+        F.sum("top_c").alias("top_sum")
+    ).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").alias("top_k"),
+        F.round(
+            F.col("top_sum") / F.col("total").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+# --- activity burstiness -----------------------------------------------------
+
+
+@register(
+    "q_ext_burstiness",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       count(*) AS n_days,
+       round(avg(n), 6) AS mean_daily,
+       round(var_samp(n) / avg(n), 6) AS fano
+FROM daily GROUP BY user_id
+""",
+)
+def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness as the Fano factor of daily event counts
+    (variance/mean): ~1 = Poisson-like organic activity, >>1 = bursty
+    (campaign spikes, scraper sweeps), <<1 = metronomic automation —
+    the temporal complement of q_ext_activity_gini's volume view.
+    Single-day users get NULL (variance undefined), never a crash.
+
+    Plan: two stacked partial-aggregated groupBys ((user, day) then
+    user) — no window, no join; both shuffles are on uniform keys."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return daily.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("mean_daily"),
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    )
+
+
+# --- weekday x type profile --------------------------------------------------
+
+
+@register(
+    "q_ext_weekday_profile",
+    oracle="""
+WITH cell AS (
+  SELECT isodow(ts) AS dow, event_type, count(*) AS n
+  FROM events GROUP BY isodow(ts), event_type
+)
+SELECT CAST(dow AS BIGINT) AS dow, event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS type_share
+FROM cell
+""",
+)
+def q_ext_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity mix per event type (ISO weekday 1=Monday):
+    the seasonality fingerprint that catches a source whose traffic
+    pattern shifts (bot traffic is flat across the week, human traffic
+    is not).  Complement of q_ext_seasonality's hour-of-day view.
+
+    Plan: one (7 x types)-bounded aggregate; the share window runs
+    over that tiny cells table."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("dow"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return cell.select(
+        "dow",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias(
+            "type_share"
+        ),
+    )
+
+
+# --- per-user session summary ------------------------------------------------
+
+
+@register(
+    "q_ext_session_stats",
+    oracle=f"""
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                   > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gapped
+),
+sessions AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s
+  FROM labeled GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(n_events), 6) AS avg_session_events,
+       round(avg(dur_s), 6) AS avg_session_seconds
+FROM sessions GROUP BY user_id
+""",
+)
+def q_ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup over the q_ext_sessionize labels:
+    session count, events per session, mean session duration — the
+    engagement summary the event-level labels exist to feed.
+
+    Plan: the same single (user_id; ts) gaps-and-islands window pass
+    as q_ext_sessionize, then two partial-aggregated rollups
+    ((user, session) then user).  One window exchange + two combinable
+    shuffles; per-task state is one user's rows, as in every per-user
+    window."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    labeled = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(wsum).alias("session_idx"),
+    )
+    sessions = labeled.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.round(F.avg("dur_s"), 6).alias("avg_session_seconds"),
+    )

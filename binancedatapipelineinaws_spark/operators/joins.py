@@ -361,3 +361,126 @@ def q_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_ext_ship_delay",
+    oracle="""
+WITH delays AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS delay
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(avg(delay), 6) AS avg_delay_days,
+       round(quantile_cont(delay, 0.5), 6) AS p50,
+       round(quantile_cont(delay, 0.95), 6) AS p95
+FROM delays GROUP BY o_orderpriority
+""",
+)
+def q_ext_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    fulfillment-SLA query (is URGENT actually shipped faster, and by
+    how much at the tail?).
+
+    Plan: the classic fact-fact equi-join shuffled on the shared order
+    key (both sides partial-projected to two columns before the
+    exchange), then a priorities-bounded aggregate; `percentile`
+    buffers one priority's delays per task — the
+    q_ext_len_bands_by_lang discipline, with approx_percentile as the
+    documented 100 TB swap."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    delays = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("delay")
+    )
+    return delays.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.avg("delay"), 6).alias("avg_delay_days"),
+        F.round(F.expr("percentile(delay, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(delay, 0.95)"), 6).alias("p95"),
+    )
+
+
+@register(
+    "q_ext_tpch_q5",
+    oracle="""
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q_ext_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from lineitems where
+    the supplier and the ordering customer share a nation, per nation,
+    for one region and a date range — the 6-table join benchmark
+    classic, exercising a join ON a non-key equality (s_nationkey =
+    c_nationkey) threaded through the fact chain.
+
+    Plan: region/nation/supplier/customer are dims -> broadcast (the
+    nation-region prefilter shrinks customer before it ships); the
+    date filter pushes into the orders scan; the only shuffles are the
+    fact-fact orders-lineitem join and the final nations-bounded
+    aggregate.  Exact-decimal revenue summed order-independently, cast
+    to double at the boundary (the q_join_topk_revenue discipline)."""
+    prepare(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    revenue = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+    )

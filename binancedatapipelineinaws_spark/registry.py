@@ -77,31 +77,30 @@ def _load_all() -> None:
 # latest driver row is not clean, so every round the ~50-query window
 # lands on the least-verified part of the surface and coverage rotates to
 # completion by itself.  `_PRIORITY` fixes the order WITHIN that policy
-# for this round: first the 9 queries that ERR'd in r03/r04 on the
-# testdata TIMESTAMP_NTZ switch (fixed in tables._load_events), then the
-# 8 hash-mismatch rows fixed by the dtype-parity sweep
-# (tools/check_dtypes.py — DuckDB sum(int) is HUGEINT -> pandas float64
-# vs Spark bigint -> int64).
+# for this round: every query whose PLAN changed in round 6 (the three
+# descaled windows, the two oracle-parity hardenings, the multimodal
+# header parser, the minhash refactor path) must re-verify before
+# anything already-green gets a redundant slot.  Round-6 NEW queries are
+# unverified, so the front-loading rule already puts them first.
 _PRIORITY: tuple[str, ...] = (
-    # r03/r04 ERR: unix_millis(TIMESTAMP_NTZ) — loader now normalizes
-    "q_scan_tsv",
-    "q_sink_tsv",
-    "q_sink_table_append",
-    "q_scan_tsv_quarantine",
-    "q_ext_twap",
-    "q_ext_realized_vol",
-    "q_ext_drawdown",
-    "q_ext_return_autocorr",
-    "q_ext_seasonality",
-    # r02/r03/r04 hash mismatch: pandas dtype parity fixed
-    "q_agg_ohlcv_rollup_5min",
-    "q_scan_merge_schema",
-    "q_ext_quantize",
-    "q_ext_dupspan",
-    "q_ext_curation_pipeline",
-    "q_ext_token_budget",
-    "q_ext_pack_sequences",
-    "q_ext_cms_error",
+    # r6 plan rewrites: corpus-size-independent windows
+    "q_ext_zipf_slope",
+    "q_ext_vocab_coverage",
+    "q_ext_activity_gini",
+    # r6 oracle-parity hardening (ADVICE.md): floor-before-CAST epoch,
+    # 9-dp rounding before floor on the pow ratio
+    "q_ext_sessionize",
+    "q_ext_temperature_resample",
+    # r6 schema extension: img_format column from the header parser
+    "q_ext_multimodal_meta",
+    # r6 refactor touched the shared signature path
+    "q_ext_dedup_minhash",
+    "q_ext_dedup_near",
+    "q_ext_dedup_survivors",
+    # exact paths behind the new exact/approx knobs (values unchanged)
+    "q_ext_winsorize",
+    "q_ext_mad_outliers",
+    "q_ext_ks_drift",
 )
 
 
