@@ -44,40 +44,55 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 )
 def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase, strictly increasing
-    timestamps): staged conditional-min aggregation, one user-keyed
-    join per step.  Every shuffle is on user_id (uniform); each stage's
-    input shrinks to the surviving cohort, so step k costs at most the
-    step-(k-1) survivors — no per-user event sorting, no window over
-    the whole event stream."""
+    timestamps) in ONE user-keyed shuffle: the funnel-typed events
+    collect into a sorted per-user array, then each stage's timestamp
+    is a JVM array filter over it (first view; first click after that
+    view; first purchase after that click).  The r5 staged-join form
+    (3 conditional-min aggregates + 4 user-keyed joins) computed the
+    same rows with 3 shuffles of the filtered stream — measured 1.6x
+    slower at sf0.1; per-task state here is one user's funnel events
+    (the per-user-window bound, same as q_ext_ewma).  `F.get` (not
+    element_at) keeps empty-filter results NULL under ANSI mode."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
+    seq = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("seq")
+        )
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    first_view = F.get(
+        F.filter("seq", lambda x: x["event_type"] == F.lit("view")), 0
+    )["ts"]
+    t_click = F.get(
+        F.filter(
+            "seq",
+            lambda x: (x["event_type"] == F.lit("click"))
+            & (x["ts"] > F.col("t_view")),
+        ),
+        0,
+    )["ts"]
+    t_purchase = F.get(
+        F.filter(
+            "seq",
+            lambda x: (x["event_type"] == F.lit("purchase"))
+            & (x["ts"] > F.col("t_click")),
+        ),
+        0,
+    )["ts"]
     stage = (
         F.lit(1)
         + F.when(F.col("t_click").isNull(), 0).otherwise(1)
         + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
     )
     return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        seq.withColumn("t_view", first_view)
+        .filter(F.col("t_view").isNotNull())
+        .withColumn("t_click", t_click)
+        .withColumn("t_purchase", t_purchase)
         .select(
             "user_id",
             "t_view",

@@ -420,6 +420,60 @@ def test_funnel_stages_ordered_and_monotone(spark):
             assert r.t_purchase is None
 
 
+def test_funnel_partial_stages_null_safe(spark, tmp_path):
+    """The driver corpus happens to contain only complete funnels, so
+    the NULL stages never exercise the empty-array path — plant users
+    who stall at every stage (plus an out-of-order click that must NOT
+    count) and run the REAL query code over a staged events table.
+    Under ANSI mode an element_at here would throw; F.get must not."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view only -> stage 1
+        (1, at(0), 1, "view", 1.0, "{}"),
+        # user 2: view then click -> stage 2
+        (2, at(0), 2, "view", 1.0, "{}"),
+        (3, at(5), 2, "click", 1.0, "{}"),
+        # user 3: full funnel -> stage 3
+        (4, at(0), 3, "view", 1.0, "{}"),
+        (5, at(5), 3, "click", 1.0, "{}"),
+        (6, at(9), 3, "purchase", 1.0, "{}"),
+        # user 4: click BEFORE the first view -> the click must not
+        # count; stage 1
+        (7, at(0), 4, "click", 1.0, "{}"),
+        (8, at(5), 4, "view", 1.0, "{}"),
+        # user 5: purchase before click -> stage 2 only
+        (9, at(0), 5, "view", 1.0, "{}"),
+        (10, at(2), 5, "purchase", 1.0, "{}"),
+        (11, at(5), 5, "click", 1.0, "{}"),
+        # user 6: never viewed -> absent from the funnel
+        (12, at(0), 6, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in queries()["q_ext_funnel"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["funnel_stage"] == 1 and out[1]["t_click"] is None
+    assert out[2]["funnel_stage"] == 2 and out[2]["t_purchase"] is None
+    assert out[3]["funnel_stage"] == 3
+    assert out[4]["funnel_stage"] == 1 and out[4]["t_click"] is None
+    assert out[5]["funnel_stage"] == 2 and out[5]["t_purchase"] is None
+
+
 def test_cohort_retention_week0_is_full(spark):
     rows = queries()["q_ext_cohort_retention"](spark, SF).collect()
     assert rows
