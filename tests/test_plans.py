@@ -459,3 +459,48 @@ def test_activity_gini_histogram_no_user_rank(spark):
     assert plan.count("Window") == 1
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
+    plan = _plan(queries()["q_ext_tpch_q5"](spark, SF))
+    # all four dims arrive by broadcast; the only SMJ/shuffle join
+    # allowed is the fact-fact orders-lineitem one
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # date filter reaches the orders scan (DataFilters on the FileScan)
+    assert any(
+        "FileScan" in line and "o_orderdate" in line and ">=" in line
+        for line in plan.splitlines()
+    )
+
+
+def test_oov_rate_vocab_is_takeordered_and_broadcast(spark):
+    plan = _plan(queries()["q_ext_oov_rate"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # no vocabulary-sized rank window
+
+
+def test_pareto_share_no_user_sized_window(spark):
+    # same contract as the histogram Gini: windows only over the
+    # events-per-user histogram, never a row_number over users
+    plan = _plan(queries()["q_ext_pareto_share"](spark, SF))
+    assert "row_number" not in plan
+    assert "partial_" in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    # the one-pass funnel: exactly one user-keyed exchange feeds the
+    # collect_list aggregate; no join remains
+    plan = _plan(queries()["q_ext_funnel"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_stats_one_window_exchange(spark):
+    # the session window and both rollups share the user_id
+    # partitioning: one exchange total
+    plan = _plan(queries()["q_ext_session_stats"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
