@@ -51,6 +51,11 @@ HEADLINE = [
     "q_ext_semdedup",
     "q_ext_sessionize",
     "q_ext_ngram_novelty",
+    # round-6 additions: the 6-table join classic, the TakeOrdered
+    # vocab path, and the single-shuffle session rollup
+    "q_ext_tpch_q5",
+    "q_ext_oov_rate",
+    "q_ext_session_stats",
 ]
 
 
