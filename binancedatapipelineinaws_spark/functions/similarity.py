@@ -1041,3 +1041,70 @@ def q_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("norm2"), 6).alias("centroid_norm"),
         F.round(F.sqrt("d2"), 6).alias("dist_to_global"),
     )
+
+
+# --- vector-norm outliers ----------------------------------------------------
+
+
+@register(
+    "q_ext_norm_outliers",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id,
+         CAST(round(sqrt({duck_dot("embedding", "embedding")}), 9)
+              AS DECIMAL(18,9)) AS nrm
+  FROM embeddings
+),
+stats AS (
+  -- decimal norms sum exactly, so mean/std are schedule-independent
+  SELECT CAST(sum(nrm) AS DOUBLE) / count(*) AS mu,
+         sqrt(greatest(
+           CAST(sum(nrm * nrm) AS DOUBLE) / count(*)
+           - (CAST(sum(nrm) AS DOUBLE) / count(*))
+             * (CAST(sum(nrm) AS DOUBLE) / count(*)), 0)) AS sd
+  FROM norms
+)
+SELECT n.vec_id,
+       round(CAST(n.nrm AS DOUBLE), 6) AS nrm,
+       round((CAST(n.nrm AS DOUBLE) - s.mu) / nullif(s.sd, 0), 6) AS z,
+       CASE WHEN abs((CAST(n.nrm AS DOUBLE) - s.mu) / nullif(s.sd, 0)) > 3
+            THEN 1 ELSE 0 END AS is_outlier
+FROM norms n CROSS JOIN stats s
+""",
+)
+def q_ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm z-scores and 3-sigma outlier flags: truncated or
+    corrupt vectors land near zero norm, doubled/unnormalized batches
+    far above — the 30-second sanity check before any cosine-based
+    operator (a degenerate norm poisons every similarity it touches).
+
+    Plan: map-only sequential-fold norms (the engine's deterministic
+    dot), rounded to 9 dp and summed as exact decimals so mean/std are
+    partial-agg-schedule independent; the 1-row stats table attaches by
+    broadcast — corpus-sized work is one projection + one combinable
+    aggregate."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 9)
+        .cast("decimal(18,9)")
+        .alias("nrm"),
+    )
+    n = F.count("*")
+    s1 = F.sum("nrm").cast("double")
+    s2 = F.sum(F.col("nrm") * F.col("nrm")).cast("double")
+    mu = s1 / n
+    stats = norms.agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0))).alias("sd"),
+    )
+    z = (F.col("nrm").cast("double") - F.col("mu")) / F.expr(
+        "nullif(sd, 0.0)"
+    )
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round(F.col("nrm").cast("double"), 6).alias("nrm"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_outlier"),
+    )

@@ -484,3 +484,70 @@ def q_ext_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
     )
+
+
+@register(
+    "q_ext_tpch_q10",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(c_acctbal, 6) AS c_acctbal,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_ext_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (public spec, adapted to this schema's columns):
+    the top customers by revenue lost to returned items in a window —
+    the returned-item report joining both facts with two dims.
+
+    Plan: customer and nation broadcast; the return-flag and date
+    filters push into the lineitem/orders scans; one fact-fact shuffle;
+    exact-decimal revenue; the top-20 is TakeOrderedAndProject with a
+    deterministic (revenue desc, custkey) tiebreak in both engines."""
+    prepare(spark)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    dec = "decimal(18,2)"
+    revenue = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
