@@ -1108,3 +1108,90 @@ def q_ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_outlier"),
     )
+
+
+# --- cosine-distribution calibration -----------------------------------------
+
+CALIB_SAMPLE = 100  # vectors in the calibration sample (pairs = n(n-1)/2)
+CALIB_BIN_W = 0.05  # histogram bin width over [-1, 1]
+
+
+@register(
+    "q_ext_cosine_calib",
+    oracle=f"""
+WITH pairs AS (
+  SELECT round({_DUCK_COS}, 9) AS cos_sim
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < c.vec_id AND c.vec_id < {CALIB_SAMPLE}
+),
+binned AS (
+  SELECT least(greatest(CAST(floor((cos_sim + 1.0) / {CALIB_BIN_W})
+                             AS BIGINT), 0),
+               CAST(2.0 / {CALIB_BIN_W} AS BIGINT) - 1) AS bin
+  FROM pairs
+)
+SELECT bin,
+       -- CAST: DuckDB parses the literal as DECIMAL and would return a
+       -- decimal bin_lo -> pandas object, hash-mismatching Spark's double
+       round(CAST(-1.0 + bin * {CALIB_BIN_W} AS DOUBLE), 6) AS bin_lo,
+       count(*) AS n_pairs,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+         AS frac
+FROM binned GROUP BY bin
+""",
+)
+def q_ext_cosine_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise cosine over a fixed {CALIB_SAMPLE}-vector
+    sample — the background-similarity distribution a near-dup or
+    semdedup threshold must clear (a 0.9 cutoff means nothing until
+    you know where random pairs of YOUR corpus sit).
+
+    Plan: the pair join is bounded by the sample constant
+    ({CALIB_SAMPLE}^2/2 pairs, never corpus-sized — the sample side is
+    a broadcast); cosines use the engine's sequential-fold dot (rounded
+    to 9 dp before binning so the bin edge cannot flip between
+    engines); output is bins-bounded with a share window over the tiny
+    histogram."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < CALIB_SAMPLE).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = sample.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+    )
+    n_bins = int(2.0 / CALIB_BIN_W)
+    bin_col = F.least(
+        F.greatest(
+            F.floor((cos + 1.0) / CALIB_BIN_W).cast("long"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        bin_col.alias("bin")
+    )
+    w = Window.partitionBy()
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(-1.0 + F.col("bin") * CALIB_BIN_W, 6).alias("bin_lo"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs")
+                / F.sum("n_pairs").over(w).cast("double"),
+                6,
+            ).alias("frac"),
+        )
+    )
