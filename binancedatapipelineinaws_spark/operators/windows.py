@@ -171,19 +171,27 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_range_frame",
     oracle="""
 SELECT event_id, user_id, ts,
+       -- floor() before the RANGE compare: DuckDB's epoch() keeps the
+       -- fractional seconds while Spark's unix_timestamp FLOORS, so an
+       -- event pair whose true gap is within 1 s of the 3600 s frame
+       -- boundary would land inside the frame in one engine and
+       -- outside in the other (the q_ext_sessionize hazard, r6 ADVICE)
        CAST(sum(CAST(value AS DECIMAL(18,2)))
-            OVER (PARTITION BY user_id ORDER BY epoch(ts)
+            OVER (PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_1h_value,
-       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h_n
 FROM events
 """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range frame: trailing 1 hour per user (RANGE, not ROWS —
-    frame is defined by event-time distance).  epoch(ts) is
-    second-granularity in both engines (truncation of micros)."""
+    frame is defined by event-time distance), measured on floored
+    epoch seconds in BOTH engines (unix_timestamp floors; the oracle
+    floors explicitly)."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
     w = (
