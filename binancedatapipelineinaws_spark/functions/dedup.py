@@ -1201,3 +1201,50 @@ def q_ext_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
     )
+
+
+# --- per-source duplication rate ---------------------------------------------
+
+
+@register(
+    "q_ext_dup_rate_by_source",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY md5(text)) AS cluster_n
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cluster_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       round(sum(CASE WHEN cluster_n > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM sized GROUP BY source
+""",
+)
+def q_ext_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: the fraction of each source's
+    docs whose content hash appears more than once anywhere in the
+    corpus — the per-feed attribution of what
+    q_ext_dup_cluster_sizes reports corpus-wide (the first question
+    after "how duplicated": WHICH crawl is producing the copies).
+
+    Plan: one hash-partitioned count window over md5(text) (a doc in a
+    k-cluster costs k rows, never a join back — the hapax/dupspan
+    shape), then a sources-bounded rollup.  Two uniform-key shuffles
+    total."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    sized = docs.select(
+        "source", (F.count("*").over(w) > 1).alias("is_dup")
+    )
+    dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dup.cast("long").alias("n_duplicated"),
+        F.round(dup / F.count("*").cast("double"), 6).alias("dup_rate"),
+    )

@@ -969,3 +969,52 @@ def q_ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("no") / F.col("nt").cast("double")), 6
         ).alias("mean_oov_rate"),
     )
+
+
+# --- token-length distribution -----------------------------------------------
+
+
+@register(
+    "q_ext_token_len_dist",
+    oracle="""
+WITH words AS (
+  SELECT length(unnest(string_split(text, ' '))) AS wlen FROM documents
+)
+SELECT wlen AS token_len,
+       count(*) AS n_tokens,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+         AS frac
+FROM words GROUP BY wlen
+""",
+)
+def q_ext_token_len_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution: how many tokens of each
+    character length, with shares — the shape a BPE vocabulary budget
+    and a max-token-length cutoff are read from (a heavy tail of
+    50+-char "tokens" means URLs/DNA/base64 are leaking through the
+    splitter).
+
+    Plan: map-only explode + length projection -> one
+    partial-aggregated count over the tiny length domain; the share
+    window runs over that bounded histogram."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).select(F.length("tok").alias("token_len"))
+    w = Window.partitionBy()
+    return (
+        lens.groupBy("token_len")
+        .agg(F.count("*").alias("n_tokens"))
+        .select(
+            "token_len",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens")
+                / F.sum("n_tokens").over(w).cast("double"),
+                6,
+            ).alias("frac"),
+        )
+    )
