@@ -687,7 +687,9 @@ WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
 per AS (
   SELECT o_custkey,
          count(*) AS frequency,
-         round(sum(o_totalprice), 6) AS monetary,
+         -- DECIMAL: exact order-independent sum (the ltv_cohort fix)
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS monetary,
          max(CAST(o_orderdate AS DATE)) AS last_order
   FROM orders GROUP BY o_custkey
 )
@@ -714,7 +716,12 @@ def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = o.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
     per = o.groupBy("o_custkey").agg(
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("monetary"),
         F.max(F.to_date("o_orderdate")).alias("last_order"),
     )
     return per.crossJoin(F.broadcast(frontier)).select(

@@ -551,3 +551,181 @@ def q_ext_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_ext_tpch_q6",
+    oracle="""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_ext_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (public spec): the forecast-revenue-change scan — a
+    pure filter+aggregate with NO join, the query that measures
+    predicate pushdown and scan throughput in isolation (the
+    complement of Q5/Q10's join shapes).
+
+    Plan: every predicate reaches the parquet scan (date range,
+    discount band, quantity cap all pushable), one partial+final
+    1-row aggregate; exact-decimal product.  At 100 TB this is the
+    pure scan-bandwidth query — row-group statistics skip everything
+    outside the ship-date range."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    dec = "decimal(18,2)"
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(dec)
+                * F.col("l_discount").cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("revenue_delta"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_ext_ltv_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_year,
+       year(o.o_orderdate) AS order_year,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       -- DECIMAL: double sums are addition-order dependent and a cohort
+       -- cell sums thousands of them; exact decimal partials make the
+       -- rounded value schedule- and engine-independent
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS revenue
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY f.cohort_year, year(o.o_orderdate)
+""",
+)
+def q_ext_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort matrix: customers grouped by
+    first-order year, revenue and activity tracked per subsequent
+    order year — the relational-side LTV complement of
+    q_ext_cohort_retention's weekly event view.
+
+    Plan: one per-customer first-year aggregate, one customer-keyed
+    join back (both shuffles on the uniform customer key), then a
+    years^2-bounded rollup — the output is calendar-bounded at any
+    corpus size."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_ext_supplier_hhi",
+    oracle="""
+WITH sup_rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1.00 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+nat AS (
+  SELECT n_nationkey, n_name FROM nation
+)
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       round(CAST(sum(rev) AS DOUBLE), 6) AS nation_revenue,
+       -- HHI = sum(rev^2)/t^2 with the numerator summed in EXACT
+       -- decimal: a double sum of squared shares over thousands of
+       -- suppliers is addition-order dependent and can flip the 6-dp
+       -- rounding between engines
+       round(CAST(sum(rev * rev) AS DOUBLE)
+             / (CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)), 6)
+         AS hhi
+FROM sup_rev r
+JOIN nat n ON r.s_nationkey = n.n_nationkey
+JOIN (SELECT s_nationkey, sum(rev) AS t FROM sup_rev GROUP BY s_nationkey)
+  tot ON tot.s_nationkey = r.s_nationkey
+GROUP BY n.n_name, tot.t
+""",
+)
+def q_ext_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation as the
+    Herfindahl-Hirschman index (sum of squared revenue shares): ~1/n =
+    competitive supply base, ->1 = a single supplier owns the nation's
+    volume — the supply-chain-risk cousin of q_ext_activity_gini, and
+    (read as key-weight concentration) a shuffle-skew forecast for
+    supplier-keyed joins.
+
+    Plan: one fact-side partial-aggregated (nation, supplier) revenue
+    pass (supplier dim broadcast into the scan); nation totals are a
+    nations-bounded rollup of the same cells joined back by broadcast;
+    exact-decimal partials make shares schedule-independent."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    dec = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    sup_rev = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    tot = sup_rev.groupBy("s_nationkey").agg(F.sum("rev").alias("t"))
+    return (
+        sup_rev.join(F.broadcast(tot), "s_nationkey")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "t")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("rev").cast("double"), 6).alias(
+                "nation_revenue"
+            ),
+            F.round(
+                F.sum(F.col("rev") * F.col("rev")).cast("double")
+                / (F.col("t").cast("double") * F.col("t").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .drop("t")
+    )
