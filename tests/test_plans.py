@@ -504,3 +504,28 @@ def test_session_stats_one_window_exchange(spark):
     plan = _plan(queries()["q_ext_session_stats"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_tpch_q6_pure_scan_no_join(spark):
+    # the scan-bandwidth query: predicates pushed, no join anywhere
+    plan = _plan(queries()["q_ext_tpch_q6"](spark, SF))
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    assert any(
+        "FileScan" in line and "l_shipdate" in line and ">=" in line
+        for line in plan.splitlines()
+    )
+
+
+def test_supplier_hhi_broadcasts_dims(spark):
+    plan = _plan(queries()["q_ext_supplier_hhi"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation + totals
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_rate_window_not_join(spark):
+    # the k-cluster cost is k rows through ONE md5-partitioned window,
+    # never a cluster-size join back
+    plan = _plan(queries()["q_ext_dup_rate_by_source"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
