@@ -218,7 +218,12 @@ _CLOSES_CTE = """
 -- hash-mismatches Spark's bigint in the driver's canonicalizer
 SELECT h AS hour_start, count(*) AS trades,
        CAST(sum(dt) AS BIGINT) AS total_dt,
-       round(sum(price * dt) / sum(dt), 6) AS twap
+       -- DECIMAL numerator: canonical price is 2 dp, so price*dt sums
+       -- exactly — a double sum over an hour of trades is
+       -- addition-order dependent and can flip the 6-dp round between
+       -- engines (the r6 ltv_cohort lesson)
+       round(CAST(sum(CAST(price AS DECIMAL(14,2)) * dt) AS DOUBLE)
+             / CAST(sum(dt) AS BIGINT), 6) AS twap
 FROM t GROUP BY h
 """,
 )
@@ -250,8 +255,13 @@ def q_ext_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("trades"),
             F.sum("dt").alias("total_dt"),
-            F.round(F.sum(F.col("price") * F.col("dt")) / F.sum("dt"), 6)
-            .alias("twap"),
+            F.round(
+                F.sum(
+                    F.col("price").cast("decimal(14,2)") * F.col("dt")
+                ).cast("double")
+                / F.sum("dt"),
+                6,
+            ).alias("twap"),
         )
     )
 

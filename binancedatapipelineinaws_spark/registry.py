@@ -101,6 +101,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_ext_winsorize",
     "q_ext_mad_outliers",
     "q_ext_ks_drift",
+    # r6 determinism hardening: decimal TWAP numerator, floored RANGE
+    # frame ordering
+    "q_ext_twap",
+    "q_win_range_frame",
 )
 
 
