@@ -729,3 +729,124 @@ def q_ext_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+@register(
+    "q_ext_tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,5))) AS DOUBLE), 6)
+         AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
+                     * (1.00 + CAST(l_tax AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,5))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_ext_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (public spec): the pricing summary report — the
+    canonical partial-aggregation benchmark (six sums/averages over a
+    near-full scan into a handful of groups; map-side combine does
+    ~all the work).
+
+    Plan: one pushed date filter, one partial+final aggregate over the
+    (returnflag, linestatus)-bounded key space; every money sum in
+    exact decimal so partial-agg schedules and engines agree
+    bit-for-bit; averages derived from the exact sums, not avg()
+    (whose double accumulation is order-dependent)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01")
+    )
+    d2, d5 = "decimal(18,2)", "decimal(18,5)"
+    qty = F.col("l_quantity").cast(d5)
+    price = F.col("l_extendedprice").cast(d2)
+    disc = F.col("l_discount").cast(d2)
+    tax = F.col("l_tax").cast(d2)
+    one = F.lit(1).cast(d2)
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 6).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(price * (one - disc)).cast("double"), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(price * (one - disc) * (one + tax)).cast("double"),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_ext_tpch_q14",
+    oracle="""
+SELECT round(CAST(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE), 6) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+""",
+)
+def q_ext_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (public spec): promotion-revenue share for a shipping
+    window — the broadcast-dim + conditional-aggregate shape (part is
+    the dim; the CASE routes revenue into the promo bucket).
+
+    Plan: date filter pushed to the lineitem scan, part broadcast,
+    one partial+final 1-row aggregate; both the numerator and the
+    denominator are exact-decimal sums, the percentage is one double
+    division at the end."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    d2 = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(d2) * (
+        F.lit(1).cast(d2) - F.col("l_discount").cast(d2)
+    )
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0).cast(d2))
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )

@@ -99,6 +99,7 @@ def test_round6_work_fits_driver_window():
         "q_ext_norm_outliers", "q_ext_cosine_calib",
         "q_ext_dup_rate_by_source", "q_ext_token_len_dist",
         "q_ext_tpch_q6", "q_ext_ltv_cohort", "q_ext_supplier_hhi",
+        "q_ext_tpch_q1", "q_ext_tpch_q14",
     }
     missing_new = new_r6 - first50
     missing_pri = set(_PRIORITY) - first50
