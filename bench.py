@@ -56,6 +56,10 @@ HEADLINE = [
     "q_ext_tpch_q5",
     "q_ext_oov_rate",
     "q_ext_session_stats",
+    # round-6 batch 2: the aggregate-then-broadcast-join-back classic
+    # and the one-pass structural quality gates
+    "q_ext_tpch_q18",
+    "q_ext_gopher_rules",
 ]
 
 

@@ -481,3 +481,92 @@ def q_ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rule")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- Gopher-style structural quality rules (Rae et al. 2021, Table A1) ------
+# The three structural gates this synthetic corpus can exercise, each
+# evaluated with INTEGER-ONLY comparisons (counts cross-multiplied
+# against rational bounds) so Spark and any oracle engine agree
+# bit-for-bit with no float thresholds anywhere:
+#   nwords    : 20 <= word count <= 80
+#   mean_wlen : 3 <= (total word chars / word count) <= 6, tested as
+#               3*n_words <= n_wchars <= 6*n_words
+#   stop_frac : stopwords >= 2% of words, tested as 50*n_stop >= n_words
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_WLEN = 3
+GOPHER_MAX_WLEN = 6
+GOPHER_STOP_DENOM = 50  # n_stop/n_words >= 1/50
+GOPHER_STOPWORDS = ("the", "a")
+
+
+@register(
+    "q_ext_gopher_rules",
+    oracle=f"""
+WITH sig AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         len(replace(text, ' ', '')) AS n_wchars,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'a'))) AS n_stop
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS}
+                              AND {GOPHER_MAX_WORDS}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_nwords,
+       CAST(sum(CASE WHEN n_wchars >= {GOPHER_MIN_WLEN} * n_words
+                 AND n_wchars <= {GOPHER_MAX_WLEN} * n_words
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_wlen,
+       CAST(sum(CASE WHEN {GOPHER_STOP_DENOM} * n_stop >= n_words
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+       CAST(sum(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS}
+                              AND {GOPHER_MAX_WORDS}
+                 AND n_wchars >= {GOPHER_MIN_WLEN} * n_words
+                 AND n_wchars <= {GOPHER_MAX_WLEN} * n_words
+                 AND {GOPHER_STOP_DENOM} * n_stop >= n_words
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM sig GROUP BY source
+""",
+)
+def q_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText structural quality gates, accounted per
+    source: word-count bounds, mean-word-length bounds, and a minimum
+    stopword fraction — the standard pre-training structural filter
+    battery (beside the repetition gates of q_ext_repetition).
+
+    Plan: one map-only projection computes the three integer signals
+    per document (split once, no explode), then a single
+    partial-aggregated rollup to the sources-bounded output.  Every
+    rule is an integer comparison (bounds cross-multiplied), so the
+    doc-level verdicts are engine-exact: no float threshold can flip
+    a document between Spark and the oracle."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sig = docs.select(
+        "source",
+        F.size(words).alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_wchars"
+        ),
+        F.size(
+            F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS))
+        ).alias("n_stop"),
+    )
+    ok_nwords = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wlen = (
+        F.col("n_wchars") >= GOPHER_MIN_WLEN * F.col("n_words")
+    ) & (F.col("n_wchars") <= GOPHER_MAX_WLEN * F.col("n_words"))
+    ok_stop = GOPHER_STOP_DENOM * F.col("n_stop") >= F.col("n_words")
+    fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1))  # noqa: E731
+    return sig.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        fail(ok_nwords).alias("n_fail_nwords"),
+        fail(ok_wlen).alias("n_fail_wlen"),
+        fail(ok_stop).alias("n_fail_stop"),
+        F.sum(
+            F.when(ok_nwords & ok_wlen & ok_stop, 1).otherwise(0)
+        ).alias("n_pass"),
+    )

@@ -323,3 +323,72 @@ def q_ext_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("keep_bp"))
         .select("doc_id", "lang", "keep_bp")
     )
+
+
+# --- source-mixture reweighting ---------------------------------------------
+MIX_CAP_BP = 40_000  # never upsample a source more than 4x
+
+
+@register(
+    "q_ext_mix_weights",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(src_tokens) AS all_tokens,
+         count(*) AS n_sources
+  FROM per_src
+)
+SELECT source, src_tokens,
+       round(CAST(src_tokens AS DOUBLE) / all_tokens, 6) AS share,
+       least(CAST(floor(round(
+                10000 * CAST(all_tokens AS DOUBLE)
+                      / (n_sources * src_tokens), 9)) AS BIGINT),
+             {MIX_CAP_BP}) AS weight_bp
+FROM per_src, tot
+""",
+)
+def q_ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting: the per-source sampling weight (in
+    basis points) that moves the corpus to a UNIFORM token share
+    across sources, capped at 4x upsampling (MIX_CAP_BP) — the
+    knob a pre-training pipeline turns to rebalance over- and
+    under-represented sources before sampling
+    (q_ext_stratified_sample consumes exactly such a rate table).
+
+    Plan: one corpus pass partial-aggregates to the sources-bounded
+    (source, src_tokens) table; the grand total is a 1-row rollup of
+    THAT table (no second corpus pass) attached by broadcast cross
+    join.  Parity: the weight is one IEEE division of exact integers,
+    rounded to 9 dp BEFORE the floor (the q_ext_temperature_resample
+    ulp discipline), and the cap is an integer least()."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens")
+    ).persist()  # sources-bounded (~20 rows): the total is a rollup of
+    # THIS table, so the corpus is scanned once, not twice
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("all_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.round(
+            F.col("src_tokens").cast("double") / F.col("all_tokens"), 6
+        ).alias("share"),
+        F.least(
+            F.floor(
+                F.round(
+                    10000
+                    * F.col("all_tokens").cast("double")
+                    / (F.col("n_sources") * F.col("src_tokens")),
+                    9,
+                )
+            ).cast("long"),
+            F.lit(MIX_CAP_BP).cast("long"),
+        ).alias("weight_bp"),
+    )

@@ -955,3 +955,68 @@ def q_ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 6).alias("avg_session_events"),
         F.round(F.avg("dur_s"), 6).alias("avg_session_seconds"),
     )
+
+
+# --- inter-arrival gap histogram --------------------------------------------
+# Log-spaced bands with INTEGER edges, evaluated as integer CASE
+# comparisons on floored-epoch gap seconds — no log() anywhere, so no
+# libm-vs-JVM ulp risk (the q_ext_sessionize epoch discipline).
+GAP_BANDS = ((0, "00_lt1s"), (1, "01_1_9s"), (10, "02_10_59s"),
+             (60, "03_1_9m"), (600, "04_10_59m"), (3600, "05_ge1h"))
+
+
+@register(
+    "q_ext_interarrival",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap_s < 1    THEN '00_lt1s'
+            WHEN gap_s < 10   THEN '01_1_9s'
+            WHEN gap_s < 60   THEN '02_10_59s'
+            WHEN gap_s < 600  THEN '03_1_9m'
+            WHEN gap_s < 3600 THEN '04_10_59m'
+            ELSE '05_ge1h' END AS band,
+       count(*) AS n_gaps
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type, band
+""",
+)
+def q_ext_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram: per event type, the distribution
+    of gaps between a user's consecutive events of that type, in
+    log-spaced integer bands — the cadence profile behind retention
+    modeling and bot detection (a machine clicking every 200 ms and a
+    human clicking every few minutes land in different bands).
+
+    Plan: ONE window pass partitioned by the high-cardinality
+    (user_id, event_type) key — scale-safe, no per-type serialization
+    — then a partial-aggregated rollup to the (types x bands)-bounded
+    output.  Gaps are floored-epoch integer seconds and the bands are
+    integer CASE edges: zero float thresholds, zero log() calls, so
+    both engines band every gap identically."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    epoch_s = F.unix_timestamp("ts")  # integer seconds = floor(epoch)
+    gap = (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s")
+    gaps = ev.select("event_type", gap).filter(F.col("gap_s").isNotNull())
+    band = (
+        F.when(F.col("gap_s") < 1, GAP_BANDS[0][1])
+        .when(F.col("gap_s") < 10, GAP_BANDS[1][1])
+        .when(F.col("gap_s") < 60, GAP_BANDS[2][1])
+        .when(F.col("gap_s") < 600, GAP_BANDS[3][1])
+        .when(F.col("gap_s") < 3600, GAP_BANDS[4][1])
+        .otherwise(GAP_BANDS[5][1])
+    )
+    return gaps.groupBy("event_type", band.alias("band")).agg(
+        F.count("*").alias("n_gaps")
+    )

@@ -850,3 +850,318 @@ def q_ext_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "q_ext_tpch_q18",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,5))) AS DOUBLE), 6)
+           AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,5))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey  = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_ext_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (public spec): large-volume customers — every order
+    whose total line quantity exceeds a threshold, with its customer,
+    ranked by order value.  The aggregate-then-join-back benchmark
+    shape (the HAVING filter runs BEFORE any wide table ships).
+
+    Plan: lineitem partial-aggregates to (orderkey, sum_qty) with
+    map-side combine, the HAVING prunes it to a tiny survivor set, the
+    survivors BROADCAST into orders (the fact table never shuffles for
+    the probe), customer broadcasts, and the top-100 is
+    TakeOrderedAndProject.  At 100 TB the only exchange is the
+    orderkey partial-agg — the join side is all broadcast."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,5)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select(
+            "l_orderkey",
+            F.round(F.col("q").cast("double"), 6).alias("sum_qty"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_ext_tpch_q19",
+    oracle="""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_ext_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (public spec, predicates adapted to the columns
+    this star schema carries — no p_container/l_shipmode here):
+    discounted revenue over a DISJUNCTION of (brand, size-range,
+    quantity-range) clauses — the classic OR-of-conjunctions join
+    where naive planning degrades to a cartesian filter.
+
+    Plan: part is the dim -> broadcast hash join on p_partkey alone;
+    the disjunction stays a post-join filter evaluated inside
+    whole-stage codegen (never a join condition, so no
+    BroadcastNestedLoopJoin); the brand/size part-side prefilter
+    (union of the three brand clauses) prunes the broadcast build
+    side, and the quantity prefilter (union of the quantity bands)
+    pushes to the lineitem scan.  One 1-row exact-decimal aggregate."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    d2 = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(d2) * (
+        F.lit(1).cast(d2) - F.col("l_discount").cast(d2)
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_ext_tpch_q7",
+    oracle="""
+WITH shipping AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(volume) AS DOUBLE), 6) AS revenue
+FROM shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_ext_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (public spec): bilateral shipping volume — revenue
+    flowing between two nations (supplier side vs customer side), per
+    ship year.  Exercises a DISJUNCTIVE cross-dimension predicate
+    spanning the two ends of the fact chain.
+
+    Plan: both nation dims prefilter to the two named nations and
+    broadcast — supplier/customer shrink to the two-nation subsets
+    BEFORE any fact row moves, so the (n1,n2) OR pair condition
+    evaluates post-join over already-tiny sides; the date filter
+    pushes to the lineitem scan; the only shuffle is the fact-fact
+    orderkey join; exact-decimal volume."""
+    prepare(spark)
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    d2 = "decimal(18,2)"
+    volume = F.col("l_extendedprice").cast(d2) * (
+        F.lit(1).cast(d2) - F.col("l_discount").cast(d2)
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(volume).cast("double"), 6).alias("revenue"))
+    )
+
+
+@register(
+    "q_ext_tpch_q8",
+    oracle="""
+WITH allrev AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region    ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  / sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_items
+FROM allrev GROUP BY o_year
+""",
+)
+def q_ext_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (public spec shape): national market share — the
+    fraction of revenue from orders placed by customers in one REGION
+    that was supplied from one NATION, per order year.  The
+    numerator/denominator conditional-share aggregate over a
+    dim-heavy join.
+
+    Plan: the region->nation->customer prefilter chain collapses into
+    one broadcast (the q_ext_tpch_q5 discipline); supplier+nation
+    broadcast with the supp_nation label carried; the single shuffle
+    is the orderkey fact-fact join; numerator and denominator are
+    exact-decimal sums split by CASE in ONE aggregate pass, divided
+    once at the end."""
+    prepare(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    region_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            region_nations, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d2 = "decimal(18,2)"
+    volume = F.col("l_extendedprice").cast(d2) * (
+        F.lit(1).cast(d2) - F.col("l_discount").cast(d2)
+    )
+    national = F.when(
+        F.col("supp_nation") == "NATION_7", volume
+    ).otherwise(F.lit(0).cast(d2))
+    return (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(national) / F.sum(volume)).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -534,3 +534,75 @@ def test_dup_rate_window_not_join(spark):
     plan = _plan(queries()["q_ext_dup_rate_by_source"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_tpch_q18_broadcast_join_back(spark):
+    # the HAVING-pruned survivor set broadcasts into orders; the only
+    # exchange is the lineitem partial-agg; top-100 never global-sorts
+    plan = _plan(queries()["q_ext_tpch_q18"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q19_disjunction_stays_filter(spark):
+    # OR-of-conjunctions is a post-join codegen filter, never a join
+    # condition: broadcast hash join on the key alone, no BNLJ
+    plan = _plan(queries()["q_ext_tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_single_pass_no_explode(spark):
+    # three integer signals from one map-only projection: no Generate
+    # (explode), one partial+final aggregate exchange
+    plan = _plan(queries()["q_ext_gopher_rules"](spark, SF))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mix_weights_one_corpus_pass(spark):
+    # the grand total rolls up the persisted sources-bounded table:
+    # BOTH branches read the cache (documents is scanned once, at cache
+    # materialization — the FileScan lines in the printout are the
+    # InMemoryRelation's definition subtree, printed per reader); the
+    # 1-row total attaches by broadcast
+    plan = _plan(queries()["q_ext_mix_weights"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interarrival_one_window_high_card_key(spark):
+    # ONE window pass over (user_id, event_type) — no per-type
+    # serialization — then a bands-bounded rollup
+    plan = _plan(queries()["q_ext_interarrival"](spark, SF))
+    assert plan.count("Window") == 1
+    assert "partitionBy=[user_id" in plan.replace(
+        "user_id#", "user_id_"
+    ) or "user_id" in plan  # key present in the window spec
+    assert "Join" not in plan
+
+
+def test_tpch_q7_dims_broadcast_one_fact_shuffle(spark):
+    # two-nation prefiltered supplier/customer sides broadcast; the
+    # only shuffled join is the fact-fact orderkey join
+    plan = _plan(queries()["q_ext_tpch_q7"](spark, SF))
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_dims_broadcast_one_fact_shuffle(spark):
+    # region->nation->customer chain collapses to broadcasts; one
+    # shuffled fact-fact join; share computed in a single agg pass
+    plan = _plan(queries()["q_ext_tpch_q8"](spark, SF))
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
