@@ -1165,3 +1165,173 @@ def q_ext_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_ext_tpch_q13",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c_count, 0) AS c_count,
+       count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY coalesce(c_count, 0)
+""",
+)
+def q_ext_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (public spec shape): customer order-count
+    distribution, INCLUDING zero-order customers — the left-join +
+    double-aggregation benchmark (the outer join exists precisely to
+    keep the empty groups).
+
+    Plan: orders partial-aggregates to (custkey, count) FIRST — the
+    wide fact never joins raw — then customer left-joins the counts
+    table on the shared key and the histogram is a second
+    partial+final aggregate over the tiny count domain.  At 100 TB
+    both aggregations combine map-side; the only wide shuffle is the
+    custkey join."""
+    prepare(spark)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(
+            per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_ext_tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+)
+def q_ext_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (public spec): top supplier — the supplier(s) whose
+    quarter revenue equals the maximum over all suppliers.  The
+    view-plus-scalar-subquery benchmark shape.
+
+    Plan: the date-filtered lineitem partial-aggregates to the
+    suppliers-bounded revenue table, which persists and feeds BOTH
+    the max (1-row broadcast) and the equality filter — one corpus
+    pass; the supplier dim broadcasts.  Revenue is EXACT DECIMAL so
+    the `= max` comparison is safe — with float sums ties would be
+    schedule-dependent."""
+    prepare(spark)
+    d2 = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(d2) * (
+        F.lit(1).cast(d2) - F.col("l_discount").cast(d2)
+    )
+    revenue = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_rev"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_ext_tpch_q17",
+    oracle="""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+), stats AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+  GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN stats ON stats.l_partkey = lineitem.l_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+""",
+)
+def q_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (public spec shape): small-quantity-order revenue —
+    lineitems of one brand whose quantity is below 20% of that part's
+    average order quantity.  The correlated-scalar-subquery
+    decorrelation benchmark.
+
+    Plan: the correlated `0.2 * avg(l_quantity)` subquery decorrelates
+    into a per-part (sum, count) aggregate over the brand-prefiltered
+    lineitems (brand part keys broadcast), which then BROADCASTS back
+    into the same filtered fact — no self-join shuffle.  The
+    threshold test is rewritten ALL-INTEGER (qty < 0.2*sum/cnt  <=>
+    5*qty*cnt < sum for positive integers), so no float division can
+    flip a row between engines or partial-agg schedules."""
+    prepare(spark)
+    brand_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(brand_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_extendedprice",
+        )
+        .persist()
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(stats), F.col("sk") == F.col("l_partkey"))
+        .filter(5 * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -606,3 +606,31 @@ def test_tpch_q8_dims_broadcast_one_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_aggregates_orders_before_join(spark):
+    # orders partial-aggregates to (custkey, count) BEFORE the left
+    # join; the histogram is a second tiny-domain aggregate
+    plan = _plan(queries()["q_ext_tpch_q13"](spark, SF))
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_one_pass_exact_decimal_max(spark):
+    # the persisted revenue table feeds BOTH the max and the equality
+    # filter: one corpus pass; no nested-loop anywhere
+    plan = _plan(queries()["q_ext_tpch_q15"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelated_broadcast_no_self_shuffle(spark):
+    # the correlated avg subquery decorrelates into per-part stats
+    # BROADCAST back into the persisted brand-filtered fact: the only
+    # hash exchange is the stats partial-agg
+    plan = _plan(queries()["q_ext_tpch_q17"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
