@@ -392,3 +392,40 @@ def q_ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(MIX_CAP_BP).cast("long"),
         ).alias("weight_bp"),
     )
+
+
+# --- bottom-k uniform sampling ----------------------------------------------
+BOTTOMK_N = 200
+
+
+@register(
+    "q_ext_bottomk_sample",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       {duck_hex32("'bk:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+FROM documents
+ORDER BY sort_key, doc_id
+LIMIT {BOTTOMK_N}
+""",
+)
+def q_ext_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k hash sampling: the EXACTLY-k uniform sample — keep the
+    k documents with the smallest md5(doc_id) — complementing
+    q_ext_stratified_sample's rate-based (size ~ Binomial) filter.
+    Deterministic across engines, runs, partitionings AND corpus
+    growth is graceful: adding documents only displaces the largest
+    keys (this is the classic bottom-k / KMV construction, also the
+    basis of distinct-count sketches).
+
+    Plan: map-only key projection, then orderBy().limit(k) ->
+    TakeOrderedAndProject — a parallel partial top-k per partition
+    merged on the driver side; NO global sort, no whole-corpus
+    shuffle, the q_ext_zipf_slope discipline."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = hex32(F.concat(F.lit("bk:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sort_key"))
+        .orderBy("sort_key", "doc_id")
+        .limit(BOTTOMK_N)
+    )

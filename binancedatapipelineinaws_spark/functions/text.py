@@ -1018,3 +1018,43 @@ def q_ext_token_len_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
+
+
+@register(
+    "q_ext_tokenizer_fertility",
+    oracle=f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+         AS re_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       round(CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                  AS DOUBLE)
+             / sum(len(string_split(text, ' '))), 6) AS fertility
+FROM documents GROUP BY lang
+""",
+)
+def q_ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: regex-token count over
+    whitespace-word count — the subword-inflation proxy a tokenizer
+    budget is planned from (languages the vocabulary serves poorly
+    shatter into more pieces per word; mC4/XLM-R report exactly this
+    ratio per language).
+
+    Plan: one map-only projection of the two integer counts, one
+    partial+final aggregate to the languages-bounded output.  The
+    ratio is a single IEEE division of exact integer sums — parity by
+    construction (the q_ext_mix_weights discipline)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("re_t"),
+        F.size(F.split("text", " ")).alias("ws_t"),
+    )
+    return sig.groupBy("lang").agg(
+        F.sum("re_t").alias("re_tokens"),
+        F.sum("ws_t").alias("ws_tokens"),
+        F.round(
+            F.sum("re_t").cast("double") / F.sum("ws_t"), 6
+        ).alias("fertility"),
+    )

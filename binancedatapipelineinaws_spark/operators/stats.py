@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binancedatapipelineinaws_spark.registry import register
@@ -850,4 +850,122 @@ def ks_drift_frame(
             F.col("n1").alias("n_b"),
             "ks_stat",
         )
+    )
+
+
+# --- exact distributed order statistics -------------------------------------
+# Quantile targets as EXACT RATIONALS (num/den) so the 1-based rank
+# r = ceil(q*n) computes in integer arithmetic — (num*n + den - 1)
+# div den — identically in any engine; no float q*n at the boundary.
+QUANTILE_TARGETS = ((0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10))
+N_QUANTILE_BUCKETS = 1024
+
+
+@register(
+    "q_ext_exact_quantiles",
+    oracle="""
+WITH vals AS (
+  SELECT value FROM events WHERE value IS NOT NULL
+), ordered AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM vals
+), n AS (
+  SELECT count(*) AS c FROM vals
+), targets AS (
+  SELECT 0.25 AS q, (1 * c + 3) // 4 AS r FROM n
+  UNION ALL SELECT 0.5,  (1 * c + 1) // 2 FROM n
+  UNION ALL SELECT 0.9,  (9 * c + 9) // 10 FROM n
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(r AS BIGINT) AS rank,
+       value AS q_value
+FROM targets JOIN ordered ON rn = r
+""",
+)
+def q_ext_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles without a global sort — the classic
+    two-pass distributed selection: (1) histogram the column into
+    range buckets and locate each target rank's bucket from the
+    bounded cumulative counts; (2) rank ONLY inside the hit buckets
+    and pick the row whose in-bucket rank plus the bucket offset
+    equals the target.  The exact complement of approx_percentile
+    (q_agg_approx_percentiles) when sketch error bounds aren't
+    acceptable (SLA cutoffs, regulatory percentiles).
+
+    Scale: pass 2's per-bucket window sorts ~n/N_QUANTILE_BUCKETS
+    rows per task; the bucket count is the knob — raise it with
+    corpus size (or recurse a third pass) to keep any single task's
+    slice bounded.  Ranks are ceil(q*n) computed as integer
+    (num*n + den - 1) div den — no float q*n can flip a rank at an
+    integer boundary.  Ties are safe by construction: the VALUE at a
+    global rank is tie-order-independent, and bucketing is monotonic
+    in value, so in-bucket rank + offset is the exact global rank."""
+    prepare(spark)
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("value")
+        .filter(F.col("value").isNotNull())
+        .persist()
+    )
+    stats = vals.agg(
+        F.count("*").alias("c"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    targets = stats.select(
+        "c",
+        "vmin",
+        "vmax",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.lit(num).cast("long").alias("num"),
+                        F.lit(den).cast("long").alias("den"),
+                    )
+                    for q, num, den in QUANTILE_TARGETS
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        F.col("t.q").alias("q"),
+        F.expr("(t.num * c + t.den - 1) div t.den").alias("rank"),
+        "vmin",
+        "vmax",
+    )
+    nb = N_QUANTILE_BUCKETS
+    width = (F.col("vmax") - F.col("vmin")) / nb
+    bucket_of = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("long"),
+            F.lit(nb - 1),
+        )
+    )
+    bucketed = vals.crossJoin(
+        F.broadcast(stats.select("vmin", "vmax"))
+    ).select("value", bucket_of.alias("bucket"))
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("bc"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cumulative counts over the BOUNDED (<= nb rows) histogram — the
+    # unpartitioned window is over the bucket table, never the corpus
+    cum = hist.select(
+        "bucket",
+        (F.sum("bc").over(w) - F.col("bc")).alias("offset"),
+        F.sum("bc").over(w).alias("cum"),
+    )
+    hit = (
+        targets.join(
+            F.broadcast(cum),
+            (F.col("offset") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum")),
+        )
+        .select("q", "rank", "bucket", "offset")
+    )
+    candidates = bucketed.join(F.broadcast(hit), "bucket")
+    wq = Window.partitionBy("q", "bucket").orderBy("value")
+    return (
+        candidates.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") + F.col("offset") == F.col("rank"))
+        .select("q", "rank", F.col("value").alias("q_value"))
     )

@@ -634,3 +634,30 @@ def test_tpch_q17_decorrelated_broadcast_no_self_shuffle(spark):
     assert plan.count("InMemoryTableScan") == 2
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_tokenizer_fertility_single_aggregate(spark):
+    plan = _plan(queries()["q_ext_tokenizer_fertility"](spark, SF))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bottomk_sample_is_take_ordered(spark):
+    # parallel partial top-k, merged — NO exchange, no global sort
+    plan = _plan(queries()["q_ext_bottomk_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_exact_quantiles_no_global_sort(spark):
+    # corpus-sized stages: a bucket-partitioned histogram aggregate
+    # and the per-(q, bucket) rank window; the only unpartitioned
+    # window runs over the <=1024-row histogram.  No sort-merge join,
+    # and every nested-loop join has a bounded (1-row stats / targets
+    # / hit-buckets) broadcast side.
+    plan = _plan(queries()["q_ext_exact_quantiles"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "InMemoryTableScan" in plan  # vals persisted: one parquet read
