@@ -1187,3 +1187,68 @@ def test_json_struct_roundtrip_golden(spark):
         else:
             assert row["k"] is None
     assert checked > 0  # the corpus must actually exercise the happy path
+
+
+def _quantile_fixture(spark, tmp_path, values):
+    """Write a minimal events.parquet carrying `values` and return the
+    sf_dir; exercises q_ext_exact_quantiles end-to-end on crafted
+    distributions the driver tables can't produce."""
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+            i % 7,
+            "view",
+            float(v),
+            "{}",
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _expected_quantiles(values):
+    # value at 1-based rank ceil(q*n), the query's declared definition
+    s = sorted(values)
+    n = len(s)
+    return {
+        q: s[(num * n + den - 1) // den - 1]
+        for q, num, den in [(0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10)]
+    }
+
+
+def test_exact_quantiles_constant_column(spark, tmp_path):
+    # vmin == vmax: the degenerate single-bucket path
+    sf = _quantile_fixture(spark, tmp_path, [42.0] * 37)
+    got = {
+        r["q"]: r["q_value"]
+        for r in queries()["q_ext_exact_quantiles"](spark, sf).collect()
+    }
+    assert got == {0.25: 42.0, 0.5: 42.0, 0.9: 42.0}
+
+
+def test_exact_quantiles_heavy_ties_and_skew(spark, tmp_path):
+    # two-value distribution: ties span bucket boundaries; ranks must
+    # still select the exact order-statistic value
+    values = [1.0] * 70 + [2.0] * 30
+    sf = _quantile_fixture(spark, tmp_path, values)
+    got = {
+        r["q"]: r["q_value"]
+        for r in queries()["q_ext_exact_quantiles"](spark, sf).collect()
+    }
+    assert got == _expected_quantiles(values)
+
+
+def test_exact_quantiles_single_row(spark, tmp_path):
+    sf = _quantile_fixture(spark, tmp_path, [7.5])
+    rows = queries()["q_ext_exact_quantiles"](spark, sf).collect()
+    assert len(rows) == 3
+    assert {r["q_value"] for r in rows} == {7.5}
+    assert {r["rank"] for r in rows} == {1}
