@@ -1252,3 +1252,59 @@ def test_exact_quantiles_single_row(spark, tmp_path):
     assert len(rows) == 3
     assert {r["q_value"] for r in rows} == {7.5}
     assert {r["rank"] for r in rows} == {1}
+
+
+# --- integer-reformulation equivalence (hypothesis) -------------------------
+# Several queries replace float thresholds with integer cross-
+# multiplications so no engine's float math can flip a row.  These
+# prove the rewrites equal their real-number definitions for ALL
+# inputs, not just the driver tables.
+
+from fractions import Fraction  # noqa: E402
+import math  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    q=st.sampled_from([(1, 4), (1, 2), (9, 10), (99, 100), (1, 1000)]),
+)
+def test_integer_rank_equals_ceil_qn(n, q):
+    # q_ext_exact_quantiles: (num*n + den - 1) div den == ceil(q*n),
+    # computed in exact rationals (not floats, whose rounding is the
+    # bug being avoided)
+    num, den = q
+    assert (num * n + den - 1) // den == math.ceil(Fraction(num, den) * n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n_words=st.integers(min_value=1, max_value=10**9),
+    n_wchars=st.integers(min_value=0, max_value=10**12),
+    n_stop=st.integers(min_value=0, max_value=10**9),
+)
+def test_gopher_cross_multiplication_equals_ratio_bounds(
+    n_words, n_wchars, n_stop
+):
+    # q_ext_gopher_rules: 3 <= n_wchars/n_words <= 6 as integer
+    # compares; n_stop/n_words >= 1/50 likewise
+    exact_wlen = 3 <= Fraction(n_wchars, n_words) <= 6
+    int_wlen = (n_wchars >= 3 * n_words) and (n_wchars <= 6 * n_words)
+    assert int_wlen == exact_wlen
+    exact_stop = Fraction(n_stop, n_words) >= Fraction(1, 50)
+    assert (50 * n_stop >= n_words) == exact_stop
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    qty=st.integers(min_value=1, max_value=50),
+    sum_qty=st.integers(min_value=1, max_value=10**9),
+    cnt=st.integers(min_value=1, max_value=10**7),
+)
+def test_q17_threshold_rewrite_equals_avg_fraction(qty, sum_qty, cnt):
+    # q_ext_tpch_q17: qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum
+    exact = Fraction(qty) < Fraction(1, 5) * Fraction(sum_qty, cnt)
+    assert (5 * qty * cnt < sum_qty) == exact

@@ -326,3 +326,47 @@ def test_band_width_sweep_bounds_buckets_and_keeps_dup_recall(spark):
     assert stats[4][0] <= 60, stats[4]
     assert stats[8][0] <= 10, stats[8]
     assert stats[2][0] > 5 * stats[4][0]
+
+
+def test_exact_quantiles_candidate_volume_is_bucket_bounded(spark):
+    # the pass-2 rank window must sort only the HIT buckets' rows
+    # (~n/N_QUANTILE_BUCKETS each), never the corpus: reproduce the
+    # query's bucketing on sf0.01 events and check (a) the largest
+    # bucket is a small multiple of the mean — so no single task
+    # inherits the table — and (b) the three hit buckets together
+    # hold well under 1% of the rows at the query's bucket count.
+    from binancedatapipelineinaws_spark.operators.stats import (
+        N_QUANTILE_BUCKETS,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    vals = (
+        load_table(spark, sf, "events")
+        .select("value")
+        .filter(F.col("value").isNotNull())
+    )
+    n = vals.count()
+    lo, hi = vals.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / N_QUANTILE_BUCKETS
+    hist = (
+        vals.select(
+            F.least(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                    "long"
+                ),
+                F.lit(N_QUANTILE_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+    )
+    counts = {r["bucket"]: r["count"] for r in hist.collect()}
+    mean_bc = n / N_QUANTILE_BUCKETS
+    assert max(counts.values()) <= 20 * mean_bc, (
+        "a range bucket concentrates the column; raise "
+        "N_QUANTILE_BUCKETS or recurse"
+    )
+    # the 3 target ranks hit at most 3 buckets -> pass-2 candidate rows
+    top3 = sum(sorted(counts.values())[-3:])
+    assert top3 < 0.01 * n * 10  # 3 buckets of ~n/1024 each, 10x slack
