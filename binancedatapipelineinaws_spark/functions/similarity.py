@@ -1195,3 +1195,72 @@ def q_ext_cosine_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
+
+
+@register(
+    "q_ext_knn_filtered",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         {_DUCK_COS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERY}
+   AND c.vec_id != q.vec_id AND c.label = q.label
+), ranked AS (
+  SELECT query_id, neighbor_id, label, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_ext_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k cosine neighbors restricted to the
+    query's own label — the metadata-predicate ANN pattern every
+    production vector store serves (and the positive-pair miner for
+    contrastive training).  The filter composes INTO the candidate
+    join (label equi-key tightens it), not as a post-k filter — a
+    post-filter would return fewer than k survivors.
+
+    Plan: the q_ext_cosine_knn shape with the label added to the join
+    condition: broadcast queries, per-partition scoring of only
+    same-label candidates, windowed top-k per query."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = c.join(
+        q,
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).select("query_id", "neighbor_id", "label", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

@@ -1335,3 +1335,102 @@ def q_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_ext_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q_ext_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (public spec; the commit-vs-receipt lateness test
+    adapted to the carried columns as ship-lag > 60 days): orders in a
+    quarter having at least one late-shipped line, counted per
+    priority — the correlated-EXISTS -> LEFT SEMI join benchmark.
+
+    Plan: the date window pushes to the orders scan, the EXISTS
+    becomes one left-semi join on the order key with the correlated
+    date comparison riding the join condition (each order emitted at
+    most once, no post-join dedup), then a priorities-bounded
+    aggregate."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_ext_tpch_q22",
+    oracle="""
+WITH pos AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0
+), bar AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*) AS avg_bal
+  FROM pos
+)
+SELECT count(*) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS total_bal
+FROM pos JOIN bar ON c_acctbal > avg_bal
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_ext_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (public spec; the phone-prefix grouping the
+    schema doesn't carry is dropped): rich-but-inactive customers —
+    above-average positive balance AND no orders at all — the
+    scalar-subquery-threshold + anti-join benchmark.
+
+    Plan: the average is a 1-row exact-decimal aggregate broadcast
+    back as a threshold (deterministic: exact integer-cent sum, one
+    IEEE division); the NOT EXISTS is one left-anti join on the
+    customer key; output is a 1-row exact-decimal rollup."""
+    prepare(spark)
+    d2 = "decimal(18,2)"
+    pos = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_acctbal")
+        .persist()
+    )
+    bar = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast(d2)).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(bar))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(d2)).cast("double"), 6
+            ).alias("total_bal"),
+        )
+    )

@@ -191,3 +191,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+# One SQL text, two engines: the string below is ANSI enough that it IS
+# the oracle — Spark runs it over the registered temp views, DuckDB
+# over the same-named parquet views.  The window denominator re-casts
+# the 2-dp revenue to DECIMAL so the per-day sum is order-independent
+# (a double window sum would be schedule-dependent in the last ulp).
+_SQL_SURFACE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  GROUP BY CAST(o_orderdate AS DATE), o_orderpriority
+)
+SELECT d, prio, round(rev, 6) AS rev,
+       round(rev / CAST(SUM(CAST(rev AS DECIMAL(18,2)))
+                        OVER (PARTITION BY d) AS DOUBLE), 6) AS day_share
+FROM daily
+"""
+
+
+@register("q_sql_surface", oracle=_SQL_SURFACE)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL front door: daily revenue and within-day share per
+    order priority, declared as ONE engine-portable SQL string run
+    verbatim by `spark.sql(...)` over the registered views AND by the
+    DuckDB oracle — the literal workflow of the reference's SQL
+    consumers (start_all_pipeline.py:504-520 delegates everything to
+    SQL), proving the engine's SQL surface, not just the DataFrame
+    API, produces the canonical plans (same Catalyst output either
+    way: partial+final aggregate, one day-keyed window)."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)

@@ -661,3 +661,36 @@ def test_exact_quantiles_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("BroadcastHashJoin") >= 1
     assert "InMemoryTableScan" in plan  # vals persisted: one parquet read
+
+
+def test_knn_filtered_label_rides_join_condition(spark):
+    # the metadata predicate tightens the broadcast candidate join —
+    # never a post-top-k filter
+    plan = _plan(queries()["q_ext_knn_filtered"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # top-k window
+
+
+def test_tpch_q4_exists_is_left_semi(spark):
+    # correlated EXISTS -> one LEFT SEMI join; no dedup aggregate
+    plan = _plan(queries()["q_ext_tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_threshold_broadcast(spark):
+    # NOT EXISTS -> LEFT ANTI; the avg threshold is a 1-row broadcast
+    plan = _plan(queries()["q_ext_tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # pos persisted: one customer read
+
+
+def test_sql_surface_same_plan_as_dataframe_api(spark):
+    # the pure-SQL front door compiles to the canonical shape: one
+    # partial+final aggregate, one day-keyed window, nothing else
+    plan = _plan(queries()["q_sql_surface"](spark, SF))
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
