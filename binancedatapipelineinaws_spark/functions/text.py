@@ -1058,3 +1058,57 @@ def q_ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("re_t").cast("double") / F.sum("ws_t"), 6
         ).alias("fertility"),
     )
+
+
+@register(
+    "q_ext_word_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         sum(c * ln(c)) AS clnc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(ln(n_tokens) - clnc / n_tokens, 6) AS entropy
+FROM per_doc
+""",
+)
+def q_ext_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats): H = ln(N) -
+    sum(c*ln(c))/N over the word counts — the distribution-shape
+    quality signal TTR misses (a doc repeating two words 50/50 and a
+    doc with 100 near-uniform words have very different H at similar
+    TTR; template spam and keyword stuffing sit at the low end).
+
+    Plan: explode -> (doc, term) partial-aggregated counts -> per-doc
+    rollup; both shuffles are high-cardinality keyed, output is
+    docs-sized.  ln() appears only via c*ln(c) on INTEGER c — both
+    engines evaluate ln at the same integer points, and the 6-dp round
+    guards the sub-ulp libm-vs-JVM tail (the q_ext_zipf_slope
+    precedent)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("clnc") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+    )

@@ -1020,3 +1020,60 @@ def q_ext_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type", band.alias("band")).agg(
         F.count("*").alias("n_gaps")
     )
+
+
+# --- co-occurrence mining ----------------------------------------------------
+COPURCHASE_MINSUP = 2  # pair must appear in >= this many orders
+
+
+@register(
+    "q_ext_copurchase_pairs",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+HAVING count(*) >= {COPURCHASE_MINSUP}
+""",
+)
+def q_ext_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs (market-basket 2-itemsets): part
+    pairs appearing together in at least COPURCHASE_MINSUP orders —
+    the support-counting kernel of association-rule mining
+    (Apriori/SON's candidate pass).
+
+    Plan: the self-join is keyed on l_orderkey, so its blow-up is
+    bounded by ORDER WIDTH squared (a handful of lines), never by a
+    part's popularity — the classic trick that makes basket pair
+    counting linear in baskets at 100 TB.  One distinct + one
+    pair-keyed partial+final count; the HAVING prunes before any
+    output materializes; `a < b` halves the pair space and fixes a
+    canonical orientation."""
+    prepare(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MINSUP)
+    )

@@ -694,3 +694,23 @@ def test_sql_surface_same_plan_as_dataframe_api(spark):
     assert "partial_" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_copurchase_self_join_on_basket_key(spark):
+    # the pair blow-up is bounded by order width: the self-join keys on
+    # l_orderkey (persisted distinct read twice), support counts
+    # combine map-side, HAVING prunes pre-output
+    plan = _plan(queries()["q_ext_copurchase_pairs"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_word_entropy_two_keyed_shuffles_no_join(spark):
+    # explode -> (doc, term) counts -> per-doc rollup: two
+    # high-cardinality keyed exchanges, no join anywhere
+    plan = _plan(queries()["q_ext_word_entropy"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Generate") == 1
