@@ -83,16 +83,28 @@ def _load_all() -> None:
 # anything already-green gets a redundant slot.  Round-6 NEW queries are
 # unverified, so the front-loading rule already puts them first.
 _PRIORITY: tuple[str, ...] = (
-    # r6 plan rewrites: corpus-size-independent windows
-    "q_ext_zipf_slope",
-    "q_ext_vocab_coverage",
-    "q_ext_activity_gini",
+    # ORACLE-side changes first: these queries' old driver rows were
+    # produced against a DIFFERENT oracle, so a fresh driver row is
+    # worth the most if the ~50-query window can't fit every re-verify
+    # (38 round-6 NEW queries are unverified and front-load ahead of
+    # this list; 38 + 14 > 50, so the tail here gets squeezed).
     # r6 oracle-parity hardening (ADVICE.md): floor-before-CAST epoch,
     # 9-dp rounding before floor on the pow ratio
     "q_ext_sessionize",
     "q_ext_temperature_resample",
+    # r6 determinism hardening: decimal TWAP numerator, floored RANGE
+    # frame ordering (both engines' SQL changed)
+    "q_ext_twap",
+    "q_win_range_frame",
     # r6 schema extension: img_format column from the header parser
     "q_ext_multimodal_meta",
+    # HASH-IDENTICAL changes below: values unchanged and locally
+    # re-verified, so their existing clean driver rows remain truthful
+    # even if displaced from this round's window.
+    # r6 plan rewrites: corpus-size-independent windows
+    "q_ext_zipf_slope",
+    "q_ext_vocab_coverage",
+    "q_ext_activity_gini",
     # r6 refactor touched the shared signature path
     "q_ext_dedup_minhash",
     "q_ext_dedup_near",
@@ -101,10 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_ext_winsorize",
     "q_ext_mad_outliers",
     "q_ext_ks_drift",
-    # r6 determinism hardening: decimal TWAP numerator, floored RANGE
-    # frame ordering
-    "q_ext_twap",
-    "q_win_range_frame",
 )
 
 
