@@ -1077,3 +1077,147 @@ def q_ext_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MINSUP)
     )
+
+
+@register(
+    "q_ext_basket_lift",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM op
+), item AS (
+  SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS c_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= {COPURCHASE_MINSUP}
+)
+SELECT part_a, part_b, c_ab,
+       round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS confidence_ab,
+       round(CAST(c_ab AS DOUBLE) * n_baskets / (ia.c * ib.c), 6)
+         AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+""",
+)
+def q_ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for the frequent co-purchase pairs:
+    confidence P(b|a) and lift P(ab)/(P(a)P(b)) — the step that turns
+    q_ext_copurchase_pairs' raw supports into recommendations (lift >
+    1 = genuinely associated, not just two popular parts).
+
+    Plan: the same basket-keyed pair counting, then the parts-bounded
+    item-count table joins back twice (broadcast — it is dictionary-
+    sized) and the basket total attaches as a 1-row broadcast.  Every
+    ratio is one IEEE division of exact integer counts."""
+    prepare(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COPURCHASE_MINSUP)
+    )
+    ia = F.broadcast(
+        item.select(F.col("l_partkey").alias("ka"), F.col("c").alias("ca"))
+    )
+    ib = F.broadcast(
+        item.select(F.col("l_partkey").alias("kb"), F.col("c").alias("cb"))
+    )
+    return (
+        pair.join(ia, F.col("ka") == F.col("part_a"))
+        .join(ib, F.col("kb") == F.col("part_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double") / F.col("ca"), 6
+            ).alias("confidence_ab"),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ATTRIB_CHANNELS = ("view", "click")
+
+
+@register(
+    "q_ext_first_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT event_type, ts, event_id, user_id,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+)
+SELECT coalesce(channel, 'none') AS channel,
+       count(*) AS n_purchases
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY coalesce(channel, 'none')
+""",
+)
+def q_ext_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch channel attribution: each purchase credits the
+    user's most recent preceding marketing event (view/click; 'none'
+    if the purchase had no touch before it) — the attribution query
+    behind every conversion report.
+
+    Plan: ONE user-keyed window pass (the q_ext_sessionize spec:
+    (user; ts, event_id) total order, ties can't flip attribution
+    between engines) carrying last(channel, ignorenulls) over the
+    preceding frame, then a channels-bounded rollup of just the
+    purchase rows.  No self-join, no per-channel pass."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(
+            F.col("event_type").isin(*ATTRIB_CHANNELS), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
+        .agg(F.count("*").alias("n_purchases"))
+    )

@@ -1434,3 +1434,46 @@ def q_ext_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q_ext_catalog_coverage",
+    oracle="""
+WITH ordered_parts AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+)
+SELECT count(*) AS n_parts,
+       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_never_ordered,
+       round(CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dead_stock_frac
+FROM part LEFT JOIN ordered_parts ON p_partkey = l_partkey
+""",
+)
+def q_ext_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage: how much of the part catalog has never been
+    ordered — the dead-stock / referential-health headline (the
+    inverse direction of q_ext_ri_check's orphan sweep).
+
+    Plan: lineitem reduces to its distinct part keys FIRST (partial-
+    aggregated), the catalog left-joins that key set, and the flags
+    roll up to one row.  At 100 TB the fact table contributes only
+    its key dictionary to the join."""
+    prepare(spark)
+    ordered_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    never = F.when(F.col("l_partkey").isNull(), 1).otherwise(0)
+    return (
+        part.join(
+            ordered_parts, F.col("p_partkey") == F.col("l_partkey"), "left"
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(never).alias("n_never_ordered"),
+            F.round(
+                F.sum(never).cast("double") / F.count("*"), 6
+            ).alias("dead_stock_frac"),
+        )
+    )

@@ -714,3 +714,28 @@ def test_word_entropy_two_keyed_shuffles_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Generate") == 1
+
+
+def test_basket_lift_item_counts_broadcast(spark):
+    # the parts-bounded item table joins back broadcast; no SMJ, no
+    # cartesian beyond the 1-row basket total
+    plan = _plan(queries()["q_ext_basket_lift"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_first_touch_one_window_no_self_join(spark):
+    # attribution is ONE user-keyed window pass + a channels-bounded
+    # rollup — never a purchases-to-touches self-join
+    plan = _plan(queries()["q_ext_first_touch"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_catalog_coverage_fact_reduces_to_keys(spark):
+    # lineitem contributes only its distinct key dictionary
+    plan = _plan(queries()["q_ext_catalog_coverage"](spark, SF))
+    assert "partial_" in plan  # distinct is partial-aggregated
+    assert "CartesianProduct" not in plan
