@@ -1248,3 +1248,58 @@ def q_ext_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("long").alias("n_duplicated"),
         F.round(dup / F.count("*").cast("double"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "q_ext_dedup_roi",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+), keep AS (
+  SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN doc_id = keeper THEN toks ELSE 0 END)
+            AS BIGINT) AS surviving_tokens,
+       round(1.0 - CAST(sum(CASE WHEN doc_id = keeper THEN toks
+                                 ELSE 0 END) AS DOUBLE)
+                   / sum(toks), 6) AS token_savings
+FROM hashed JOIN keep USING (h)
+""",
+)
+def q_ext_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup return-on-investment: the token budget exact dedup would
+    free (total vs surviving tokens under keep-lowest-doc_id) — the
+    one-row business case computed BEFORE paying for the dedup run
+    (complement of q_ext_dup_cluster_sizes, which counts docs, not
+    the tokens that actually price training).
+
+    Plan: one map-only (hash, tokens) projection; the keeper table is
+    a partial-aggregated min per hash that joins back on the same
+    hash key (one shuffle each side, co-partitioned); 1-row rollup.
+    Savings ratio is one IEEE division of exact integer sums."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    surv = F.when(F.col("doc_id") == F.col("keeper"), F.col("toks")).otherwise(
+        F.lit(0)
+    )
+    return (
+        hashed.join(keep, "h")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum(surv).alias("surviving_tokens"),
+            F.round(
+                F.lit(1.0) - F.sum(surv).cast("double") / F.sum("toks"), 6
+            ).alias("token_savings"),
+        )
+    )

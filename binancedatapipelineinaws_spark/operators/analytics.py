@@ -1221,3 +1221,53 @@ def q_ext_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "q_ext_repeat_purchase",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_buyers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS repeat_rate
+FROM per_cust JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_ext_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: of customers who
+    ordered at all, the fraction who came back — the loyalty headline
+    beside q_ext_tpch_q13's full distribution and q_ext_churn's
+    inactivity flag.
+
+    Plan: orders partial-aggregates to (custkey, count) first, the
+    customer dim attaches its segment by broadcast, and the rollup is
+    segments-bounded.  The >= 2 threshold is an integer compare."""
+    prepare(spark)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_buyers"),
+            F.sum(rep).alias("n_repeat"),
+            F.round(
+                F.sum(rep).cast("double") / F.count("*"), 6
+            ).alias("repeat_rate"),
+        )
+    )

@@ -739,3 +739,19 @@ def test_catalog_coverage_fact_reduces_to_keys(spark):
     plan = _plan(queries()["q_ext_catalog_coverage"](spark, SF))
     assert "partial_" in plan  # distinct is partial-aggregated
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_roi_copartitioned_hash_join(spark):
+    # keeper min joins back on the SAME hash key: co-partitioned, no
+    # extra corpus shuffle beyond the two hash-keyed exchanges
+    plan = _plan(queries()["q_ext_dedup_roi"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+
+
+def test_repeat_purchase_counts_before_dim_join(spark):
+    # orders reduce to per-customer counts before the broadcast dim
+    plan = _plan(queries()["q_ext_repeat_purchase"](spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
