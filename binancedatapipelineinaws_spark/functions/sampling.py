@@ -429,3 +429,46 @@ def q_ext_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sort_key", "doc_id")
         .limit(BOTTOMK_N)
     )
+
+
+# --- per-group bottom-k ------------------------------------------------------
+GROUPK_N = 25  # exactly-k docs per language
+
+
+@register(
+    "q_ext_groupk_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         {duck_hex32("'gk:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, source, sort_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sort_key, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, source, sort_key, rk
+FROM ranked WHERE rk <= {GROUPK_N}
+""",
+)
+def q_ext_groupk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bottom-k: EXACTLY k documents per language by
+    smallest md5 key — the grouped KMV sample behind per-stratum eval
+    sets and few-shot pools ("give me 25 deterministic docs per
+    language", stable under corpus growth within each stratum).
+
+    Plan: map-only key projection + ONE language-partitioned rank
+    window.  The partition key is the stratum, so task size is
+    stratum-bounded — for mega-strata the q_ext_token_budget shard
+    trick applies (hash-shard inside the language, take k from the
+    shard-proportional budget)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = hex32(F.concat(F.lit("gk:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("sort_key", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sort_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= GROUPK_N)
+    )

@@ -1271,3 +1271,57 @@ def q_ext_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_rate"),
         )
     )
+
+
+@register(
+    "q_ext_first_event_mix",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+), c AS (
+  SELECT event_type, count(*) AS n_users
+  FROM firsts WHERE rk = 1 GROUP BY event_type
+)
+SELECT event_type AS entry_event, n_users,
+       round(CAST(n_users AS DOUBLE) / sum(n_users) OVER (), 6) AS share
+FROM c
+""",
+)
+def q_ext_first_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point mix: the distribution of each user's FIRST event
+    type — which door users arrive through (a cold-start purchase
+    with no prior view is an attribution gap or a bot signature;
+    complements q_ext_first_touch, which looks backward from the
+    conversion).
+
+    Plan: ONE user-keyed rank window pass (the sessionize total
+    order) keeps rank 1 — Catalyst inserts WindowGroupLimit so each
+    task retains only its first row per user before the filter — then
+    a types-bounded rollup; the share normalizes via a window over
+    the tiny rollup, so the corpus is never re-read for the total."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "event_type", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type")
+    )
+    counts = firsts.groupBy(
+        F.col("event_type").alias("entry_event")
+    ).agg(F.count("*").alias("n_users"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "entry_event",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(w_all),
+            6,
+        ).alias("share"),
+    )

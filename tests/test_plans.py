@@ -755,3 +755,24 @@ def test_repeat_purchase_counts_before_dim_join(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_groupk_sample_one_stratum_window(spark):
+    # one rank Window node; WindowGroupLimit (rank-filter pushdown)
+    # keeps only k rows per stratum ahead of the sort — count node
+    # headers ("Window ["), not the substring
+    plan = _plan(queries()["q_ext_groupk_sample"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_first_event_mix_one_corpus_window_pass(spark):
+    # ONE corpus-sized rank window (plus the share window over the
+    # types-bounded rollup); no join, no second corpus read
+    plan = _plan(queries()["q_ext_first_event_mix"](spark, SF))
+    assert plan.count("Window [") == 2  # corpus rank + 5-row share
+    assert "WindowGroupLimit" in plan
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
