@@ -1308,3 +1308,29 @@ def test_q17_threshold_rewrite_equals_avg_fraction(qty, sum_qty, cnt):
     # q_ext_tpch_q17: qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum
     exact = Fraction(qty) < Fraction(1, 5) * Fraction(sum_qty, cnt)
     assert (5 * qty * cnt < sum_qty) == exact
+
+
+def test_first_touch_partitions_all_purchases(spark):
+    # every purchase is attributed to exactly one channel (or 'none')
+    df = queries()["q_ext_first_touch"](spark, SF)
+    total = df.agg(F.sum("n_purchases")).first()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert total == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_groupk_sample_exactly_k_per_stratum(spark):
+    from binancedatapipelineinaws_spark.functions.sampling import GROUPK_N
+
+    df = queries()["q_ext_groupk_sample"](spark, SF)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lang_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(GROUPK_N, lang_sizes[lang])
+    assert set(sizes) == set(lang_sizes)  # no stratum dropped
