@@ -185,3 +185,72 @@ def apply_rocksdb_state_conf(spark) -> None:
     provider is fixed per checkpoint location."""
     for k, v in ROCKSDB_STATE_CONF.items():
         spark.conf.set(k, v)
+
+
+# --- streaming inter-arrival band counter ------------------------------------
+# Streaming counterpart of the batch gap histogram
+# (operators/analytics.py q_ext_interarrival): keyed on the
+# high-cardinality (user_id, event_type), state is ONE long (the last
+# floored-epoch second), each arriving event emits its gap band row.
+# Bands are the same integer CASE edges as the batch query — no log(),
+# no float thresholds, so a replayed stream reproduces the batch
+# histogram exactly.
+
+GAPBAND_SCHEMA = "event_type string, band string"
+GAPBAND_STATE_SCHEMA = "last_ts_s long"
+
+_GAP_EDGES = ((1, "00_lt1s"), (10, "01_1_9s"), (60, "02_10_59s"),
+              (600, "03_1_9m"), (3600, "04_10_59m"))
+_GAP_TOP = "05_ge1h"
+
+
+def _band_of(gap_s: int) -> str:
+    for edge, name in _GAP_EDGES:
+        if gap_s < edge:
+            return name
+    return _GAP_TOP
+
+
+def make_gapband_fn():
+    def gapband(key, pdfs, state):
+        import pandas as pd
+
+        _user_id, event_type = key
+        last_ts = state.get[0] if state.exists else None
+        out: list[tuple[str, str]] = []
+        for pdf in pdfs:
+            # full-precision in-batch order (the sessionizer
+            # discipline); the gap itself is floored-epoch seconds,
+            # matching unix_timestamp in the batch query
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"]:
+                ts_s = int(ts_us) // 1_000_000
+                if last_ts is not None:
+                    out.append((event_type, _band_of(ts_s - last_ts)))
+                last_ts = ts_s
+        state.update((last_ts,))
+        if out:
+            yield pd.DataFrame(out, columns=["event_type", "band"])
+
+    return gapband
+
+
+def gapband_stream(events: DataFrame) -> DataFrame:
+    """events stream -> one (event_type, band) row per inter-arrival
+    gap of that user's events of that type; a downstream rollup (or
+    the consumer) counts per band.  State per key is a single long."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        make_gapband_fn(),
+        outputStructType=GAPBAND_SCHEMA,
+        stateStructType=GAPBAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

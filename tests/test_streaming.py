@@ -700,3 +700,43 @@ def test_sessionizer_state_bounded_by_distinct_keys(spark, tmp_path):
     # and the output still matches the batch labels end-to-end
     got = spark.read.parquet(out)
     assert got.count() == ev.count()
+
+
+def test_streaming_gapband_matches_batch_histogram(spark, tmp_path):
+    """The stateful gap-band counter replayed over the events table
+    must reproduce the batch inter-arrival histogram
+    (q_ext_interarrival) exactly — same integer band edges, same
+    floored-epoch gaps, state is one long per (user, type) key."""
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        gapband_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "gapbands")
+    q = (
+        gapband_stream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+    want = queries()["q_ext_interarrival"](spark, SF)
+    assert got.count() == want.count()
+    j = got.alias("g").join(want.alias("w"), ["event_type", "band"])
+    assert j.count() == want.count()  # same (type, band) cells
+    bad = j.filter(F.col("g.n_gaps") != F.col("w.n_gaps"))
+    assert bad.count() == 0
