@@ -254,3 +254,57 @@ def gapband_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming last-touch attribution ----------------------------------------
+# Streaming counterpart of the batch attribution rollup
+# (operators/analytics.py q_ext_first_touch): state per user is the
+# single last-seen marketing channel; every purchase emits its
+# attribution row at arrival time — the live conversion feed.
+
+ATTRIB_SCHEMA = "event_id long, channel string"
+ATTRIB_STATE_SCHEMA = "channel string"
+_ATTRIB_CHANNELS = ("view", "click")
+
+
+def make_attrib_fn():
+    def attribute(key, pdfs, state):
+        import pandas as pd
+
+        channel = state.get[0] if state.exists else None
+        out: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
+                if etype == "purchase":
+                    out.append(
+                        (int(event_id), channel if channel else "none")
+                    )
+                if etype in _ATTRIB_CHANNELS:
+                    channel = etype
+        state.update((channel,))
+        if out:
+            yield pd.DataFrame(out, columns=["event_id", "channel"])
+
+    return attribute
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """events stream -> one (purchase event_id, channel) row per
+    purchase, attributed to the user's most recent preceding
+    view/click ('none' if untouched).  State per user: one string."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_attrib_fn(),
+        outputStructType=ATTRIB_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

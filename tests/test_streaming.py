@@ -740,3 +740,45 @@ def test_streaming_gapband_matches_batch_histogram(spark, tmp_path):
     assert j.count() == want.count()  # same (type, band) cells
     bad = j.filter(F.col("g.n_gaps") != F.col("w.n_gaps"))
     assert bad.count() == 0
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """The stateful last-touch attributor replayed over the events
+    table must produce per-channel purchase counts identical to the
+    batch q_ext_first_touch rollup."""
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        attribution_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "attrib")
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    want = queries()["q_ext_first_touch"](spark, SF)
+    j = got.alias("g").join(want.alias("w"), "channel", "full")
+    bad = j.filter(
+        F.col("g.n_purchases").isNull()
+        | F.col("w.n_purchases").isNull()
+        | (F.col("g.n_purchases") != F.col("w.n_purchases"))
+    )
+    assert bad.count() == 0
+    assert got.count() == want.count()
