@@ -177,3 +177,159 @@ def q_ext_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logp"),
         )
     )
+
+
+from binancedatapipelineinaws_spark.functions.similarity import duck_dot
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_N = 50  # candidates taken from each ranker before fusion
+RRF_QUERY_VEC = 0  # vec_id of the deterministic semantic query vector
+
+
+@register(
+    "q_ext_hybrid_rrf",
+    oracle=f"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term IN ({_duck_query_list()})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1}
+              * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS bm25
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), bm9 AS (
+  -- round to 9 dp before ranking: the bm25 sum over a doc's matched
+  -- terms is a float sum whose addition order may differ between
+  -- engines; 9-dp ties then break by doc_id identically
+  SELECT doc_id, round(bm25, 9) AS bm25 FROM bm
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM bm9
+  ORDER BY bm25 DESC, doc_id LIMIT {RRF_TOP_N}
+), qv AS (
+  SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+), cos AS (
+  SELECT c.vec_id AS doc_id,
+         ({duck_dot('q.embedding', 'c.embedding')} /
+          (sqrt({duck_dot('q.embedding', 'q.embedding')}) *
+           sqrt({duck_dot('c.embedding', 'c.embedding')}))) AS cos_sim
+  FROM embeddings c CROSS JOIN qv q
+  WHERE c.vec_id != {RRF_QUERY_VEC}
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+  FROM cos
+  ORDER BY cos_sim DESC, doc_id LIMIT {RRF_TOP_N}
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       lex.lex_rank, sem.sem_rank,
+       round(coalesce(1.0 / ({RRF_K} + lex.lex_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + sem.sem_rank), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+""",
+)
+def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    ranking and an embedding-cosine semantic ranking (query = the
+    corpus vector {RRF_QUERY_VEC}, doc ids and vec ids share a key
+    space) are each cut to their top-{RRF_TOP_N}, then fused with the
+    standard RRF formula sum(1 / ({RRF_K} + rank)) — the shape every
+    hybrid search stack (lexical + vector) uses to merge rankers with
+    incomparable score scales.
+
+    Plan: each ranker ends in `orderBy().limit(N)` ->
+    TakeOrderedAndProject, so the corpus-sized stages are partial
+    top-k per partition and only N rows ever reach a single task; the
+    rank window then runs over a CONSTANT-bounded (N-row) set — never
+    a corpus-sized unpartitioned window.  The fusion itself is an
+    N-row full outer join.  Both engines break score ties by doc id,
+    so the candidate sets are engine-portable."""
+    from binancedatapipelineinaws_spark.functions.similarity import dot, norm
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    stats = w.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("words")).alias("avgdl")
+    )
+    dl = w.select("doc_id", F.size("words").alias("dl"))
+    tf = (
+        w.select("doc_id", F.explode("words").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            # 9-dp round before ranking — see the oracle's bm9 comment
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 9
+            ).alias("bm25")
+        )
+    )
+    # TakeOrderedAndProject cut, then rank over the constant-N set
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_TOP_N)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cos = dot(F.col("embedding"), F.col("q_emb")) / (
+        norm(F.col("embedding")) * F.col("q_nrm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+    )
+    w_sem = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    sem = (
+        scored.orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(RRF_TOP_N)
+        .select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))

