@@ -60,6 +60,11 @@ HEADLINE = [
     # and the one-pass structural quality gates
     "q_ext_tpch_q18",
     "q_ext_gopher_rules",
+    # round-6 batch 3: the top-10-orders classic, hybrid lexical+vector
+    # rank fusion, and the pair-exploded covariance screen
+    "q_ext_tpch_q3",
+    "q_ext_hybrid_rrf",
+    "q_ext_embed_covariance",
 ]
 
 

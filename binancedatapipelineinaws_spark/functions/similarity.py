@@ -1269,26 +1269,33 @@ def q_ext_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cross-dimension covariance screen ---------------------------------------
 
 COV_TOP_PAIRS = 20
+COV_SCALE = 1_000_000  # floor-quantization step: 1e-6 resolution
 
 
 @register(
     "q_ext_embed_covariance",
     oracle=f"""
 WITH ex AS (
-  SELECT vec_id, d, CAST(embedding[d + 1] AS DECIMAL(18,9)) AS vd
+  -- floor() (not round): identical to-negative-infinity semantics in
+  -- both engines, so the quantized integers match bit-for-bit
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {COV_SCALE})
+              AS BIGINT) AS qv
   FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS d) t
 ), s1 AS (
-  SELECT d, sum(vd) AS sx, count(*) AS n FROM ex GROUP BY d
+  SELECT d, CAST(sum(qv) AS BIGINT) AS sx, count(*) AS n FROM ex GROUP BY d
 ), s12 AS (
-  SELECT a.d AS dim_i, b.d AS dim_j, sum(a.vd * b.vd) AS sxy
+  SELECT a.d AS dim_i, b.d AS dim_j,
+         CAST(sum(a.qv * b.qv) AS BIGINT) AS sxy
   FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d < b.d
   GROUP BY a.d, b.d
 ), cov AS (
   SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
          si.n AS n,
-         CAST(sxy AS DOUBLE) / si.n
-         - (CAST(si.sx AS DOUBLE) / si.n) * (CAST(sj.sx AS DOUBLE) / sj.n)
-           AS cov
+         (CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
+          - (CAST(si.sx AS DOUBLE) / CAST(si.n AS DOUBLE))
+            * (CAST(sj.sx AS DOUBLE) / CAST(sj.n AS DOUBLE)))
+         / {float(COV_SCALE * COV_SCALE)} AS cov
   FROM s12
   JOIN s1 si ON si.d = dim_i
   JOIN s1 sj ON sj.d = dim_j
@@ -1303,59 +1310,81 @@ def q_ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{COV_TOP_PAIRS} most-correlated embedding dimension pairs by
     |covariance| — the redundancy screen run before PCA/whitening or
     product quantization (two dimensions that co-vary strongly waste
-    index bits and distort IVF cells).
+    index bits and distort IVF cells).  Values are floor-quantized at
+    {COV_SCALE}^-1 resolution so every sum is exact integer arithmetic
+    — bit-identical across engines, partition schedules, and reruns (a
+    float Gram matrix would drift with partition order).
 
-    Plan: each row explodes to its OWN {DIM}*({DIM}-1)/2 upper-triangle
-    products via nested `transform` + `flatten` (pure codegen, no
-    self-join, no corpus-sized shuffle), then ONE partial-aggregated
-    groupBy over a constant 2016-pair key space; per-dim sums reuse the
-    same pass shape and broadcast back.  Component sums run in exact
-    DECIMAL (the q_ext_embed_dim_profile discipline) so every partial-
-    agg schedule and both engines produce bit-identical covariances;
-    the final top-k is TakeOrderedAndProject over 2016 rows."""
+    Plan: the textbook distributed covariance — each partition computes
+    its LOCAL Gram matrix Q^T.Q with one numpy int64 mat-mul (an
+    Arrow-batched `mapInPandas` kernel; 2016 interpreted Catalyst
+    decimal products per row lose to one BLAS-shaped mat-mul by ~100x,
+    the q_ext_embed_neardup precedent), emitting a constant 2081
+    partial rows per partition; ONE {DIM}^2-bounded aggregate (partials
+    upcast to DECIMAL(38,0) so even 10^6 partitions cannot overflow)
+    then the constant-size top-k.  No self-join, no corpus-sized
+    shuffle: the only data crossing the wire is partitions x 2081 longs.
+    Per-partition exactness bound: |qv| <= {COV_SCALE}/2, so a partition
+    of r rows sums to < r * {COV_SCALE}^2 / 4 — int64-safe to ~10^8 rows
+    per partition, 100x above a 128 MB split."""
+    import numpy as np
+    import pandas as pd
+
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = emb.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {DIM} - 2), i ->
-                      transform(sequence(i + 1, {DIM} - 1), j ->
-                        struct(i AS dim_i, j AS dim_j,
-                               CAST(embedding[i] AS DECIMAL(18,9))
-                               * CAST(embedding[j] AS DECIMAL(18,9))
-                               AS p)))
-                    """
-                )
-            )
-        ).alias("pr")
-    ).select("pr.dim_i", "pr.dim_j", "pr.p")
-    s12 = pairs.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
-    ex = emb.select(
-        F.posexplode("embedding").alias("d", "v_raw")
-    ).select("d", F.col("v_raw").cast("decimal(18,9)").alias("vd"))
-    s1 = ex.groupBy("d").agg(
-        F.sum("vd").alias("sx"), F.count("*").alias("n")
+
+    def gram(batches):
+        g = np.zeros((DIM, DIM), dtype=np.int64)
+        s1 = np.zeros(DIM, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * COV_SCALE).astype(np.int64)
+            g += q.T @ q
+            s1 += q.sum(axis=0)
+            n += q.shape[0]
+        iu, ju = np.triu_indices(DIM, k=1)
+        yield pd.DataFrame(
+            {
+                "dim_i": np.concatenate([iu, np.arange(DIM), [-1]]),
+                "dim_j": np.concatenate(
+                    [ju, np.full(DIM, -1), [-1]]
+                ),
+                "v": np.concatenate([g[iu, ju], s1, [n]]),
+            }
+        )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram, schema="dim_i int, dim_j int, v long"
     )
-    si = F.broadcast(
-        s1.select(
-            F.col("d").alias("dim_i"),
-            F.col("sx").alias("sx_i"),
-            F.col("n").alias("n"),
+    tot = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
+    )
+    n_row = F.broadcast(
+        tot.filter((F.col("dim_i") == -1) & (F.col("dim_j") == -1)).select(
+            F.col("v").cast("double").alias("n_d"),
+            F.col("v").cast("long").alias("n"),
         )
     )
+    s1 = tot.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
+    si = F.broadcast(
+        s1.select(F.col("dim_i").alias("di"), F.col("v").alias("sx_i"))
+    )
     sj = F.broadcast(
-        s1.select(F.col("d").alias("dim_j"), F.col("sx").alias("sx_j"))
+        s1.select(F.col("dim_i").alias("dj"), F.col("v").alias("sx_j"))
     )
+    pairs = tot.filter(F.col("dim_j") >= 0)
     cov = (
-        F.col("sxy").cast("double") / F.col("n")
-        - (F.col("sx_i").cast("double") / F.col("n"))
-        * (F.col("sx_j").cast("double") / F.col("n"))
-    )
+        F.col("v").cast("double") / F.col("n_d")
+        - (F.col("sx_i").cast("double") / F.col("n_d"))
+        * (F.col("sx_j").cast("double") / F.col("n_d"))
+    ) / float(COV_SCALE * COV_SCALE)
     return (
-        s12.join(si, "dim_i")
-        .join(sj, "dim_j")
+        pairs.join(si, F.col("dim_i") == F.col("di"))
+        .join(sj, F.col("dim_j") == F.col("dj"))
+        .crossJoin(n_row)
         .select(
             F.col("dim_i").cast("long").alias("dim_i"),
             F.col("dim_j").cast("long").alias("dim_j"),

@@ -55,7 +55,10 @@ def test_no_python_in_hot_paths(spark):
     for name, fn in qs.items():
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python UDF"
-        if name not in ("q_ext_multimodal_meta",):
+        # the two Arrow-batched exceptions: binary decode kernels and
+        # the per-partition Gram-matrix mat-mul (each documented in its
+        # docstring as the case where numpy beats interpreted Catalyst)
+        if name not in ("q_ext_multimodal_meta", "q_ext_embed_covariance"):
             assert "MapInPandas" not in plan, f"{name} unexpectedly in Pandas"
 
 
@@ -776,3 +779,37 @@ def test_first_event_mix_one_corpus_window_pass(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_tpch_q3_takeordered_broadcast_segment(spark):
+    # customer segment dim broadcasts; both date filters push to the
+    # fact scans; the top-10 is a parallel partial top-k, never a
+    # global sort
+    plan = _plan(queries()["q_ext_tpch_q3"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or (
+        "LessThan(o_orderdate" in plan
+    )
+
+
+def test_hybrid_rrf_constant_bounded_windows(spark):
+    # each ranker cuts to its constant top-N via TakeOrderedAndProject
+    # BEFORE any unpartitioned rank window, so the single-partition
+    # windows are N-row-bounded, not corpus-bounded
+    plan = _plan(queries()["q_ext_hybrid_rrf"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_covariance_no_self_join(spark):
+    # partials come from per-partition Gram-matrix mat-muls (the
+    # Arrow-batched kernel), NOT a corpus-sized self-join; the only
+    # joins are the 64-row per-dim stat broadcasts, and the final cut
+    # is a TakeOrdered over the constant 2016-pair aggregate
+    plan = _plan(queries()["q_ext_embed_covariance"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
