@@ -570,3 +570,113 @@ def q_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok_nwords & ok_wlen & ok_stop, 1).otherwise(0)
         ).alias("n_pass"),
     )
+
+
+# --- linear quality scorer ---------------------------------------------------
+# The model-based complement of the Gopher structural gates: a fixed
+# linear scorer over lexical features (a stand-in for the fastText-
+# style quality classifier every pretraining pipeline runs, with
+# weights frozen as policy constants so both engines score
+# bit-identically).  No sigmoid: exp() differs between libm and the
+# JVM in the last ulp, a linear margin ranks identically and keeps the
+# score engine-exact.
+
+QS_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+QS_W_UNIQ = 2.0  # type-token ratio reward
+QS_W_STOP = -3.0  # stopword-soup penalty
+QS_W_WLEN = 0.1  # mean-word-length reward
+QS_BIAS = -1.0
+QS_BANDS = (0.5, 0.0)  # score >= .5 -> high, >= 0 -> mid, else low
+
+
+def _duck_qs_stoplist() -> str:
+    return "(" + ", ".join(f"'{w}'" for w in QS_STOPWORDS) + ")"
+
+
+@register(
+    "q_ext_quality_score",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         len(words) AS n_tok,
+         CAST(len(list_distinct(words)) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) AS uniq_frac,
+         CAST(len(list_filter(words, x -> x IN {_duck_qs_stoplist()}))
+              AS DOUBLE) / CAST(len(words) AS DOUBLE) AS stop_frac,
+         CAST(len(replace(array_to_string(words, ''), ' ', ''))
+              AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mean_wlen
+  FROM w
+), scored AS (
+  SELECT lang,
+         round({QS_BIAS} + {QS_W_UNIQ} * uniq_frac
+               + {QS_W_STOP} * stop_frac
+               + {QS_W_WLEN} * mean_wlen, 9) AS score
+  FROM feat
+)
+SELECT lang,
+       CASE WHEN score >= {QS_BANDS[0]} THEN 'high'
+            WHEN score >= {QS_BANDS[1]} THEN 'mid' ELSE 'low' END AS band,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS avg_score
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight linear quality score per document, banded per
+    language — the model-based quality filter (fastText-classifier
+    stand-in) next to the structural q_ext_gopher_rules gates.
+    Features: type-token ratio, stopword fraction, mean word length —
+    each an exact-integer ratio, so the weighted sum is bit-identical
+    across engines; band thresholds compare the 9-dp-rounded score and
+    band means aggregate it as exact decimal (order-independent).
+
+    Plan: one map-only feature+score projection (pure codegen — the
+    array functions run JVM-side), then a (lang x band)-bounded
+    partial-aggregated rollup; zero joins, zero windows, one
+    corpus-sized shuffle of 15 groups."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words).cast("double")
+    uniq_frac = F.size(F.array_distinct(words)).cast("double") / n_tok
+    stop_frac = (
+        F.size(F.filter(words, lambda x: x.isin(*QS_STOPWORDS))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    mean_wlen = (
+        F.length(F.regexp_replace(F.array_join(words, ""), " ", "")).cast(
+            "double"
+        )
+        / n_tok
+    )
+    score = F.round(
+        QS_BIAS
+        + QS_W_UNIQ * uniq_frac
+        + QS_W_STOP * stop_frac
+        + QS_W_WLEN * mean_wlen,
+        9,
+    )
+    band = (
+        F.when(F.col("score") >= QS_BANDS[0], "high")
+        .when(F.col("score") >= QS_BANDS[1], "mid")
+        .otherwise("low")
+    )
+    return (
+        docs.select("lang", score.alias("score"))
+        .select("lang", band.alias("band"), "score")
+        .groupBy("lang", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+        )
+    )

@@ -1325,3 +1325,106 @@ def q_ext_first_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+# --- RFM customer segmentation -----------------------------------------------
+# Fixed-threshold scoring (not corpus quantiles): thresholds are policy
+# constants, so the per-customer pass stays one partial-aggregated
+# groupBy with no global rank/ntile window — the warehouse-standard
+# segmentation that survives any corpus size.
+
+RFM_R_DAYS = (120, 365)  # recency: <=120d -> 3, <=365d -> 2, else 1
+RFM_F_ORDERS = (12, 8)  # frequency: >=12 -> 3, >=8 -> 2, else 1
+RFM_M_TOTAL = (2_500_000, 1_500_000)  # monetary (exact decimal total)
+
+
+@register(
+    "q_ext_rfm_segments",
+    oracle=f"""
+WITH anchor AS (
+  SELECT max(o_orderdate) AS t0 FROM orders
+), per AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), a.t0) AS rec_days,
+         count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+  FROM orders CROSS JOIN anchor a
+  GROUP BY o_custkey, a.t0
+), scored AS (
+  SELECT CASE WHEN rec_days <= {RFM_R_DAYS[0]} THEN 3
+              WHEN rec_days <= {RFM_R_DAYS[1]} THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN freq >= {RFM_F_ORDERS[0]} THEN 3
+              WHEN freq >= {RFM_F_ORDERS[1]} THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN money >= {RFM_M_TOTAL[0]} THEN 3
+              WHEN money >= {RFM_M_TOTAL[1]} THEN 2 ELSE 1 END AS m_score,
+         money
+  FROM per
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       round(CAST(sum(money) AS DOUBLE) / count(*), 6) AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+)
+def q_ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    fixed policy thresholds — the classic CRM cube every warehouse
+    ships.  Recency anchors to the corpus max order date (a 1-row
+    broadcast), so the query is deterministic without wall-clock
+    input.
+
+    Plan: ONE partial-aggregated per-customer pass over orders (the
+    only corpus-sized shuffle), scores as codegen CASEs, then a
+    27-segment-bounded rollup.  Fixed thresholds (vs ntile) keep the
+    plan free of any global rank window; monetary sums are exact
+    decimal so threshold compares are engine-exact."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.broadcast(orders.agg(F.max("o_orderdate").alias("t0")))
+    per = (
+        orders.crossJoin(anchor)
+        .groupBy("o_custkey", "t0")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "money"
+            ),
+        )
+        .select(
+            F.datediff(F.col("t0"), F.col("last_order")).alias("rec_days"),
+            "freq",
+            "money",
+        )
+    )
+    r_score = (
+        F.when(F.col("rec_days") <= RFM_R_DAYS[0], 3)
+        .when(F.col("rec_days") <= RFM_R_DAYS[1], 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= RFM_F_ORDERS[0], 3)
+        .when(F.col("freq") >= RFM_F_ORDERS[1], 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("money") >= RFM_M_TOTAL[0], 3)
+        .when(F.col("money") >= RFM_M_TOTAL[1], 2)
+        .otherwise(1)
+    )
+    return (
+        per.select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "money",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("money").cast("double") / F.count("*"), 6
+            ).alias("avg_monetary"),
+        )
+    )

@@ -304,3 +304,50 @@ def q_maint_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- hive-partitioned layout + partition pruning -----------------------------
+# The other half of the lake-layout story next to sorting and bucketing:
+# directory partitioning on a low-cardinality column means a filter on
+# that column never LISTS (let alone reads) the other partitions'
+# files.  At 100 TB with date/type partitioning this is the difference
+# between scanning one day and scanning the lake.
+
+PRUNE_TYPE = "purchase"
+
+
+@register(
+    "q_maint_partitioned_scan",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       (SELECT count(DISTINCT event_type) FROM events) AS n_partition_dirs
+FROM events
+WHERE event_type = '{PRUNE_TYPE}'
+""",
+)
+def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (`partitionBy(event_type)`) then a
+    partition-pruned read-back: the `event_type = '{PRUNE_TYPE}'`
+    predicate resolves against the directory names during planning
+    (PartitionFilters, machine-asserted in tests/test_plans.py), so
+    the other partitions' files are never opened.  The partition-dir
+    count is measured from the ACTUAL directory layout and the oracle
+    pins it to the distinct-type count — an over- or under-split
+    layout breaks the match; the pruned rollup re-reads real data, so
+    row loss would too."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = _tmp_path("events_hivepart", sf_dir)
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    n_dirs = len(glob.glob(os.path.join(path, "event_type=*")))
+    back = spark.read.parquet(path).filter(
+        F.col("event_type") == PRUNE_TYPE
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.lit(n_dirs).cast("long").alias("n_partition_dirs"),
+    )
