@@ -109,6 +109,9 @@ _DEFER: tuple[str, ...] = (
     "q_ext_tpch_q3",
     "q_ext_hybrid_rrf",
     "q_ext_embed_covariance",
+    "q_maint_partitioned_scan",
+    "q_ext_rfm_segments",
+    "q_ext_quality_score",
 )
 
 _PRIORITY: tuple[str, ...] = (

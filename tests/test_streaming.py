@@ -782,3 +782,55 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     )
     assert bad.count() == 0
     assert got.count() == want.count()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop-and-restart recovery: a second query run sharing the first
+    run's checkpoint must pick up exactly the files that arrived while
+    the pipeline was down — no reprocessing of already-committed input,
+    no loss — so the final table equals the batch computation over ALL
+    input exactly once.  (The reference's Lambda load step is NOT
+    idempotent on redelivery; the checkpoint + commit log is the
+    exactly-once upgrade, and this is the test that proves it survives
+    a restart, not just a single run.)"""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = ticks(spark, SF).orderBy("trade_time_ms")
+    chunks = t.withColumn("chunk", F.col("trade_id") % 4)
+
+    def drop_file(i: int) -> None:
+        one = str(tmp_path / f"stage{i}")
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(
+            1
+        ).write.option("sep", "\t").mode("overwrite").csv(one)
+        part = glob.glob(f"{one}/part-*")[0]
+        os.rename(part, f"{src}/chunk{i}.tsv")
+
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: two files arrive, pipeline drains and STOPS
+    drop_file(0)
+    drop_file(1)
+    q1 = table_append_sink(
+        canonical_stream(read_tick_stream(spark, src)), table_dir, ckpt
+    )
+    q1.awaitTermination(120)
+    n_after_first = spark.read.parquet(table_dir).count()
+    assert n_after_first > 0
+
+    # pipeline down: two more files arrive
+    drop_file(2)
+    drop_file(3)
+
+    # run 2: NEW query object, SAME checkpoint — must resume, not redo
+    q2 = table_append_sink(
+        canonical_stream(read_tick_stream(spark, src)), table_dir, ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(table_dir)
+    want = btcusdt(spark, SF)
+    assert got.count() == want.count()  # no dupes from run-1 files
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
