@@ -813,3 +813,34 @@ def test_embed_covariance_no_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    # the event_type predicate must resolve against directory names at
+    # planning time (PartitionFilters), not as a data filter over all
+    # partitions' files
+    plan = _plan(queries()["q_maint_partitioned_scan"](spark, SF))
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in part_filters
+    assert "partial_count" in plan  # map-side combine on the rollup
+
+
+def test_rfm_no_rank_windows_one_fact_shuffle(spark):
+    # fixed thresholds keep the plan window-free: one per-customer
+    # partial-aggregated pass, a 1-row broadcast anchor, a bounded
+    # segment rollup
+    plan = _plan(queries()["q_ext_rfm_segments"](spark, SF))
+    assert "Window" not in plan
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quality_score_map_only_rollup(spark):
+    # one corpus pass: no joins, no windows, a single aggregation
+    # exchange over the (lang x band) key space
+    plan = _plan(queries()["q_ext_quality_score"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
