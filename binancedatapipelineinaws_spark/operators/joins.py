@@ -1541,3 +1541,214 @@ def q_ext_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_ext_tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+""",
+)
+def q_ext_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (public spec; the schema carries no partsupp, so
+    the part-supplier relationship derives from lineitem's
+    (l_partkey, l_suppkey) pairs, and the no-complaints supplier
+    exclusion is dropped with it): how many distinct suppliers ship
+    each surviving (brand, type, size) — the COUNT DISTINCT benchmark.
+
+    Plan: the triple predicate prunes part BEFORE it broadcasts into
+    the fact; count(DISTINCT supplier) runs as Spark's two-phase
+    expand/partial-distinct aggregate (never a per-group set buffer);
+    top-20 is TakeOrderedAndProject with a full tie-break chain."""
+    prepare(spark)
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & ~F.col("p_type").startswith("ECONOMY")
+            & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+Q20_QTY_THRESHOLD = 50  # adapted excess-volume bar (sum qty in the year)
+
+
+@register(
+    "q_ext_tpch_q20",
+    oracle=f"""
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+), heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM qty JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%' AND q > {Q20_QTY_THRESHOLD}
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+""",
+)
+def q_ext_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (public spec; with no partsupp availqty, the
+    excess-stock test becomes shipped-volume: suppliers that moved more
+    than {Q20_QTY_THRESHOLD} units of any 'red' part in 1997): the
+    nested-IN-subquery chain benchmark, decorrelated to joins.
+
+    Plan: the year filter pushes to the fact scan; per-(supplier, part)
+    volumes partial-aggregate BEFORE the red-part broadcast join (the
+    aggregate shrinks the fact to its key dictionary first); the IN
+    becomes one left-semi join against the heavy-supplier set; nation
+    is a broadcast dim.  Quantity sums are exact decimal so the
+    threshold compare is engine-exact."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+    )
+    red = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    heavy = (
+        qty.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("q") > Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            heavy,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q21_LATE_DAYS = 30  # adapted lateness: shipped > 30d after the order's first ship
+
+
+@register(
+    "q_ext_tpch_q21",
+    oracle=f"""
+WITH ms AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship,
+         count(DISTINCT l_suppkey) AS n_supps
+  FROM lineitem GROUP BY l_orderkey
+), flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate
+                       > ms.first_ship + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN ms ON l.l_orderkey = ms.l_orderkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE ms.n_supps > 1 AND o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+), solo AS (
+  SELECT l_orderkey FROM flags GROUP BY l_orderkey HAVING sum(late) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM flags
+JOIN solo USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q_ext_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (public spec; the schema carries no
+    commit/receipt dates, so 'kept the order waiting' becomes shipped
+    more than {Q21_LATE_DAYS} days after the order's FIRST ship): for
+    finished multi-supplier orders, suppliers who were the ONLY late
+    one — the double-correlated EXISTS / NOT EXISTS benchmark, the
+    hardest decorrelation in the suite.
+
+    Plan: both correlated subqueries decorrelate into aggregates on
+    the order key — per-order (first_ship, n_supps) and per-(order,
+    supplier) late flags — so the whole query is three order-keyed
+    partial-aggregated shuffles and one broadcast of the supplier dim;
+    no per-row subquery probes, no nested loops.  The status filter
+    rides the orders scan; all compares are date/int exact."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ms = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+    fin = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    late_flag = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("first_ship") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+            1,
+        ).otherwise(0)
+    )
+    flags = (
+        li.join(ms.filter(F.col("n_supps") > 1), "l_orderkey")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late_flag.alias("late"))
+    )
+    solo = (
+        flags.groupBy("l_orderkey")
+        .agg(F.sum("late").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        flags.filter(F.col("late") == 1)
+        .join(solo, "l_orderkey", "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

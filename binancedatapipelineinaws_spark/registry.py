@@ -112,6 +112,9 @@ _DEFER: tuple[str, ...] = (
     "q_maint_partitioned_scan",
     "q_ext_rfm_segments",
     "q_ext_quality_score",
+    "q_ext_tpch_q16",
+    "q_ext_tpch_q20",
+    "q_ext_tpch_q21",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -844,3 +844,34 @@ def test_quality_score_map_only_rollup(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_tpch_q16_distinct_expand_broadcast(spark):
+    # pruned part dim broadcasts; COUNT DISTINCT runs as the two-phase
+    # aggregate (an Expand or a partial distinct pre-aggregate), never
+    # a per-group set buffer on one task
+    plan = _plan(queries()["q_ext_tpch_q16"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q20_aggregates_before_semi_join(spark):
+    # the fact partial-aggregates to (supp, part) volumes before any
+    # join; the IN-subquery is a semi join, not a nested probe
+    plan = _plan(queries()["q_ext_tpch_q20"](spark, SF))
+    assert "partial_" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_decorrelated_no_nested_probes(spark):
+    # the double-correlated EXISTS/NOT EXISTS must be fully
+    # decorrelated: only hash joins + aggregates, a broadcast supplier
+    # dim, and the constant top-20 cut
+    plan = _plan(queries()["q_ext_tpch_q21"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
