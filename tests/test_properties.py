@@ -1334,3 +1334,148 @@ def test_groupk_sample_exactly_k_per_stratum(spark):
     for lang, n in sizes.items():
         assert n == min(GROUPK_N, lang_sizes[lang])
     assert set(sizes) == set(lang_sizes)  # no stratum dropped
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Every customer with at least one order lands in exactly one RFM
+    segment: segment counts sum to the distinct-customer count, scores
+    stay in {1,2,3}, and monetary means are positive."""
+    df = queries()["q_ext_rfm_segments"](spark, SF).cache()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    total = df.agg(F.sum("n_customers")).first()[0]
+    assert total == n_cust
+    bad = df.filter(
+        ~F.col("r_score").isin(1, 2, 3)
+        | ~F.col("f_score").isin(1, 2, 3)
+        | ~F.col("m_score").isin(1, 2, 3)
+        | (F.col("avg_monetary") <= 0)
+        | (F.col("n_customers") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_quality_score_bands_partition_docs(spark):
+    """(lang, band) cells partition the corpus, and band means respect
+    the band ordering within every language (high > mid > low)."""
+    df = queries()["q_ext_quality_score"](spark, SF).cache()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.agg(F.sum("n_docs")).first()[0] == n_docs
+    rows = {(r.lang, r.band): r.avg_score for r in df.collect()}
+    for lang in {k[0] for k in rows}:
+        hi = rows.get((lang, "high"))
+        mid = rows.get((lang, "mid"))
+        lo = rows.get((lang, "low"))
+        if hi is not None and mid is not None:
+            assert hi > mid
+        if mid is not None and lo is not None:
+            assert mid > lo
+
+
+def test_hybrid_rrf_fused_ranks_consistent(spark):
+    """RRF output: at most 2*N rows, every rank within 1..N and unique
+    per ranker, and the fused score equals the closed form of its
+    ranks (recomputed driver-side)."""
+    from binancedatapipelineinaws_spark.functions.retrieval import (
+        RRF_K,
+        RRF_TOP_N,
+    )
+
+    rows = queries()["q_ext_hybrid_rrf"](spark, SF).collect()
+    assert 0 < len(rows) <= 2 * RRF_TOP_N
+    lex = [r.lex_rank for r in rows if r.lex_rank is not None]
+    sem = [r.sem_rank for r in rows if r.sem_rank is not None]
+    assert len(set(lex)) == len(lex) and all(1 <= r <= RRF_TOP_N for r in lex)
+    assert len(set(sem)) == len(sem) and all(1 <= r <= RRF_TOP_N for r in sem)
+    for r in rows:
+        want = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf - want) < 1e-6
+
+
+def test_embed_covariance_matches_numpy(spark):
+    """The distributed Gram-matrix covariance must equal a straight
+    numpy covariance of the floor-quantized vectors (rtol from the
+    6-dp output round) — partition scheduling must not change values."""
+    import numpy as np
+
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        COV_SCALE,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x = np.stack([r.embedding for r in emb.select("embedding").collect()])
+    q = np.floor(x.astype(np.float64) * COV_SCALE)
+    n = q.shape[0]
+    mean = q.sum(axis=0) / n
+    cov_full = (q.T @ q) / n - np.outer(mean, mean)
+    cov_full /= float(COV_SCALE) ** 2
+    got = queries()["q_ext_embed_covariance"](spark, SF).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.n == n
+        assert abs(r.cov - cov_full[r.dim_i, r.dim_j]) < 5e-6
+    # the top-k really is the top: no remaining pair beats the last row
+    kept = {(r.dim_i, r.dim_j) for r in got}
+    floor_abs = min(abs(r.cov) for r in got)
+    iu, ju = np.triu_indices(cov_full.shape[0], k=1)
+    rest = [
+        abs(cov_full[i, j])
+        for i, j in zip(iu, ju)
+        if (int(i), int(j)) not in kept
+    ]
+    assert max(rest) <= floor_abs + 5e-6
+
+
+def test_tpch_q21_solo_late_supplier_is_exclusive(spark):
+    """Recompute the Q21 invariant driver-side: every counted wait
+    belongs to an order where EXACTLY one supplier was late, so no two
+    suppliers can be counted for the same order — total numwait equals
+    the number of qualifying orders."""
+    import pyspark.sql.functions as SF_
+
+    total = (
+        queries()["q_ext_tpch_q21"](spark, SF)
+        .agg(SF_.sum("numwait"))
+        .first()[0]
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        SF_.col("o_orderstatus") == "F"
+    )
+    ms = li.groupBy("l_orderkey").agg(
+        SF_.min("l_shipdate").alias("m0"),
+        SF_.count_distinct("l_suppkey").alias("ns"),
+    )
+    flags = (
+        li.join(ms.filter("ns > 1"), "l_orderkey")
+        .join(
+            orders,
+            SF_.col("l_orderkey") == SF_.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            SF_.max(
+                SF_.when(
+                    SF_.col("l_shipdate")
+                    > SF_.col("m0") + SF_.expr("INTERVAL 30 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    solo_orders = (
+        flags.groupBy("l_orderkey")
+        .agg(SF_.sum("late").alias("nl"))
+        .filter("nl = 1")
+        .count()
+    )
+    # top-20 cut can drop tail suppliers; the UNCUT total equals the
+    # qualifying-order count, and the cut total can never exceed it
+    assert total <= solo_orders
