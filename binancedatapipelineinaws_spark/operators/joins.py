@@ -1752,3 +1752,96 @@ def q_ext_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+ASOF_TOL_S = 3600  # tolerance: a click older than 1h does not attribute
+
+
+@register(
+    "q_ext_asof_tolerance",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.purchase_id, p.user_id, p.value,
+         c.click_id, c.ts AS click_ts, p.ts AS p_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), aged AS (
+  -- floor() before CAST: the engine-parity epoch discipline
+  SELECT purchase_id, user_id, value, click_id,
+         CAST(floor(epoch(p_ts)) AS BIGINT)
+         - CAST(floor(epoch(click_ts)) AS BIGINT) AS age_s
+  FROM matched
+)
+SELECT purchase_id, user_id, value,
+       CASE WHEN age_s <= {ASOF_TOL_S} THEN click_id END AS click_id,
+       CASE WHEN age_s <= {ASOF_TOL_S} THEN age_s END AS age_s,
+       coalesce(age_s <= {ASOF_TOL_S}, FALSE) AS within_tol
+FROM aged
+""",
+)
+def q_ext_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (the kdb `aj` / TimescaleDB
+    idiom): each purchase takes the user's latest preceding click ONLY
+    if it happened within {ASOF_TOL_S} s — a stale click attributes
+    nothing.  The tolerance is applied AFTER the as-of match (standard
+    semantics: the nearest candidate either qualifies or the row gets
+    no match; an older in-window click never substitutes).
+
+    Plan: identical to q_join_asof — union + last(ignorenulls) over
+    one user-keyed event-time window, one shuffle, linear per key —
+    plus a codegen age filter; the tolerance adds ZERO extra plan cost
+    (vs a range join, which would be quadratic per key).  Ages are
+    floored-epoch integer differences, engine-exact."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("side"))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "ts",
+        "side",
+        F.last("click_id", ignorenulls=True).over(w).alias("c_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("c_ts"),
+    )
+    age_s = F.unix_timestamp("ts").cast("long") - F.unix_timestamp(
+        "c_ts"
+    ).cast("long")
+    within = age_s <= ASOF_TOL_S
+    return merged.filter(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        "value",
+        F.when(within, F.col("c_id")).alias("click_id"),
+        F.when(within, age_s).alias("age_s"),
+        F.coalesce(within, F.lit(False)).alias("within_tol"),
+    )

@@ -115,6 +115,7 @@ _DEFER: tuple[str, ...] = (
     "q_ext_tpch_q16",
     "q_ext_tpch_q20",
     "q_ext_tpch_q21",
+    "q_ext_asof_tolerance",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -875,3 +875,14 @@ def test_tpch_q21_decorrelated_no_nested_probes(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_same_plan_as_asof(spark):
+    # the tolerance gate must not change the join strategy: one
+    # user-keyed window over the union, a single hash exchange, no join
+    plan = _plan(queries()["q_ext_asof_tolerance"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Window [") == 1
+    # the click tie-dedup aggregate + the user-keyed window — exactly
+    # the q_join_asof exchanges, none added by the tolerance gate
+    assert plan.count("Exchange hashpartitioning") == 2
