@@ -65,6 +65,12 @@ HEADLINE = [
     "q_ext_tpch_q3",
     "q_ext_hybrid_rrf",
     "q_ext_embed_covariance",
+    # round-6 batch 4: the COUNT DISTINCT and double-decorrelation
+    # benchmarks, the RFM cube, and the tolerance as-of
+    "q_ext_tpch_q16",
+    "q_ext_tpch_q21",
+    "q_ext_rfm_segments",
+    "q_ext_asof_tolerance",
 ]
 
 

@@ -308,3 +308,98 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming heavy hitters (SpaceSaving) -----------------------------------
+# Top talkers over an UNBOUNDED key domain with O(k) state: the
+# SpaceSaving sketch (Metwally et al., public algorithm) per hash
+# shard.  A counter set of size k per shard guarantees every item with
+# true shard frequency > n_shard/k is tracked, and each estimate
+# overshoots its true count by at most the recorded error term.  The
+# state store holds N_SHARDS * k counters TOTAL, independent of how
+# many distinct users ever appear — the bounded-state contract the
+# exact per-key counters cannot make.
+
+HH_K = 16  # counters per shard
+HH_SHARDS = 8
+
+HH_SCHEMA = (
+    "shard long, item long, est long, err long, n_processed long"
+)
+HH_STATE_SCHEMA = (
+    "items array<long>, counts array<long>, errs array<long>, n long"
+)
+
+
+def make_heavy_hitters_fn(k: int = HH_K):
+    def heavy_hitters(key, pdfs, state):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            items, counts, errs, n = state.get
+            items, counts, errs = list(items), list(counts), list(errs)
+        else:
+            items, counts, errs, n = [], [], [], 0
+        pos = {it: i for i, it in enumerate(items)}
+        for pdf in pdfs:
+            # deterministic in-batch order (the sessionizer discipline)
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for it in pdf["item"]:
+                it = int(it)
+                n += 1
+                i = pos.get(it)
+                if i is not None:
+                    counts[i] += 1
+                elif len(items) < k:
+                    pos[it] = len(items)
+                    items.append(it)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    # evict the min-count entry (ties: smallest item id,
+                    # so replay order cannot change the victim)
+                    j = min(
+                        range(len(items)),
+                        key=lambda x: (counts[x], items[x]),
+                    )
+                    del pos[items[j]]
+                    pos[it] = j
+                    errs[j] = counts[j]
+                    counts[j] += 1
+                    items[j] = it
+        state.update((items, counts, errs, n))
+        # snapshot every batch; consumers keep each shard's rows with
+        # the highest n_processed (the final state)
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(items),
+                "item": items,
+                "est": counts,
+                "err": errs,
+                "n_processed": [n] * len(items),
+            }
+        )
+
+    return heavy_hitters
+
+
+def heavy_hitters_stream(events: DataFrame, k: int = HH_K) -> DataFrame:
+    """events stream -> per-shard SpaceSaving top-talker snapshots
+    (item = user_id).  State per shard: k (item, count, err) counters
+    — bounded regardless of the user-id domain."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id",
+        F.col("user_id").alias("item"),
+        (F.col("user_id") % HH_SHARDS).alias("shard"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        make_heavy_hitters_fn(k),
+        outputStructType=HH_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

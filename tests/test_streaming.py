@@ -834,3 +834,82 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got.count() == want.count()  # no dupes from run-1 files
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_heavy_hitters_spacesaving_guarantees(spark, tmp_path):
+    """SpaceSaving invariants against exact batch counts, replayed over
+    multiple micro-batches (maxFilesPerTrigger=1 so state evolves
+    across batches): (a) state per shard never exceeds k counters,
+    (b) every user with true shard frequency > n_shard/k is tracked,
+    (c) est - err <= true <= est for every tracked user, and (d) the
+    per-shard processed totals equal the true shard sizes."""
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        HH_K,
+        HH_SHARDS,
+        heavy_hitters_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "events_src")
+    ev = load_table(spark, SF, "events")
+    # three time-ordered chunks -> three micro-batches
+    ev.orderBy("ts", "event_id").withColumn(
+        "c", (F.unix_micros("ts") % 3)
+    ).repartition(3, "c").drop("c").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = str(tmp_path / "hh")
+    q = (
+        heavy_hitters_stream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snaps = spark.read.parquet(out)
+    # final snapshot per shard = rows carrying its max n_processed
+    import pyspark.sql.window as W
+
+    w = W.Window.partitionBy("shard")
+    final = snaps.withColumn(
+        "n_max", F.max("n_processed").over(w)
+    ).filter(F.col("n_processed") == F.col("n_max"))
+    true = (
+        ev.groupBy((F.col("user_id") % HH_SHARDS).alias("shard"), "user_id")
+        .agg(F.count("*").alias("true_n"))
+        .cache()
+    )
+    shard_tot = true.groupBy("shard").agg(F.sum("true_n").alias("n_shard"))
+    # (a) bounded state
+    per_shard = final.groupBy("shard").agg(F.count("*").alias("k_used"))
+    assert per_shard.filter(F.col("k_used") > HH_K).count() == 0
+    # (d) nothing lost: processed totals match true shard sizes
+    got_tot = final.groupBy("shard").agg(F.max("n_processed").alias("n"))
+    mismatch = got_tot.join(shard_tot, "shard").filter(
+        F.col("n") != F.col("n_shard")
+    )
+    assert mismatch.count() == 0
+    # (b) guarantee: true frequency > n_shard/k must be tracked
+    musts = true.join(shard_tot, "shard").filter(
+        F.col("true_n") * HH_K > F.col("n_shard")
+    )
+    missing = musts.join(
+        final.select("shard", F.col("item").alias("user_id")),
+        ["shard", "user_id"],
+        "left_anti",
+    )
+    assert missing.count() == 0
+    # (c) estimate bounds for every tracked item
+    j = final.join(
+        true.select("shard", F.col("user_id").alias("item"), "true_n"),
+        ["shard", "item"],
+    )
+    bad = j.filter(
+        (F.col("est") < F.col("true_n"))
+        | (F.col("est") - F.col("err") > F.col("true_n"))
+    )
+    assert bad.count() == 0
