@@ -1479,3 +1479,37 @@ def test_tpch_q21_solo_late_supplier_is_exclusive(spark):
     # top-20 cut can drop tail suppliers; the UNCUT total equals the
     # qualifying-order count, and the cut total can never exceed it
     assert total <= solo_orders
+
+
+def test_asof_tolerance_partitions_purchases(spark):
+    """Every purchase appears exactly once; rows outside tolerance
+    carry NULL match columns; rows inside agree with the plain as-of
+    join's match."""
+    df = queries()["q_ext_asof_tolerance"](spark, SF).cache()
+    n_purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert df.count() == n_purchases
+    assert df.select("purchase_id").distinct().count() == n_purchases
+    bad_out = df.filter(
+        ~F.col("within_tol")
+        & (F.col("click_id").isNotNull() | F.col("age_s").isNotNull())
+    )
+    assert bad_out.count() == 0
+    bad_in = df.filter(
+        F.col("within_tol")
+        & (
+            F.col("click_id").isNull()
+            | (F.col("age_s") < 0)
+            | (F.col("age_s") > 3600)
+        )
+    )
+    assert bad_in.count() == 0
+    # inside tolerance, the match must equal the untolerated as-of match
+    plain = queries()["q_join_asof"](spark, SF).select(
+        "purchase_id", F.col("last_click_id").alias("plain_click")
+    )
+    j = df.filter(F.col("within_tol")).join(plain, "purchase_id")
+    assert j.filter(F.col("click_id") != F.col("plain_click")).count() == 0
