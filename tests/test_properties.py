@@ -1513,3 +1513,64 @@ def test_asof_tolerance_partitions_purchases(spark):
     )
     j = df.filter(F.col("within_tol")).join(plain, "purchase_id")
     assert j.filter(F.col("click_id") != F.col("plain_click")).count() == 0
+
+
+def test_ewma_tail_cap_matches_full_fold(spark, tmp_path):
+    """A user with MORE than EWMA_TAIL events exercises the truncation
+    branch: the capped fold must agree with the full-history fold to
+    well under the 6-dp round (the documented decay bound), and with
+    a direct Python recomputation of the capped fold exactly."""
+    import datetime
+
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        EWMA_ALPHA,
+        EWMA_TAIL,
+    )
+    from binancedatapipelineinaws_spark.registry import queries
+
+    n = EWMA_TAIL + 88
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + datetime.timedelta(seconds=i),
+            7,
+            "view",
+            float(((i * 37) % 1000) / 7.0),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in queries()["q_ext_ewma"](spark, str(tmp_path)).collect()
+    }
+    assert got[7][0] == n
+    vals = [float(((i * 37) % 1000) / 7.0) for i in range(n)]
+    capped = vals[-EWMA_TAIL:]
+    acc = capped[0]
+    for x in capped[1:]:
+        acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+    assert got[7][1] == round(acc, 6)
+    full = vals[0]
+    for x in vals[1:]:
+        full = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * full
+    assert abs(full - acc) < 1e-12  # decay bound: cap is invisible
+    # the ORACLE's list_slice branch must agree on the same fixture
+    import duckdb
+
+    from binancedatapipelineinaws_spark.registry import all_specs
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    duck = con.sql(all_specs()["q_ext_ewma"].oracle).fetchall()
+    assert {(r[0], r[1], r[2]) for r in duck} == {
+        (7, n, round(acc, 6))
+    }
