@@ -35,6 +35,42 @@ def _duck_query_list() -> str:
     return ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
+def bm25_components(spark: SparkSession, sf_dir: str):
+    """Shared BM25 pipeline: per-doc per-matched-term score terms,
+    ready for the caller's aggregate.  Returns a DataFrame with one row
+    per (doc_id, matched term) carrying `term_score` — the exact same
+    expression tree in both q_ext_bm25 and q_ext_hybrid_rrf, so the
+    two queries score bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    stats = w.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("words")).alias("avgdl")
+    )
+    dl = w.select("doc_id", F.size("words").alias("dl"))
+    tf = (
+        w.select("doc_id", F.explode("words").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("term_score"),
+        )
+    )
+
+
 @register(
     "q_ext_bm25",
     oracle=f"""
@@ -77,36 +113,9 @@ def q_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned parquet at cluster scale — both passes are map-only
     until the query-bounded aggregate."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("words"))
-    stats = w.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("words")).alias("avgdl")
-    )
-    dl = w.select("doc_id", F.size("words").alias("dl"))
-    tf = (
-        w.select("doc_id", F.explode("words").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_matched"),
-            F.round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 6
-            ).alias("bm25"),
-        )
+    return bm25_components(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
     )
 
 
@@ -267,36 +276,9 @@ def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binancedatapipelineinaws_spark.functions.similarity import dot, norm
 
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("words"))
-    stats = w.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("words")).alias("avgdl")
-    )
-    dl = w.select("doc_id", F.size("words").alias("dl"))
-    tf = (
-        w.select("doc_id", F.explode("words").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    bm = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            # 9-dp round before ranking — see the oracle's bm9 comment
-            F.round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 9
-            ).alias("bm25")
-        )
+    bm = bm25_components(spark, sf_dir).groupBy("doc_id").agg(
+        # 9-dp round before ranking — see the oracle's bm9 comment
+        F.round(F.sum("term_score"), 9).alias("bm25")
     )
     # TakeOrderedAndProject cut, then rank over the constant-N set
     w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
