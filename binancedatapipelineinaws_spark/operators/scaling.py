@@ -181,3 +181,65 @@ def q_ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cnt"), 6).alias("avg_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
     )
+
+
+# --- mergeable HLL sketch eval -----------------------------------------------
+# The 100 TB distinct-count architecture is NOT "count distinct at
+# query time" — it is "keep per-partition HLL sketches and union them"
+# (a sketch table refreshes incrementally; any rollup unions in O(k)).
+# This eval gates that architecture: shard the corpus 16 ways, union
+# the shard sketches, and require (a) the union estimate EQUALS the
+# direct single-pass estimate (HLL registers are max-merged, so
+# sharding must be invisible) and (b) the estimate sits within the
+# published error envelope of the exact count.  Estimates themselves
+# never reach the output (engine-specific); the booleans do.
+
+HLL_REL_ERR = 0.05  # default lgConfigK=12 -> ~1.6% typical, 5% gate
+HLL_EVAL_SHARDS = 16
+
+
+@register(
+    "q_ext_hll_union_error",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS union_eq_direct,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+)
+def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch gate for distinct users per event type: the
+    16-shard union estimate must equal the direct estimate exactly
+    (merge-invariance — the property that makes incremental sketch
+    tables sound) and land within {HLL_REL_ERR:.0%} of the exact
+    count.  The oracle pins both invariants TRUE plus the exact
+    counts; a broken merge or an out-of-envelope sketch breaks the
+    hash.
+
+    Plan: the direct sketch is one partial-aggregated pass (sketches
+    combine map-side); the sharded path adds one (type, shard)
+    pre-aggregate then a types-bounded union — exactly the shape of a
+    production sketch-table refresh + rollup."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    direct = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d"),
+    )
+    shards = ev.groupBy(
+        "event_type", (F.col("user_id") % HLL_EVAL_SHARDS).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    unioned = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u")
+    )
+    return direct.join(F.broadcast(unioned), "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("est_u") == F.col("est_d")).alias("union_eq_direct"),
+        (
+            F.abs(F.col("est_d") - F.col("n_exact"))
+            <= HLL_REL_ERR * F.col("n_exact")
+        ).alias("within_bound"),
+    )

@@ -116,6 +116,7 @@ _DEFER: tuple[str, ...] = (
     "q_ext_tpch_q20",
     "q_ext_tpch_q21",
     "q_ext_asof_tolerance",
+    "q_ext_hll_union_error",
 )
 
 _PRIORITY: tuple[str, ...] = (
