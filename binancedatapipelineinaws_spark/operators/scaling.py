@@ -243,3 +243,182 @@ def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= HLL_REL_ERR * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+THETA_REL_ERR = 0.05  # lgK=12 -> ~2.4% envelope at scale; exact below 4k
+
+
+@register(
+    "q_ext_theta_overlap_error",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_common
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM du GROUP BY event_type
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       sa.n + sb.n - p.n_common AS n_union,
+       TRUE AS inter_within_bound,
+       TRUE AS union_within_bound
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+""",
+)
+def q_ext_theta_overlap_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra gated against the exact audience
+    overlap (q_ext_audience_overlap's documented at-scale variant):
+    per event-type pair, the sketch intersection and union estimates
+    must land within {THETA_REL_ERR:.0%} of the exact distinct-user
+    counts.  The oracle pins the exact counts plus both TRUE flags —
+    an out-of-envelope sketch breaks the hash.
+
+    Plan: ONE distinct pass builds per-type theta sketches (partial-
+    aggregated, O(k) state per type); the pairwise set algebra runs
+    over the types^2-bounded sketch table (a broadcast self-join of 5
+    rows) — the corpus is never touched again.  At 100 TB the exact
+    path's user-keyed self-join is the expensive branch; the sketch
+    branch costs one aggregate regardless of corpus size."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = ev.distinct().persist()
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias(
+                "n_union"
+            ),
+        )
+    )
+    sk = du.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    ska = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("ska"))
+    skb = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("skb"))
+    ests = (
+        ska.join(skb, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("ska", "skb")
+            ).alias("est_inter"),
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias(
+                "est_union"
+            ),
+        )
+    )
+    return exact.join(F.broadcast(ests), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_common",
+        "n_union",
+        (
+            F.abs(F.col("est_inter") - F.col("n_common"))
+            <= THETA_REL_ERR * F.col("n_common")
+        ).alias("inter_within_bound"),
+        (
+            F.abs(F.col("est_union") - F.col("n_union"))
+            <= THETA_REL_ERR * F.col("n_union")
+        ).alias("union_within_bound"),
+    )
+
+
+KLL_RANK_EPS = 0.03  # default k=200 -> ~1.65% rank error envelope
+KLL_QUANTILES = (0.5, 0.95)
+
+
+@register(
+    "q_ext_kll_rank_error",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_ext_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch gate for the per-type value distribution
+    (the mergeable complement of q_agg_approx_percentiles): the
+    sketch's p50/p95 answers must have EXACT rank within
+    {KLL_RANK_EPS} of their target — the published KLL guarantee,
+    recomputed against the real data and pinned TRUE in the oracle.
+
+    Plan: one partial-aggregated sketch pass (O(k) state per type),
+    estimates broadcast back into one exact rank-counting pass — two
+    corpus reads total, no sort, no whole-partition percentile
+    window; at 100 TB this replaces the exact-percentile single-task
+    sort wherever a 1.65%-rank answer is acceptable."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    ests = F.broadcast(
+        sk.select(
+            "event_type",
+            F.kll_sketch_get_quantile_double(
+                "sk", F.lit(KLL_QUANTILES[0])
+            ).alias("q50"),
+            F.kll_sketch_get_quantile_double(
+                "sk", F.lit(KLL_QUANTILES[1])
+            ).alias("q95"),
+        )
+    )
+    ranks = (
+        ev.join(ests, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)
+            ).alias("le50"),
+            F.sum(
+                F.when(F.col("value") <= F.col("q95"), 1).otherwise(0)
+            ).alias("le95"),
+        )
+    )
+    rank50 = F.col("le50").cast("double") / F.col("n")
+    rank95 = F.col("le95").cast("double") / F.col("n")
+    return ranks.select(
+        "event_type",
+        "n",
+        (F.abs(rank50 - KLL_QUANTILES[0]) <= KLL_RANK_EPS).alias(
+            "p50_rank_ok"
+        ),
+        (F.abs(rank95 - KLL_QUANTILES[1]) <= KLL_RANK_EPS).alias(
+            "p95_rank_ok"
+        ),
+    )

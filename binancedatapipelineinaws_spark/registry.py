@@ -117,6 +117,8 @@ _DEFER: tuple[str, ...] = (
     "q_ext_tpch_q21",
     "q_ext_asof_tolerance",
     "q_ext_hll_union_error",
+    "q_ext_theta_overlap_error",
+    "q_ext_kll_rank_error",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -108,4 +108,4 @@ def test_round6_work_fits_driver_window():
     displaced = set(_PRIORITY) - first50
     assert displaced <= set(_PRIORITY), displaced
     # the defer queue must never grow past the next round's slack
-    assert len(_DEFER) <= 12
+    assert len(_DEFER) <= 14
