@@ -886,3 +886,30 @@ def test_asof_tolerance_same_plan_as_asof(spark):
     # the click tie-dedup aggregate + the user-keyed window — exactly
     # the q_join_asof exchanges, none added by the tolerance gate
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_hll_union_partial_aggregated(spark):
+    # both sketch paths must combine map-side (objHashAggregate with
+    # partial_ phases); the union rollup is types-bounded
+    plan = _plan(queries()["q_ext_hll_union_error"](spark, SF))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_overlap_sketch_branch_is_broadcast(spark):
+    # the pairwise set algebra runs over the 5-row sketch table as a
+    # broadcast self-join; the corpus feeds ONE distinct pass
+    plan = _plan(queries()["q_ext_theta_overlap_error"](spark, SF))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kll_rank_no_percentile_window(spark):
+    # the whole point: no Window node anywhere — a sketch aggregate
+    # plus an exact rank-count aggregate with a broadcast join back
+    plan = _plan(queries()["q_ext_kll_rank_error"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
