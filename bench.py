@@ -71,6 +71,11 @@ HEADLINE = [
     "q_ext_tpch_q21",
     "q_ext_rfm_segments",
     "q_ext_asof_tolerance",
+    # round-6 batch 5: the datasketches tier (the documented
+    # approximate swaps, now first-class timed paths)
+    "q_ext_hll_union_error",
+    "q_ext_theta_overlap_error",
+    "q_ext_kll_rank_error",
 ]
 
 
