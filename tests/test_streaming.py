@@ -913,3 +913,68 @@ def test_streaming_heavy_hitters_spacesaving_guarantees(spark, tmp_path):
         | (F.col("est") - F.col("err") > F.col("true_n"))
     )
     assert bad.count() == 0
+
+
+def test_stateful_operator_state_survives_restart(spark, tmp_path):
+    """Custom applyInPandasWithState state must survive a query
+    restart: run the heavy-hitter sketch over batch 1, STOP, deliver
+    batch 2, restart on the SAME checkpoint — the final per-shard
+    counters must equal a single continuous run over both batches
+    (the state store, not the JVM, owns the counters)."""
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    half = ev.count() // 2
+    batch1 = ev.limit(half)
+    batch2 = ev.subtract(batch1)
+
+    def run_stream(src, out, ckpt):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            heavy_hitters_stream(stream)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # interrupted pipeline: batch 1, stop, batch 2 arrives, restart
+    src_a = str(tmp_path / "src_a")
+    out_a = str(tmp_path / "out_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    batch1.write.mode("append").parquet(src_a)
+    run_stream(src_a, out_a, ckpt_a)
+    batch2.write.mode("append").parquet(src_a)
+    run_stream(src_a, out_a, ckpt_a)
+
+    # continuous reference: both batches in one run
+    src_b = str(tmp_path / "src_b")
+    out_b = str(tmp_path / "out_b")
+    batch1.write.mode("append").parquet(src_b)
+    batch2.write.mode("append").parquet(src_b)
+    run_stream(src_b, out_b, str(tmp_path / "ckpt_b"))
+
+    def final_counters(out):
+        import pyspark.sql.window as W
+
+        snaps = spark.read.parquet(out)
+        w = W.Window.partitionBy("shard")
+        return (
+            snaps.withColumn("n_max", F.max("n_processed").over(w))
+            .filter(F.col("n_processed") == F.col("n_max"))
+            .select("shard", "item", "est", "err")
+        )
+
+    got = final_counters(out_a)
+    want = final_counters(out_b)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
