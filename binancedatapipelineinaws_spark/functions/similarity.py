@@ -1272,6 +1272,40 @@ COV_TOP_PAIRS = 20
 COV_SCALE = 1_000_000  # floor-quantization step: 1e-6 resolution
 
 
+GRAM_PARTIALS_SCHEMA = "dim_i int, dim_j int, v long"
+
+
+def gram_partials(batches):
+    """Per-partition covariance partials: ONE int64 Gram mat-mul over
+    the partition's floor-quantized vectors, emitted as a constant
+    DIM*(DIM-1)/2 + DIM + 1 rows — upper-triangle products, per-dim
+    sums, and the row count.  Module-level (not a closure) so the
+    shuffle-volume contract is testable in isolation
+    (tests/test_scaling.py)."""
+    import numpy as np
+    import pandas as pd
+
+    g = np.zeros((DIM, DIM), dtype=np.int64)
+    s1 = np.zeros(DIM, dtype=np.int64)
+    n = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * COV_SCALE).astype(np.int64)
+        g += q.T @ q
+        s1 += q.sum(axis=0)
+        n += q.shape[0]
+    iu, ju = np.triu_indices(DIM, k=1)
+    yield pd.DataFrame(
+        {
+            "dim_i": np.concatenate([iu, np.arange(DIM), [-1]]),
+            "dim_j": np.concatenate([ju, np.full(DIM, -1), [-1]]),
+            "v": np.concatenate([g[iu, ju], s1, [n]]),
+        }
+    )
+
+
 @register(
     "q_ext_embed_covariance",
     oracle=f"""
@@ -1327,37 +1361,10 @@ def q_ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-partition exactness bound: |qv| <= {COV_SCALE}/2, so a partition
     of r rows sums to < r * {COV_SCALE}^2 / 4 — int64-safe to ~10^8 rows
     per partition, 100x above a 128 MB split."""
-    import numpy as np
-    import pandas as pd
-
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def gram(batches):
-        g = np.zeros((DIM, DIM), dtype=np.int64)
-        s1 = np.zeros(DIM, dtype=np.int64)
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(x * COV_SCALE).astype(np.int64)
-            g += q.T @ q
-            s1 += q.sum(axis=0)
-            n += q.shape[0]
-        iu, ju = np.triu_indices(DIM, k=1)
-        yield pd.DataFrame(
-            {
-                "dim_i": np.concatenate([iu, np.arange(DIM), [-1]]),
-                "dim_j": np.concatenate(
-                    [ju, np.full(DIM, -1), [-1]]
-                ),
-                "v": np.concatenate([g[iu, ju], s1, [n]]),
-            }
-        )
-
     partials = emb.select("embedding").mapInPandas(
-        gram, schema="dim_i int, dim_j int, v long"
+        gram_partials, schema=GRAM_PARTIALS_SCHEMA
     )
     tot = partials.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("v").cast("decimal(38,0)")).alias("v")

@@ -26,6 +26,15 @@ ROTATION_SCHEMA = (
 STATE_SCHEMA = "minute_epoch_s long, trades long, volume double"
 
 
+# NOTE on chunking: `pdfs` yields one pandas chunk per Arrow batch; a
+# key whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+# SEVERAL chunks whose composition depends on shuffle arrival order.
+# Every kernel below therefore concatenates its chunks and sorts ONCE
+# — a per-chunk sort would give sorted(chunk1)++sorted(chunk2), an
+# order that varies run to run and breaks replay determinism for
+# order-sensitive state.
+
+
 def make_rotation_fn():
     def detect_rotation(key, pdfs, state):
         # state: (open minute bucket, trades, volume) for this symbol
@@ -37,9 +46,10 @@ def make_rotation_fn():
         else:
             open_min, trades, volume = None, 0, 0.0
         closed: list[tuple[str, int, int, float]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["minute_epoch_s", "bid"])
-            for minute, grp in pdf.groupby("minute_epoch_s", sort=True):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["minute_epoch_s", "bid"])
+            for minute, grp in batch.groupby("minute_epoch_s", sort=True):
                 if open_min is None:
                     open_min = int(minute)
                 elif minute > open_min:
@@ -106,7 +116,8 @@ def make_sessionize_fn(gap_s: int):
         else:
             last_ts, session_idx, seq = None, 0, 0
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
             # event-time order within the batch at FULL microsecond
             # precision — the batch query orders by (ts, event_id) with
             # sub-second ts, so sorting by a second-truncated ts here
@@ -116,8 +127,8 @@ def make_sessionize_fn(gap_s: int):
             # state carries the frontier (late events beyond it join
             # the open session — documented divergence, same policy as
             # the rotation detector's late-data drop)
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us, event_id in zip(pdf["ts_us"], pdf["event_id"]):
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for ts_us, event_id in zip(batch["ts_us"], batch["event_id"]):
                 ts_s = int(ts_us) // 1_000_000
                 if last_ts is None or ts_s - last_ts > gap_s:
                     session_idx += 1
@@ -218,12 +229,13 @@ def make_gapband_fn():
         _user_id, event_type = key
         last_ts = state.get[0] if state.exists else None
         out: list[tuple[str, str]] = []
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
             # full-precision in-batch order (the sessionizer
             # discipline); the gap itself is floored-epoch seconds,
             # matching unix_timestamp in the batch query
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us in pdf["ts_us"]:
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for ts_us in batch["ts_us"]:
                 ts_s = int(ts_us) // 1_000_000
                 if last_ts is not None:
                     out.append((event_type, _band_of(ts_s - last_ts)))
@@ -273,9 +285,12 @@ def make_attrib_fn():
 
         channel = state.get[0] if state.exists else None
         out: list[tuple[int, str]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for event_id, etype in zip(
+                batch["event_id"], batch["event_type"]
+            ):
                 if etype == "purchase":
                     out.append(
                         (int(event_id), channel if channel else "none")
@@ -342,10 +357,11 @@ def make_heavy_hitters_fn(k: int = HH_K):
         else:
             items, counts, errs, n = [], [], [], 0
         pos = {it: i for i, it in enumerate(items)}
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
             # deterministic in-batch order (the sessionizer discipline)
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for it in pdf["item"]:
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for it in batch["item"]:
                 it = int(it)
                 n += 1
                 i = pos.get(it)

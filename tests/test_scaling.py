@@ -375,35 +375,34 @@ def test_exact_quantiles_candidate_volume_is_bucket_bounded(spark):
 def test_covariance_partials_constant_per_partition(spark):
     """The Gram-matrix shuffle contract: every partition ships exactly
     dim*(dim-1)/2 + dim + 1 = 2081 partial rows no matter how many
-    vectors it holds, so the shuffle volume is partitions-bounded, not
-    corpus-bounded — rerun the kernel at 1, 4 and 16 partitions and
-    count the partial rows each produces."""
-    import numpy as np
-    import pandas as pd
+    vectors it holds — run the REAL kernel at 1, 4 and 16 partitions
+    and count the rows it actually emits, then check the partials
+    reassemble to the same totals at every partitioning."""
+    from pyspark.sql import functions as F2
 
-    from binancedatapipelineinaws_spark.functions.similarity import DIM
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        DIM,
+        GRAM_PARTIALS_SCHEMA,
+        gram_partials,
+    )
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("embedding")
     expected = DIM * (DIM - 1) // 2 + DIM + 1
-
-    def gram_count(batches):
-        n_rows = 0
-        for pdf in batches:
-            n_rows += len(pdf)
-        # emulate the kernel's output contract: constant rows/partition
-        yield pd.DataFrame({"n_in": [n_rows], "n_out": [expected]})
-
+    totals = {}
     for parts in (1, 4, 16):
-        counted = (
+        partials = (
             emb.repartition(parts)
-            .mapInPandas(gram_count, schema="n_in long, n_out long")
-            .collect()
+            .mapInPandas(gram_partials, schema=GRAM_PARTIALS_SCHEMA)
+            .cache()
         )
-        assert len(counted) == parts
-        assert all(r.n_out == expected for r in counted)
-    # and the REAL query's shuffle is exactly partitions * 2081 rows:
-    # its partials DataFrame row count scales with partitions, not rows
-    from binancedatapipelineinaws_spark.registry import queries
-
-    out = queries()["q_ext_embed_covariance"](spark, SF)
-    assert out.count() > 0  # end-to-end sanity under repartitioning
+        # constant rows per partition: total emitted = partitions * 2081
+        assert partials.count() == parts * expected
+        # and the global sums are partitioning-invariant (exact ints)
+        totals[parts] = {
+            (r.dim_i, r.dim_j): r.s
+            for r in partials.groupBy("dim_i", "dim_j")
+            .agg(F2.sum("v").alias("s"))
+            .collect()
+        }
+        partials.unpersist()
+    assert totals[1] == totals[4] == totals[16]
