@@ -108,3 +108,50 @@ def test_round6_work_fits_driver_window():
     assert not (set(_FORCE_FIRST) - first50)
     # the defer queue must never grow past the next round's slack
     assert len(_DEFER) <= 14
+
+
+def test_every_oracle_plans_in_duckdb():
+    """EXPLAIN every registered oracle against empty views of the ten
+    driver tables: catches a typo'd oracle (bad function, wrong
+    column, unregistered table) in seconds at pytest time instead of
+    minutes into the oracle sweep or — worse — in the driver gate.
+    Planning only; nothing executes."""
+    import duckdb
+
+    from binancedatapipelineinaws_spark.registry import all_specs
+
+    schemas = {
+        "region": "r_regionkey BIGINT, r_name VARCHAR",
+        "nation": "n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT",
+        "customer": "c_custkey BIGINT, c_name VARCHAR, c_nationkey BIGINT,"
+        " c_acctbal DOUBLE, c_mktsegment VARCHAR",
+        "supplier": "s_suppkey BIGINT, s_name VARCHAR, s_nationkey BIGINT,"
+        " s_acctbal DOUBLE",
+        "part": "p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR,"
+        " p_type VARCHAR, p_size INTEGER, p_retailprice DOUBLE",
+        "orders": "o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP, o_orderpriority VARCHAR",
+        "lineitem": "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,"
+        " l_returnflag VARCHAR, l_linestatus VARCHAR,"
+        " l_shipdate TIMESTAMP",
+        "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR",
+        "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT",
+        "embeddings": "vec_id BIGINT, embedding FLOAT[], label BIGINT",
+    }
+    con = duckdb.connect()
+    for t, cols in schemas.items():
+        con.sql(f"CREATE TABLE {t} ({cols})")
+    bad = {}
+    for name, spec in all_specs().items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.sql("EXPLAIN " + spec.oracle)
+        except Exception as e:  # noqa: BLE001 - collect all failures
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, bad
