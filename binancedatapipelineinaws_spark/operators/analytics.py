@@ -231,7 +231,9 @@ def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = seq.select(
         "user_id",
-        F.size("xs").alias("n_events"),
+        # cast: F.size is INT but DuckDB len(list) is BIGINT — the
+        # driver canonicalizes through pandas where int32 != int64
+        F.size("xs").cast("long").alias("n_events"),
         F.when(
             F.size("xs") > EWMA_TAIL,
             F.slice(F.col("xs"), -EWMA_TAIL, EWMA_TAIL),

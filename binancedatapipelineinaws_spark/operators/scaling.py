@@ -246,6 +246,12 @@ def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 THETA_REL_ERR = 0.05  # lgK=12 -> ~2.4% envelope at scale; exact below 4k
+# Absolute floor on the bound (ADVICE.md r6): a pair with a SMALL true
+# intersection (n_common < ~1/rel_err) would let a ±1 sketch deviation
+# flip the TRUE-pinned flag even though the sketch is behaving — use
+# abs-or-rel, greatest(rel*truth, THETA_ABS_ERR), so the gate is
+# scale-robust at every sf without loosening it where counts are large.
+THETA_ABS_ERR = 16.0
 
 
 @register(
@@ -275,9 +281,11 @@ def q_ext_theta_overlap_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra gated against the exact audience
     overlap (q_ext_audience_overlap's documented at-scale variant):
     per event-type pair, the sketch intersection and union estimates
-    must land within {THETA_REL_ERR:.0%} of the exact distinct-user
-    counts.  The oracle pins the exact counts plus both TRUE flags —
-    an out-of-envelope sketch breaks the hash.
+    must land within greatest({THETA_REL_ERR:.0%} of the exact
+    distinct-user count, {THETA_ABS_ERR:.0f}) — abs-or-rel so a tiny
+    true overlap at a small sf can't flip the flag on a ±1 sketch
+    deviation.  The oracle pins the exact counts plus both TRUE flags
+    — an out-of-envelope sketch breaks the hash.
 
     Plan: ONE distinct pass builds per-type theta sketches (partial-
     aggregated, O(k) state per type); the pairwise set algebra runs
@@ -348,16 +356,27 @@ def q_ext_theta_overlap_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union",
         (
             F.abs(F.col("est_inter") - F.col("n_common"))
-            <= THETA_REL_ERR * F.col("n_common")
+            <= F.greatest(
+                THETA_REL_ERR * F.col("n_common"), F.lit(THETA_ABS_ERR)
+            )
         ).alias("inter_within_bound"),
         (
             F.abs(F.col("est_union") - F.col("n_union"))
-            <= THETA_REL_ERR * F.col("n_union")
+            <= F.greatest(
+                THETA_REL_ERR * F.col("n_union"), F.lit(THETA_ABS_ERR)
+            )
         ).alias("union_within_bound"),
     )
 
 
-KLL_RANK_EPS = 0.03  # default k=200 -> ~1.65% rank error envelope
+# KLL compaction is RANDOMIZED: estimates vary run-to-run once n per
+# group exceeds k, so this gate is probabilistic by nature (ADVICE.md
+# r6).  k=800 shrinks the 99%-confidence rank-error envelope to
+# ~2.296/k^0.9 ≈ 0.6%, leaving a 5x margin under the 3% gate — the
+# tail probability of a flag flip is negligible at any sf the driver
+# runs (P[err > 3%] < 1e-40 by the KLL sub-Gaussian tail bound).
+KLL_RANK_EPS = 0.03
+KLL_SKETCH_K = 800
 KLL_QUANTILES = (0.5, 0.95)
 
 
@@ -380,11 +399,16 @@ def q_ext_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates broadcast back into one exact rank-counting pass — two
     corpus reads total, no sort, no whole-partition percentile
     window; at 100 TB this replaces the exact-percentile single-task
-    sort wherever a 1.65%-rank answer is acceptable."""
+    sort wherever a sub-1%-rank answer is acceptable.
+
+    The sketch is RANDOMIZED (compaction flips coins), so the flags
+    are probabilistic: k={KLL_SKETCH_K} keeps the 99%-confidence rank
+    envelope ~0.6%, a 5x margin under the {KLL_RANK_EPS} gate — see
+    the KLL_SKETCH_K comment for the tail bound."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     sk = ev.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value").alias("sk")
+        F.kll_sketch_agg_double("value", KLL_SKETCH_K).alias("sk")
     )
     ests = F.broadcast(
         sk.select(

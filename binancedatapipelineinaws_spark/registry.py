@@ -82,66 +82,29 @@ def _load_all() -> None:
 # unverified batch), and `_PRIORITY` (hash-identical plan rewrites that
 # may safely be displaced).
 
-# Queries whose ORACLE SQL changed this round: their old driver rows
-# were produced against a DIFFERENT oracle, so a fresh row under the
-# new oracle is worth more than any other slot — `all_specs` puts
-# these ahead of even never-verified queries so the ~50-query window
-# can never squeeze them out.
+# Queries whose ORACLE SQL changed: their old driver rows were
+# produced against a DIFFERENT oracle, so a fresh row under the new
+# oracle is worth more than any other slot — `all_specs` puts these
+# ahead of even never-verified queries so the ~50-query window can
+# never squeeze them out.
 _FORCE_FIRST: tuple[str, ...] = (
-    # r6 oracle-parity hardening (ADVICE.md): floor-before-CAST epoch,
-    # 9-dp rounding before floor on the pow ratio
-    "q_ext_sessionize",
-    "q_ext_temperature_resample",
-    # r6 determinism hardening: decimal TWAP numerator, floored RANGE
-    # frame ordering (both engines' SQL changed)
-    "q_ext_twap",
-    "q_win_range_frame",
-    # r6 schema extension: img_format column from the header parser
-    "q_ext_multimodal_meta",
-)
-
-# Late-r6 additions explicitly queued BEHIND the earlier unverified
-# batch: with _FORCE_FIRST (5) + the 45 earlier round-6 queries the
-# 50-slot window is full, so these verify in the NEXT round's window
-# (which has ample slack).  Everything here is green under the local
-# oracle replica (tools/check_oracle.py) in the meantime.
-_DEFER: tuple[str, ...] = (
-    "q_ext_tpch_q3",
-    "q_ext_hybrid_rrf",
-    "q_ext_embed_covariance",
-    "q_maint_partitioned_scan",
-    "q_ext_rfm_segments",
-    "q_ext_quality_score",
-    "q_ext_tpch_q16",
-    "q_ext_tpch_q20",
-    "q_ext_tpch_q21",
-    "q_ext_asof_tolerance",
-    "q_ext_hll_union_error",
-    "q_ext_theta_overlap_error",
-    "q_ext_kll_rank_error",
-)
-
-_PRIORITY: tuple[str, ...] = (
-    # HASH-IDENTICAL changes below: values unchanged and locally
-    # re-verified, so their existing clean driver rows remain truthful
-    # even if displaced from this round's window.
-    # r6 plan rewrites: corpus-size-independent windows
-    "q_ext_zipf_slope",
-    "q_ext_vocab_coverage",
-    "q_ext_activity_gini",
-    # r6 refactor touched the shared signature path
-    "q_ext_dedup_minhash",
-    "q_ext_dedup_near",
-    "q_ext_dedup_survivors",
-    # exact paths behind the new exact/approx knobs (values unchanged)
-    "q_ext_winsorize",
-    "q_ext_mad_outliers",
-    "q_ext_ks_drift",
-    # late-r6 state cap (oracle + impl truncate identically; both
-    # branches proven equal on a crafted >EWMA_TAIL fixture and values
-    # at sf0.01 are bit-identical — no user exceeds the cap)
+    # r6 EWMA state cap changed the oracle (capped CTE) but the query
+    # stayed in _PRIORITY on a bit-identical-values argument — a
+    # scale-dependent assumption, not a structural one (ADVICE.md r6).
+    # Re-verify under the capped oracle.
     "q_ext_ewma",
 )
+
+# Late additions explicitly queued BEHIND the earlier unverified batch
+# when a round's 50-slot window is already full.  Empty at the start of
+# r7: the 13 r6-deferred queries are simply unverified and front-load
+# by themselves.
+_DEFER: tuple[str, ...] = ()
+
+# Hash-identical plan rewrites whose existing clean driver rows remain
+# truthful; safe to displace from the window.  Empty at the start of
+# r7 (the r6 rewrites all landed clean rows in CORRECTNESS_r06).
+_PRIORITY: tuple[str, ...] = ()
 
 
 def _verified_names(repo_root: Optional[str] = None) -> set[str]:

@@ -335,10 +335,18 @@ def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is measured from the ACTUAL directory layout and the oracle
     pins it to the distinct-type count — an over- or under-split
     layout breaks the match; the pruned rollup re-reads real data, so
-    row loss would too."""
+    row loss would too.  NULL event types are filtered BEFORE the
+    write (ADVICE.md r6): `partitionBy` would route them to a
+    __HIVE_DEFAULT_PARTITION__ directory that `count(DISTINCT ...)`
+    — which skips NULL — would never count, so dropping them keeps
+    the measured dir count equal to the oracle by construction (and
+    cannot change n_rows/n_users: the read-back filters on a
+    non-NULL constant)."""
     prepare(spark)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
     )
     path = _tmp_path("events_hivepart", sf_dir)
     events.write.mode("overwrite").partitionBy("event_type").parquet(path)

@@ -82,7 +82,7 @@ def test_err_then_fixed_pass_is_verified(tmp_path):
     assert "q_a" in _verified_names(repo_root=str(tmp_path))
 
 
-def test_round6_work_fits_driver_window():
+def test_round_work_fits_driver_window():
     """The driver checks ~50 queries per round in all_specs() order.
     The ORACLE-CHANGED `_FORCE_FIRST` queries must open the window
     (their old rows were computed against a different oracle), every
@@ -93,7 +93,6 @@ def test_round6_work_fits_driver_window():
     from binancedatapipelineinaws_spark.registry import (
         _DEFER,
         _FORCE_FIRST,
-        _PRIORITY,
         _verified_names,
         all_specs,
     )
@@ -108,6 +107,31 @@ def test_round6_work_fits_driver_window():
     assert not (set(_FORCE_FIRST) - first50)
     # the defer queue must never grow past the next round's slack
     assert len(_DEFER) <= 14
+
+
+def test_window_budget_not_exceeded():
+    """Forward invariant (r6 verdict #8): (forced re-verifies) +
+    (queries with no clean driver row) must fit one ~50-slot driver
+    window, minus `_DEFER` entries explicitly pushed to the next round.
+    A burst of new registrations past this budget would silently delay
+    verification of OTHER unverified queries — fail at registration
+    time instead."""
+    from binancedatapipelineinaws_spark.registry import (
+        _DEFER,
+        _FORCE_FIRST,
+        _verified_names,
+        all_specs,
+    )
+
+    specs = set(all_specs())
+    unverified = specs - _verified_names()
+    demand = len(set(_FORCE_FIRST) | unverified) - len(
+        set(_DEFER) - _verified_names()
+    )
+    assert demand <= 50, (
+        f"window budget exceeded: {demand} queries need a driver row "
+        "this round; defer the excess via _DEFER"
+    )
 
 
 def test_every_oracle_plans_in_duckdb():
