@@ -1402,3 +1402,197 @@ def q_ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(COV_TOP_PAIRS)
         .select("dim_i", "dim_j", "n", F.round("cov", 6).alias("cov"))
     )
+
+
+# --- product-quantization-style ANN over int8 codes --------------------------
+# The 4x-memory-cut search actually run at 100 TB: IVF cells bound the
+# candidate set (nprobe=1, same coarse quantizer as q_ext_ann_ivf) and
+# the rerank inside the cell runs on the 256-level scalar-quantized
+# codes from q_ext_quantize — the float vectors never enter the search.
+# The gate is recall@k of the code-space ranking against the
+# full-precision ranking over the SAME candidate set, isolating the
+# quantization cost from the (separately gated, q_ext_ann_recall) cell
+# coverage.  Code dots are exact: products and running sums stay
+# integer-valued (< 64 * 255^2 ~ 4.2e6, far inside double's 2^53), so
+# both engines rank identically regardless of fold schedule and the
+# recall flag is hash-verifiable, not probabilistic.
+
+# Floor on the MEAN recall across queries, pinned as a literal TRUE in
+# the oracle (like the sketch gates): per-query recall is quantized to
+# multiples of 1/k and noisy on isotropic data (observed per-query min
+# 0.4 at sf0.01), but the 20-query mean (observed 0.80) is stable —
+# a quantizer regression drops it and breaks the hash against TRUE.
+PQ_RECALL_FLOOR = 0.5
+
+
+@register(
+    "q_ext_ann_pq",
+    oracle="WITH "
+    + _DUCK_CENTROIDS
+    + ","
+    + DUCK_QUANT_CTE
+    + f""",
+assigned AS (
+  SELECT e.vec_id, e.embedding, cv.label AS cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DUCK_DOT_VC} / ({_DUCK_NORM_V} * {_DUCK_NORM_C}) DESC,
+                    cv.label) AS rn
+  FROM embeddings e CROSS JOIN centroid_vecs cv
+),
+cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS exact_cos
+  FROM cells q JOIN cells c
+    ON q.cell = c.cell AND q.vec_id < {N_QUERY} AND c.vec_id != q.vec_id
+),
+codecand AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.exact_cos,
+         {duck_dot('qa.q', 'qb.q')}
+           / (sqrt({duck_dot('qa.q', 'qa.q')})
+              * sqrt({duck_dot('qb.q', 'qb.q')})) AS code_cos
+  FROM cand
+  JOIN quant qa ON qa.vec_id = cand.query_id
+  JOIN quant qb ON qb.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_cos DESC, neighbor_id) AS r_exact,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY code_cos DESC, neighbor_id) AS r_pq
+  FROM codecand
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN r_exact <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS k,
+       CAST(sum(CASE WHEN r_exact <= {TOP_K} AND r_pq <= {TOP_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN r_exact <= {TOP_K} AND r_pq <= {TOP_K}
+                      THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN r_exact <= {TOP_K} THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS recall,
+       TRUE AS corpus_recall_ok
+FROM ranked GROUP BY query_id
+""",
+)
+def q_ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-style ANN eval: within each query's IVF cell (nprobe=1),
+    rank candidates by cosine over {Q_LEVELS}-level quantized codes
+    and report recall@{TOP_K} against the full-precision ranking of
+    the same candidates.  The oracle value-checks every per-query
+    recall AND pins a literal TRUE for mean-recall >=
+    {PQ_RECALL_FLOOR} — a quantizer regression breaks the hash both
+    ways.
+
+    Plan: broadcast K-row centroids -> map-only cell argmin (the
+    q_ext_ann_ivf coarse quantizer) -> PERSISTED (vec_id, cell) table
+    -> cell-keyed equi-join candidates -> code + float scores joined
+    by id -> two windows over the same query-partitioned candidate
+    frame -> per-query rollup.  At 100 TB only the code path runs in
+    production (4x less candidate memory); the float rerank here is
+    the eval harness, same as q_ext_ann_recall."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        centroids(spark, sf_dir).select(
+            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+        )
+    )
+    e = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.col("label")
+    )
+    # persisted: queries and corpus both read it, as in q_ext_semdedup
+    cells = (
+        e.crossJoin(cents)
+        .select("vec_id", "embedding", "nrm", "label",
+                cos_vc.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
+        .persist()
+    )
+    codes = quantized_codes(emb)
+    code_side = codes.select(
+        "vec_id", "q", F.sqrt(dot(F.col("q"), F.col("q"))).alias("q_nrm")
+    )
+    qc = cells.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_fnrm"),
+        "cell",
+    )
+    cc = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_fnrm"),
+        F.col("cell").alias("c_cell"),
+    )
+    exact_cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_fnrm") * F.col("c_fnrm")
+    )
+    cand = qc.join(
+        cc,
+        (F.col("cell") == F.col("c_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", exact_cos.alias("exact_cos"))
+    qa = code_side.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("q_nrm").alias("qa_nrm"),
+    )
+    qb = code_side.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("q_nrm").alias("qb_nrm"),
+    )
+    code_cos = dot(F.col("qa"), F.col("qb")) / (
+        F.col("qa_nrm") * F.col("qb_nrm")
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "query_id")
+        .join(qb, "neighbor_id")
+        .select("query_id", "neighbor_id", "exact_cos",
+                code_cos.alias("code_cos"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("exact_cos").desc(), F.col("neighbor_id")
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("code_cos").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_exact).alias("r_exact"),
+        F.row_number().over(w_pq).alias("r_pq"),
+    )
+    in_exact = F.when(F.col("r_exact") <= TOP_K, 1).otherwise(0)
+    in_both = F.when(
+        (F.col("r_exact") <= TOP_K) & (F.col("r_pq") <= TOP_K), 1
+    ).otherwise(0)
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(in_exact).cast("long").alias("k"),
+        F.sum(in_both).cast("long").alias("n_hits"),
+    )
+    recall = F.col("n_hits") / F.col("k").cast("double")
+    per_query = agg.select(
+        "query_id",
+        "k",
+        "n_hits",
+        F.round(recall, 6).alias("recall"),
+    )
+    # 1-row corpus gate broadcast back onto every row: mean recall
+    # across queries must clear the floor (oracle pins literal TRUE)
+    overall = F.broadcast(
+        per_query.agg(
+            (F.avg("recall") >= PQ_RECALL_FLOOR).alias("corpus_recall_ok")
+        )
+    )
+    return per_query.crossJoin(overall)

@@ -282,6 +282,20 @@ def test_semdedup_no_cartesian(spark):
     )
 
 
+def test_ann_pq_no_cartesian_candidates(spark):
+    # the candidate set must ride the IVF-cell equi-join; the only
+    # nested-loop join allowed is the K-row broadcast centroid cross
+    # join of the coarse quantizer (same contract as q_ext_semdedup)
+    df = queries()["q_ext_ann_pq"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_skew_profile_map_side_combine(spark):
     # bucket aggregate must partial-aggregate before its exchange
     df = queries()["q_ext_skew_profile"](spark, SF)
