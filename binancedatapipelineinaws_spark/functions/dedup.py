@@ -1303,3 +1303,107 @@ def q_ext_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_savings"),
         )
     )
+
+
+# --- dedup within a time horizon (batch twin of the streaming dedup) --------
+# `dropDuplicatesWithinWatermark` (streaming/pipeline.py:dedup_stream)
+# is replay-tested but approximate-in-time: state eviction is watermark-
+# granular, so its reference semantics — keep an event iff it starts a
+# new chain, i.e. it is the first of its key more than HORIZON after
+# the previously KEPT event — live only in prose.  This query registers
+# those greedy-chain semantics in the gate.  The recurrence (each keep
+# decision depends on the previous keep, not the previous row) is not
+# window-expressible; it runs JVM-side as the collect-sorted + linear
+# fold pattern established by q_ext_ewma — no Python UDF.  At 100 TB
+# the per-key array is the bounded-state concern; the streaming kernel
+# IS the O(1)-state production path, and this batch twin is its
+# correctness reference (same division of labor as SpaceSaving vs
+# q_ext_topk_talkers).
+
+HORIZON_S = 600  # 10-minute dedup horizon
+
+
+@register(
+    "q_ext_dedup_horizon",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         list([CAST(floor(epoch(ts)) AS BIGINT), event_id]
+              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS xs
+  FROM events GROUP BY user_id, event_type
+), folded AS (
+  SELECT user_id, event_type, len(xs) AS n_events,
+         list_reduce(xs, (acc, x) ->
+           CASE WHEN x[1] > acc[len(acc) - 1] + {HORIZON_S}
+                THEN list_concat(acc, x) ELSE acc END) AS f
+  FROM seq
+)
+SELECT user_id, event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(f) // 2 AS BIGINT) AS n_kept,
+       list_aggregate(list_transform(range(len(f) // 2),
+                                     i -> f[2 * i + 2]),
+                      'string_agg', ',') AS kept_ids
+FROM folded
+""",
+)
+def q_ext_dedup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy within-horizon dedup per (user_id, event_type): keep an
+    event iff it is more than {HORIZON_S} s after the previously KEPT
+    event of its key (chained semantics — the reference behavior of
+    the streaming `dropDuplicatesWithinWatermark` path, whose state
+    eviction is only watermark-granular).  Output: per-key event and
+    survivor counts plus the exact kept event-id list, so the gate
+    hash-checks every keep decision.
+
+    Plan: ONE shuffle (the groupBy), then the fold runs map-only on
+    [epoch_s, event_id] pairs — both engines sort by (floored second,
+    event_id) and fold the identical flat array, so the kept chain is
+    deterministic and tied timestamps cannot flip keeps.  The gap
+    check is integer seconds (the q_ext_sessionize epoch
+    discipline)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    seq = ev.groupBy("user_id", "event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        sec.alias("sec"),
+                        F.col("event_id").alias("eid"),
+                    )
+                )
+            ),
+            lambda s: F.array(s["sec"], s["eid"]),
+        ).alias("xs")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.when(
+            F.element_at(x, 1)
+            > F.element_at(acc, F.size(acc) - 1) + HORIZON_S,
+            F.concat(acc, x),
+        ).otherwise(acc),
+    )
+    with_f = seq.select(
+        "user_id",
+        "event_type",
+        F.size("xs").cast("long").alias("n_events"),
+        folded.alias("f"),
+    )
+    n_kept = (F.size("f") / 2).cast("long")
+    kept_ids = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.size("f") / 2).cast("int")),
+            lambda i: F.element_at(F.col("f"), i * 2).cast("string"),
+        ),
+        ",",
+    )
+    return with_f.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        n_kept.alias("n_kept"),
+        kept_ids.alias("kept_ids"),
+    )

@@ -1456,3 +1456,64 @@ def q_ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+# --- exact heavy hitters (batch twin of the streaming SpaceSaving) ----------
+# The streaming kernel (streaming/stateful.py, SpaceSaving per hash
+# shard) has replay tests but — being approximate and engine-specific
+# — no oracle row.  This query registers its REFERENCE semantics in
+# the gate: exact per-shard top-k talkers under the SAME sharding
+# (user_id % HH_SHARDS) and the SAME tie policy (count desc, smallest
+# item id), so the sketch's guarantees are machine-checked against an
+# oracle-verified exact answer (tests/test_streaming.py wires the two
+# together).
+
+from binancedatapipelineinaws_spark.streaming.stateful import (  # noqa: E402
+    HH_K,
+    HH_SHARDS,
+)
+
+
+@register(
+    "q_ext_topk_talkers",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id % {HH_SHARDS} AS shard, user_id AS item,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT shard, item, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, item) AS rank
+  FROM counts
+)
+SELECT shard, item, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {HH_K}
+""",
+)
+def q_ext_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{HH_K} talkers per hash shard (user_id % {HH_SHARDS})
+    with the streaming SpaceSaving kernel's tie policy (count desc,
+    smallest item id) — the batch reference the sketch's guarantees
+    are checked against.
+
+    Plan: partial-aggregated (shard, user) counts (map-side combine),
+    then rank<= {HH_K} over the counts table — Catalyst's
+    WindowGroupLimit pushes a per-partition top-k below the exchange,
+    so each task forwards at most k rows per shard and the sort never
+    sees the full distinct-user table.  At 100 TB the counts table is
+    |users| rows (corpus-independent) and the limit pushdown keeps the
+    final shuffle at O(shards * k)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % HH_SHARDS).alias("shard"),
+        F.col("user_id").alias("item"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), F.col("item"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HH_K)
+        .select("shard", "item", "cnt", "rank")
+    )

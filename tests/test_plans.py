@@ -785,6 +785,26 @@ def test_groupk_sample_one_stratum_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_topk_talkers_window_group_limit(spark):
+    # (shard, user) counts partial-aggregate map-side; the rank<=k
+    # filter must push a per-partition top-k below the exchange
+    plan = _plan(queries()["q_ext_topk_talkers"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [") == 1
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_dedup_horizon_one_shuffle_no_python(spark):
+    # greedy-chain fold runs JVM-side on the grouped arrays: exactly
+    # one exchange (the key groupBy), no Window, no Python UDF
+    plan = _plan(queries()["q_ext_dedup_horizon"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Window [" not in plan
+    assert "Join" not in plan
+
+
 def test_first_event_mix_one_corpus_window_pass(spark):
     # ONE corpus-sized rank window (plus the share window over the
     # types-bounded rollup); no join, no second corpus read

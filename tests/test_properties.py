@@ -1574,3 +1574,51 @@ def test_ewma_tail_cap_matches_full_fold(spark, tmp_path):
     assert {(r[0], r[1], r[2]) for r in duck} == {
         (7, n, round(acc, 6))
     }
+
+
+def test_dedup_horizon_matches_greedy_replay(spark):
+    """q_ext_dedup_horizon's fold must equal an independent imperative
+    greedy replay (keep iff > HORIZON_S after the previous KEPT event)
+    for every key — including tied floored-seconds, where the
+    (sec, event_id) order decides the chain."""
+    from binancedatapipelineinaws_spark.functions.dedup import HORIZON_S
+
+    got = {
+        (r["user_id"], r["event_type"]): r["kept_ids"]
+        for r in queries()["q_ext_dedup_horizon"](spark, SF).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_timestamp(
+                F.col("ts").cast("timestamp")
+            ).alias("sec"),
+        )
+        .collect()
+    )
+    byday = {}
+    for r in ev:
+        byday.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["sec"], r["event_id"])
+        )
+    assert set(byday) == set(got)
+    for key, rows in byday.items():
+        kept, last = [], None
+        for sec, eid in sorted(rows):
+            if last is None or sec > last + HORIZON_S:
+                kept.append(eid)
+                last = sec
+        assert got[key] == ",".join(str(e) for e in kept), key
+
+
+def test_dedup_horizon_first_events_always_kept(spark):
+    """The first event of every key starts its chain: n_kept >= 1 and
+    the first kept id is the key's earliest (sec, event_id) event —
+    the invariant that also ties the streaming dropDuplicates path
+    (which always keeps first occurrences) to this batch twin."""
+    df = queries()["q_ext_dedup_horizon"](spark, SF)
+    assert df.filter(F.col("n_kept") < 1).count() == 0
+    assert df.filter(F.col("n_kept") > F.col("n_events")).count() == 0

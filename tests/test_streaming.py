@@ -915,6 +915,24 @@ def test_streaming_heavy_hitters_spacesaving_guarantees(spark, tmp_path):
         | (F.col("est") - F.col("err") > F.col("true_n"))
     )
     assert bad.count() == 0
+    # (e) wire to the ORACLE-GATED batch twin (q_ext_topk_talkers):
+    # every exact top-k talker whose count clears the SpaceSaving
+    # tracking guarantee must be in the final sketch with its bounds
+    from binancedatapipelineinaws_spark.registry import queries
+
+    twin = queries()["q_ext_topk_talkers"](spark, SF)
+    twin_musts = twin.join(shard_tot, "shard").filter(
+        F.col("cnt") * HH_K > F.col("n_shard")
+    )
+    twin_missing = twin_musts.join(
+        final.select("shard", "item", "est", "err"), ["shard", "item"],
+        "left",
+    ).filter(
+        F.col("est").isNull()
+        | (F.col("est") < F.col("cnt"))
+        | (F.col("est") - F.col("err") > F.col("cnt"))
+    )
+    assert twin_missing.count() == 0
 
 
 def test_stateful_operator_state_survives_restart(spark, tmp_path):
