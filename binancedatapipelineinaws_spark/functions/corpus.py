@@ -344,3 +344,122 @@ def q_ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_frac"),
     )
+
+
+# --- longest duplicated span (exact-substring dedup upgrade) ----------------
+# q_ext_dupspan counts WHICH grams are shared; it cannot tell a doc
+# with 40 scattered duplicated 5-grams from one containing a single
+# 44-token verbatim block — and exact-substring dedup (Lee et al.
+# 2022) keys on LONG verbatim runs (50-token minimums).  This query
+# reports each doc's longest run of CONSECUTIVE duplicated positional
+# grams, collapsed by the run-length trick: within a doc, sort the
+# duplicated positions and subtract row_number() — the difference is
+# constant exactly within a consecutive run, so one groupBy on
+# (doc, run-key) measures every run with no self-join, no pair join,
+# and no per-row iteration.  A run of R grams covers R + N - 1 tokens.
+
+@register(
+    "q_ext_longest_dupspan",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
+  FROM w
+),
+g AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
+           AS gram
+  FROM pos
+),
+d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
+flags AS (
+  SELECT g.doc_id, g.j, (d.mn != d.mx) AS is_dup FROM g JOIN d USING (gram)
+),
+runs AS (
+  SELECT doc_id,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM flags WHERE is_dup
+),
+runlens AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM flags GROUP BY doc_id),
+m AS (SELECT doc_id, max(run) AS longest FROM runlens GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(m.longest, 0) AS BIGINT) AS longest_run_grams,
+       CAST(CASE WHEN coalesce(m.longest, 0) > 0
+                 THEN m.longest + {DUPSPAN_N - 1} ELSE 0 END AS BIGINT)
+         AS longest_span_tokens
+FROM per_doc p LEFT JOIN m USING (doc_id)
+""",
+)
+def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim duplicated span per document, in positional
+    {DUPSPAN_N}-grams and in tokens (run + {DUPSPAN_N - 1}) — the
+    doc-level signal exact-substring dedup thresholds on (Lee et al.
+    2022's 50-token minimum becomes `longest_span_tokens >= 50`).
+
+    Plan: gram explode -> ONE gram-keyed shuffle where min!=max over
+    the gram window flags shared grams (the q_ext_dupspan discipline)
+    -> doc-keyed row_number over duplicated positions -> run key
+    j - row_number() (constant within a consecutive run) ->
+    (doc, run)-grouped counts and per-doc max.  After the doc_id
+    window, hashpartitioning(doc_id) already satisfies the
+    (doc_id, grp) and doc_id aggregates, so the whole run-collapse
+    adds ONE doc-keyed exchange on top of the gram shuffle — linear
+    in corpus grams, no pair join, boilerplate shared by k docs costs
+    k rows."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.when(
+                F.size("words") >= DUPSPAN_N,
+                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    )
+    g = pos.select(
+        "doc_id",
+        "j",
+        F.array_join(
+            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
+        ).alias("gram"),
+    )
+    gw = Window.partitionBy("gram")
+    flags = g.select(
+        "doc_id",
+        "j",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "is_dup"
+        ),
+    )
+    per_doc = flags.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("j")
+    runs = (
+        flags.filter(F.col("is_dup"))
+        .select(
+            "doc_id",
+            (F.col("j") - F.row_number().over(dw)).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"))
+    )
+    m = runs.groupBy("doc_id").agg(F.max("run").alias("longest"))
+    longest = F.coalesce(F.col("longest"), F.lit(0)).cast("long")
+    return per_doc.join(m, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        longest.alias("longest_run_grams"),
+        F.when(longest > 0, longest + (DUPSPAN_N - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("longest_span_tokens"),
+    )

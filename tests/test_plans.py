@@ -805,6 +805,18 @@ def test_dedup_horizon_one_shuffle_no_python(spark):
     assert "Join" not in plan
 
 
+def test_longest_dupspan_two_shuffles_no_pair_join(spark):
+    # gram-keyed flag window + doc-keyed run collapse; the (doc, grp)
+    # and doc aggregates must reuse the doc_id partitioning, and no
+    # gram-frequency join back / pair join may appear
+    plan = _plan(queries()["q_ext_longest_dupspan"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # exchanges: gram window, doc_id window, plus the final left join's
+    # two sides (doc-keyed) — but never a second corpus-gram shuffle
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("Window [") == 2
+
+
 def test_first_event_mix_one_corpus_window_pass(spark):
     # ONE corpus-sized rank window (plus the share window over the
     # types-bounded rollup); no join, no second corpus read

@@ -1622,3 +1622,32 @@ def test_dedup_horizon_first_events_always_kept(spark):
     df = queries()["q_ext_dedup_horizon"](spark, SF)
     assert df.filter(F.col("n_kept") < 1).count() == 0
     assert df.filter(F.col("n_kept") > F.col("n_events")).count() == 0
+
+
+def test_longest_dupspan_planted_verbatim_block(spark, tmp_path):
+    """Run-length correctness on a crafted corpus: two docs share one
+    44-token verbatim block plus one isolated shared 5-gram far away.
+    The longest span must measure the block (44 tokens = 40 grams),
+    not the scattered gram, and a doc with no shared grams reports 0."""
+    block = " ".join(f"blk{i}" for i in range(44))
+    iso = "iso0 iso1 iso2 iso3 iso4"
+    docs = spark.createDataFrame(
+        [
+            (0, f"a0 a1 a2 a3 a4 a5 {block} a6 a7 a8 a9 a10 {iso} a11"),
+            (1, f"b0 b1 b2 b3 b4 b5 b6 {block} b7 b8 b9 {iso} b10 b11"),
+            (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["longest_run_grams"], r["longest_span_tokens"])
+        for r in queries()["q_ext_longest_dupspan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == (40, 44)  # the 44-token block = 40 5-gram run
+    assert got[1] == (40, 44)
+    assert got[2] == (0, 0)
