@@ -110,6 +110,41 @@ def read_tick_stream_socket(
     return parse_tick_lines(lines)
 
 
+# The record schema the kafka source emits (Spark's documented
+# contract); the decode projection below is written against it and the
+# contract test pins both, so connector drift fails fast even though
+# the jar isn't in this container.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int,"
+    " offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str = "ticks",
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The exact option map `read_tick_stream_kafka` passes to the
+    kafka source — factored out so the contract test can pin it
+    without a broker or connector jar on the classpath."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def decode_kafka_ticks(raw: DataFrame) -> DataFrame:
+    """Kafka-shaped records (`KAFKA_SOURCE_SCHEMA`) -> typed ticks:
+    UTF-8 decode of the value bytes, then the same TSV wire parse as
+    the socket and file sources.  Works identically on a static
+    DataFrame (the contract test's canned rows) and the stream."""
+    return parse_tick_lines(
+        raw.select(F.col("value").cast("string").alias("value"))
+    )
+
+
 def read_tick_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -122,15 +157,15 @@ def read_tick_stream_kafka(
     every other source.  Offsets live in the checkpoint, so the sink's
     exactly-once guarantee extends to the broker.  The kafka connector
     jar isn't baked into this container, so the reader is built lazily
-    and tests gate on its availability (`kafka_source_available`)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_tick_lines(raw.select(F.col("value").cast("string")))
+    and tests gate on its availability (`kafka_source_available`);
+    the option map and value-decode projection are contract-tested
+    against canned kafka-shaped rows (tests/test_streaming.py)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return decode_kafka_ticks(reader.load())
 
 
 def kafka_source_available(spark: SparkSession) -> bool:

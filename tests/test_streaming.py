@@ -998,3 +998,60 @@ def test_stateful_operator_state_survives_restart(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_kafka_reader_contract_without_broker(spark):
+    """The kafka ingest path has never executed in this container (no
+    broker, no connector jar) — this contract test pins everything
+    around the missing jar so drift fails fast: (a) the exact option
+    map the reader passes to the source, (b) the decode projection
+    run on canned rows shaped exactly like Spark's documented kafka
+    source schema, producing the same typed ticks as the file/socket
+    wire parse."""
+    from datetime import datetime, timezone
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        KAFKA_SOURCE_SCHEMA,
+        decode_kafka_ticks,
+        kafka_reader_options,
+    )
+
+    # (a) option construction: exact map, no silent renames/additions
+    assert kafka_reader_options("broker1:9092,broker2:9092") == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "latest",
+    }
+    assert kafka_reader_options("b:9092", "t2", "earliest") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t2",
+        "startingOffsets": "earliest",
+    }
+    # (b) deserialization projection on kafka-shaped rows
+    line = "12345\tBTCUSDT\t42000.12345678\t0.04400000\t1690000000123\ttrue"
+    ts = datetime(2023, 7, 22, 5, 6, 40, tzinfo=timezone.utc)
+    canned = spark.createDataFrame(
+        [
+            (None, line.encode(), "ticks", 0, 7, ts, 0),
+            (b"k", b"9\tETHUSDT\t1.50000000\t2.00000000\t1690000000999\tfalse",
+             "ticks", 1, 8, ts, 0),
+        ],
+        KAFKA_SOURCE_SCHEMA,
+    )
+    got = {r["trade_id"]: r for r in decode_kafka_ticks(canned).collect()}
+    assert set(decode_kafka_ticks(canned).columns) == {
+        "trade_id", "symbol", "price_str", "qty_str",
+        "trade_time_ms", "is_buyer_maker",
+    }
+    r = got[12345]
+    assert r["symbol"] == "BTCUSDT"
+    assert r["price_str"] == "42000.12345678"
+    assert r["qty_str"] == "0.04400000"
+    assert r["trade_time_ms"] == 1690000000123
+    assert r["is_buyer_maker"] is True
+    assert got[9]["is_buyer_maker"] is False
+    # the decoded ticks must feed the SAME canonicalization plan the
+    # file replay uses (one logical pipeline, any source)
+    canon = canonical_stream(decode_kafka_ticks(canned))
+    rows = {r["bid"]: r for r in canon.collect()}
+    assert rows[12345]["price"] is not None
