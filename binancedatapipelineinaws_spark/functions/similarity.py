@@ -417,6 +417,28 @@ NEARDUP_BANDS = 16
 NEARDUP_ROWS = 8
 NEARDUP_COS = 0.9
 
+# Band-geometry ladder (r7 sf1 pricing, SCALING.md batch 12): with the
+# (16 bands x 8 bits) geometry fixed, a 10x corpus put ~79 vectors in
+# the average 256-value band bucket (max 5024) and candidate pairs grew
+# x438 — the quadratic-in-bucket blowup the docstring warned about.
+# Signature width must grow with the corpus so buckets stay bounded;
+# bands grow alongside to HOLD recall at the cos-0.9 boundary
+# (p_bit ~ 0.857): (8,16)->0.996, (12,32)->0.996, (16,64)->0.996,
+# (20,128)->0.997.  The ladder is keyed on the parquet row count (a
+# footer-only job) so the plan is deterministic for a given corpus;
+# the <=4000 rung reproduces the original geometry bit-for-bit, which
+# keeps every existing driver row and test at sf<=0.1 unchanged.
+_BAND_LADDER = ((4_000, 16, 8), (64_000, 32, 12), (1_000_000, 64, 16))
+_BAND_CEILING = (128, 20)
+
+
+def adaptive_band_geometry(n_vectors: int) -> tuple[int, int]:
+    """(bands, rows_per_band) for a corpus of `n_vectors`."""
+    for cap, bands, rows in _BAND_LADDER:
+        if n_vectors <= cap:
+            return bands, rows
+    return _BAND_CEILING
+
 
 def banded_signatures(
     df: DataFrame,
@@ -453,12 +475,16 @@ def banded_signatures(
 def embed_neardup_pairs(
     emb: DataFrame,
     threshold: float = NEARDUP_COS,
-    bands: int = NEARDUP_BANDS,
-    rows_per_band: int = NEARDUP_ROWS,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cos >= threshold) from an (vec_id, label,
     embedding) frame: banded-LSH candidates -> exact-cosine verify.
-    Never materializes all pairs — the only non-key join is gone."""
+    Never materializes all pairs — the only non-key join is gone.
+    Band geometry defaults to `adaptive_band_geometry` of the corpus
+    row count so bucket sizes stay bounded as the corpus grows."""
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = adaptive_band_geometry(emb.count())
     emb = emb.select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -781,6 +807,15 @@ def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid table stays a broadcast no matter the corpus size.
 
 SEMDEDUP_COS = 0.9  # duplicate threshold (matches NEARDUP_COS)
+# Above this corpus size the within-cell pair join switches from exact
+# (n_c^2 per cell — quadratic once cell count stops growing; the r7
+# sf1 pricing measured x26 wall time at x10 rows with the 10 fixed
+# label cells) to banded-LSH candidates intersected with the cell key:
+# same exact-cosine verify, recall per the adaptive_band_geometry
+# ladder (>= 0.996 at the 0.9 boundary).  The rung matches the
+# ladder's first cap so every gate-scale corpus (<= 4000 vectors)
+# takes the exact path bit-for-bit.
+SEMDEDUP_EXACT_MAX = 4_000
 
 _DUCK_COS_AB = (
     f"({duck_dot('a.embedding', 'b.embedding')} / "
@@ -829,7 +864,15 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: broadcast K-row centroids -> map-only nearest-cell argmin
     (reusing q_ext_ann_ivf's assignment) -> PERSISTED cell table ->
     cell-keyed self-join (never all-pairs) -> two tiny aggregates.
-    The oracle replays the identical fold-ordered float math in DuckDB."""
+    The oracle replays the identical fold-ordered float math in DuckDB.
+
+    Above SEMDEDUP_EXACT_MAX vectors the within-cell self-join is
+    itself quadratic once cell count stops growing (x26 wall at x10
+    rows in the r7 sf1 pricing), so the candidate generator switches
+    to banded-LSH-within-cell with the adaptive geometry ladder; the
+    exact verify and all aggregates are unchanged.  Every gate-scale
+    corpus takes the exact path, so the oracle is exact where it
+    runs."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = F.broadcast(
@@ -869,15 +912,38 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_ab = dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
-    pairs = (
-        a.join(
+    n_vec = cells.count()  # cells is persisted; footer-cheap either way
+    if n_vec <= SEMDEDUP_EXACT_MAX:
+        cand = a.join(
             b,
             (F.col("cell") == F.col("b_cell"))
             & (F.col("keep_id") < F.col("dup_id")),
         )
-        .select("cell", "keep_id", "dup_id", cos_ab.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= SEMDEDUP_COS)
-    )
+    else:
+        # scale path: banded-LSH candidates (adaptive geometry)
+        # intersected with the cell key — the exact verify below is
+        # unchanged, only the candidate generator narrows (recall
+        # >= 0.996 at the threshold boundary per the ladder)
+        g_bands, g_rows = adaptive_band_geometry(n_vec)
+        sigs = banded_signatures(
+            cells, bands=g_bands, rows_per_band=g_rows
+        )
+        sa = sigs.select(F.col("vec_id").alias("keep_id"), "band", "sig")
+        sb = sigs.select(F.col("vec_id").alias("dup_id"), "band", "sig")
+        cand_ids = (
+            sa.join(sb, ["band", "sig"])
+            .filter(F.col("keep_id") < F.col("dup_id"))
+            .select("keep_id", "dup_id")
+            .distinct()
+        )
+        cand = (
+            cand_ids.join(a, "keep_id")
+            .join(b, "dup_id")
+            .filter(F.col("cell") == F.col("b_cell"))
+        )
+    pairs = cand.select(
+        "cell", "keep_id", "dup_id", cos_ab.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= SEMDEDUP_COS)
     cell_stats = cells.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     pair_stats = pairs.groupBy("cell").agg(
         F.count("*").alias("n_pairs"),

@@ -133,6 +133,45 @@ def test_embed_neardup_planted_recall(spark):
     assert len(expected) >= 10  # the plants are really above threshold
     assert got == expected
 
+    # every adaptive-ladder geometry must find the same planted pairs
+    # (the rungs are chosen to hold banded recall >= 0.996 at the
+    # cos-0.9 boundary; the plants sit well above it) — this pins the
+    # r7 scale fix: wider signatures cut candidates, not results
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        _BAND_CEILING,
+        _BAND_LADDER,
+    )
+
+    for bands, rows_per_band in [r[1:] for r in _BAND_LADDER] + [
+        _BAND_CEILING
+    ]:
+        ladder_got = {
+            (r.vec_a, r.vec_b)
+            for r in embed_neardup_pairs(
+                emb, bands=bands, rows_per_band=rows_per_band
+            ).collect()
+        }
+        assert ladder_got == expected, (bands, rows_per_band)
+
+
+def test_semdedup_bucketed_path_matches_exact(spark):
+    """Force the banded-LSH-within-cell candidate path (used above
+    SEMDEDUP_EXACT_MAX vectors) against the exact within-cell join on
+    the same small corpus: per-cell pair/removal accounting must be
+    identical (cells, counts, and zero-pair rows ride the same
+    aggregates either way)."""
+    import binancedatapipelineinaws_spark.functions.similarity as sim
+
+    q = queries()["q_ext_semdedup"]
+    exact = {tuple(r) for r in q(spark, SF).collect()}
+    orig = sim.SEMDEDUP_EXACT_MAX
+    sim.SEMDEDUP_EXACT_MAX = 0  # force the scale path at gate size
+    try:
+        bucketed = {tuple(r) for r in q(spark, SF).collect()}
+    finally:
+        sim.SEMDEDUP_EXACT_MAX = orig
+    assert bucketed == exact
+
 
 def test_shingle_df_cap_removes_hot_key(spark):
     """Plant one shingle in every document and assert the capped rows

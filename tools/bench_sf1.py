@@ -1,0 +1,72 @@
+"""Scale pricing: run the most expensive headline queries at sf0.1 AND
+the synthesized sf1 (tools/make_sf1.py, ~10x rows) and report the
+wall-time ratio per query.  A clean plan shape should price ~linear in
+rows (ratio ~10 with fixed overheads pulling it below); a ratio well
+past ~15 flags a plan that is polynomial in practice despite a clean
+.explain().  Results are recorded in SCALING.md per round.
+
+Usage: python tools/bench_sf1.py   (expects .bench_sf1/ to exist)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1"
+)
+
+# the r6 bench's five most expensive queries + the quadratic-sensitive
+# dedup/ANN tiers + this round's additions
+EXPENSIVE = [
+    "q_ext_tpch_q21",
+    "q_ext_tpch_q18",
+    "q_ext_dedup_simhash",
+    "q_ext_dedup_near",
+    "q_ext_embed_neardup",
+    "q_ext_semdedup",
+    "q_ext_cosine_knn",
+    "q_join_multiway",
+    "q_ext_kmeans",
+    "q_ext_dupspan",
+    "q_ext_longest_dupspan",
+    "q_ext_hybrid_rrf",
+]
+
+
+def main() -> None:
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.session import get_spark
+
+    spark = get_spark("bench_sf1")
+    qs = queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out: dict[str, dict] = {}
+    for sf_dir, key in ((SF01, "t01"), (SF1, "t1")):
+        for name in EXPENSIVE:  # warm-up pass
+            run(name, sf_dir)
+        for _ in range(2):  # best-of-2 (multi-tenant host)
+            for name in EXPENSIVE:
+                t = round(run(name, sf_dir), 3)
+                rec = out.setdefault(name, {})
+                rec[key] = min(rec.get(key, t), t)
+    for name, rec in out.items():
+        rec["ratio"] = round(rec["t1"] / rec["t01"], 2)
+        print(f"# {name}: {rec['t01']}s -> {rec['t1']}s  x{rec['ratio']}",
+              file=sys.stderr)
+    print(json.dumps({"metric": "sf1_scaling", "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
