@@ -76,6 +76,12 @@ HEADLINE = [
     "q_ext_hll_union_error",
     "q_ext_theta_overlap_error",
     "q_ext_kll_rank_error",
+    # round-7: PQ-style ANN over int8 codes, the streaming kernels'
+    # exact batch twins, and the run-length longest-span dedup signal
+    "q_ext_ann_pq",
+    "q_ext_topk_talkers",
+    "q_ext_dedup_horizon",
+    "q_ext_longest_dupspan",
 ]
 
 

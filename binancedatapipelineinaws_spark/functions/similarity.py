@@ -912,7 +912,12 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_ab = dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
-    n_vec = cells.count()  # cells is persisted; footer-cheap either way
+    # row count from the RAW scan, not `cells`: every vector gets
+    # exactly one cell, and counting emb is a parquet-footer job while
+    # counting cells would materialize the crossJoin+window assignment
+    # lineage just to pick a code path (+0.6 s at sf0.1 in the r7
+    # bench before this line changed)
+    n_vec = emb.count()
     if n_vec <= SEMDEDUP_EXACT_MAX:
         cand = a.join(
             b,
