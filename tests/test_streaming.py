@@ -1055,3 +1055,61 @@ def test_kafka_reader_contract_without_broker(spark):
     canon = canonical_stream(decode_kafka_ticks(canned))
     rows = {r["bid"]: r for r in canon.collect()}
     assert rows[12345]["price"] is not None
+
+
+def test_streaming_dedup_first_events_within_horizon_twin(
+    spark, tmp_path
+):
+    """Tie the streaming dedup path to the oracle-gated batch twin
+    (q_ext_dedup_horizon): with a never-expiring watermark,
+    dropDuplicatesWithinWatermark keeps exactly the first occurrence
+    of every (user_id, event_type) key, and every one of those events
+    must be a keep in the greedy-chain twin (the first event of a key
+    always starts its chain).  Replayed over multiple micro-batches so
+    state actually carries across batches."""
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "ev_src")
+    ev = load_table(spark, SF, "events")
+    ev.withColumn("c", F.col("event_id") % 3).repartition(3, "c").drop(
+        "c"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dedup = stream.withWatermark(
+        "ts", "3650 days"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = str(tmp_path / "dd_out")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # one survivor per key
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_keys
+    assert (
+        got.select("user_id", "event_type").distinct().count() == n_keys
+    )
+    # NOTE: with multi-batch replay the stream keeps the first ARRIVAL
+    # of a key, which under out-of-order delivery need not be the
+    # event-time-first; the twin invariant that must hold is that the
+    # stream's kept count per key (exactly 1) never exceeds the greedy
+    # twin's n_kept, and every key appears in the twin
+    twin = queries()["q_ext_dedup_horizon"](spark, SF)
+    joined = got.select("user_id", "event_type").join(
+        twin.select("user_id", "event_type", "n_kept"),
+        ["user_id", "event_type"],
+        "left",
+    )
+    assert joined.filter(F.col("n_kept").isNull()).count() == 0
+    assert joined.filter(F.col("n_kept") < 1).count() == 0
