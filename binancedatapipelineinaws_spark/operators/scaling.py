@@ -446,3 +446,94 @@ def q_ext_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_rank_ok"
         ),
     )
+
+
+# --- salted join for hot keys ------------------------------------------------
+# q_skew_salted_agg covers skewed AGGREGATION; this covers the skewed
+# JOIN — the other half of the hot-key playbook.  A deterministic remap
+# funnels 20% of orders onto one customer key (the planted hot key),
+# then the join replicates the small side once per salt and the big
+# side picks a salt from an order-local hash: the hot key's rows spread
+# across JOIN_SALTS reducers instead of one straggler task.  AQE's
+# skewedJoin can do this adaptively at runtime; the explicit form is
+# the portable contract (and what you write when the small side is big
+# enough that AQE declines).
+
+JOIN_SALTS = 8
+HOT_EVERY = 5  # every 5th order remaps to the hot customer key
+HOT_CUSTKEY = 1
+
+
+@register(
+    "q_ext_skew_salted_join",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {HOT_EVERY} = 0 THEN {HOT_CUSTKEY}
+              ELSE o_custkey END AS custkey,
+         o_totalprice
+  FROM orders
+)
+SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM o JOIN customer c ON c.c_custkey = o.custkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a planted hot key: every {HOT_EVERY}th order is
+    remapped to customer {HOT_CUSTKEY} (a 20% hot key — the shape that
+    turns a plain shuffle join into one straggler task), the customer
+    side is exploded once per salt in 0..{JOIN_SALTS - 1}, and each
+    order picks its salt from an order-local hash, so the hot key's
+    probe rows spread across {JOIN_SALTS} reducers.  The oracle is the
+    unsalted join: identical result (the salt is invisible to the
+    aggregate; decimal sums are associative), different shuffle
+    profile — same contract as q_skew_salted_agg.
+
+    Plan: the salt explode multiplies only the SMALL side (customers x
+    {JOIN_SALTS}); the join is a plain equi-join on (custkey, salt);
+    the rollup re-aggregates per customer.  Top-20 via
+    TakeOrderedAndProject (deterministic n_orders/custkey order)."""
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        F.when(
+            F.col("o_orderkey") % HOT_EVERY == 0, F.lit(HOT_CUSTKEY)
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+        (F.xxhash64("o_orderkey") % JOIN_SALTS).alias("salt"),
+        "o_totalprice",
+    )
+    # DuckDB/Spark % on negatives both keep the sign; normalize
+    o = o.withColumn("salt", F.pmod(F.col("salt"), F.lit(JOIN_SALTS)))
+    c_salted = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)).cast(
+                "array<long>"
+            )
+        ).alias("salt"),
+    )
+    return (
+        o.join(
+            c_salted,
+            (F.col("custkey") == F.col("c_custkey"))
+            & (o["salt"] == c_salted["salt"]),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("n_orders").desc(), "c_custkey")
+        .limit(20)
+    )

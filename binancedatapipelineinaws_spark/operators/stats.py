@@ -969,3 +969,77 @@ def q_ext_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") + F.col("offset") == F.col("rank"))
         .select("q", "rank", F.col("value").alias("q_value"))
     )
+
+
+# --- equi-depth histogram ----------------------------------------------------
+# The complement of q_ext_histogram's equi-WIDTH bins: decile
+# boundaries carry equal mass, so the report shows WHERE the
+# distribution concentrates instead of how wide it is — the binning
+# used for quantile-bucketed features and monotonic-drift checks.
+# Boundaries are exact interpolated percentiles (the q_agg_percentiles
+# parity: both engines use the same linear-interpolation definition),
+# rounded to 6 dp in BOTH engines before bucketing so an ulp of
+# interpolation difference can never flip a row across a boundary.
+
+EQUIDEPTH_K = 10  # deciles
+_ED_PCTS = [round(i / EQUIDEPTH_K, 2) for i in range(1, EQUIDEPTH_K)]
+
+
+@register(
+    "q_ext_equidepth_hist",
+    oracle=f"""
+WITH bnds AS (
+  SELECT event_type,
+         {', '.join(f'round(quantile_cont(value, {p}), 6) AS b{i + 1}'
+                    for i, p in enumerate(_ED_PCTS))}
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       1 {' '.join(f'+ (CASE WHEN e.value > b.b{i + 1} THEN 1 ELSE 0 END)'
+                   for i in range(len(_ED_PCTS)))} AS bucket,
+       count(*) AS n,
+       round(min(e.value), 6) AS lo,
+       round(max(e.value), 6) AS hi
+FROM events e JOIN bnds b USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def q_ext_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of `value` per event type: bucket
+    k holds the rows between the (k-1)/10 and k/10 quantiles, so all
+    buckets carry ~equal counts and the lo/hi columns ARE the
+    concentration profile.
+
+    Plan: one percentile aggregate builds the 9 boundaries per type (a
+    types-bounded table), broadcast back onto the corpus for a map-only
+    bucket expression, then one partial-aggregated (type, bucket)
+    rollup — two corpus passes, no corpus-sized window or sort.  The
+    exact percentile agg buffers each group's values (the documented
+    trade-off in q_agg_percentiles); at 100 TB swap the boundary pass
+    to approx_percentile — the bucketing pass is unchanged (the
+    q_ext_kll_rank_error gate prices that sketch's rank error)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bnds = ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(value, {p})"), 6
+            ).alias(f"b{i + 1}")
+            for i, p in enumerate(_ED_PCTS)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(_ED_PCTS)):
+        bucket = bucket + F.when(
+            F.col("value") > F.col(f"b{i + 1}"), 1
+        ).otherwise(0)
+    return (
+        ev.join(F.broadcast(bnds), "event_type")
+        .select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )

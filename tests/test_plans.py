@@ -296,6 +296,24 @@ def test_ann_pq_no_cartesian_candidates(spark):
     )
 
 
+def test_equidepth_hist_broadcast_boundaries(spark):
+    # boundaries (types-bounded) broadcast onto the corpus; the bucket
+    # expression is map-only; no corpus sort / range exchange
+    plan = _plan(queries()["q_ext_equidepth_hist"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window [" not in plan
+
+
+def test_skew_salted_join_explodes_small_side(spark):
+    # the salt explode must sit on the customer (small) side, the join
+    # stays a plain equi-join, and the top-20 is a partial top-k
+    plan = _plan(queries()["q_ext_skew_salted_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_skew_profile_map_side_combine(spark):
     # bucket aggregate must partial-aggregate before its exchange
     df = queries()["q_ext_skew_profile"](spark, SF)
