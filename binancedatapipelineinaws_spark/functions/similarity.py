@@ -482,8 +482,14 @@ def embed_neardup_pairs(
     embedding) frame: banded-LSH candidates -> exact-cosine verify.
     Never materializes all pairs — the only non-key join is gone.
     Band geometry defaults to `adaptive_band_geometry` of the corpus
-    row count so bucket sizes stay bounded as the corpus grows."""
-    if bands is None or rows_per_band is None:
+    row count so bucket sizes stay bounded as the corpus grows.  The
+    two knobs are coupled (bands hold recall for a given width), so a
+    partial override is an error, not a silent ladder fallback."""
+    if (bands is None) != (rows_per_band is None):
+        raise ValueError(
+            "bands and rows_per_band must be overridden together"
+        )
+    if bands is None:
         bands, rows_per_band = adaptive_band_geometry(emb.count())
     emb = emb.select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
@@ -589,6 +595,44 @@ def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_cells(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cell): nearest-centroid IVF cell
+    assignment — broadcast K-row centroids, map-only cosine argmin
+    with the (desc cent_sim, label) tie-break every oracle replays
+    bit-for-bit.  THE single copy of the coarse quantizer shared by
+    q_ext_ann_ivf / q_ext_semdedup / q_ext_ann_pq; a tie-break or
+    persist change here changes all three together with their
+    oracles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        centroids(spark, sf_dir).select(
+            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+        )
+    )
+    e = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.col("label")
+    )
+    out = (
+        e.crossJoin(cents)
+        .select(
+            "vec_id", "embedding", "nrm", "label",
+            cos_vc.alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
+    )
+    return out.persist() if persist else out
+
+
 _DUCK_DOT_VC = (
     f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
     f"i -> CAST(e.embedding[i + 1] AS DOUBLE) * cv.cvec[i + 1])), "
@@ -636,30 +680,11 @@ FROM ranked WHERE rank <= {TOP_K}
 """,
 )
 def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: nearest-centroid cell assignment (nprobe=1), exact
-    cosine rerank within the cell."""
+    """IVF ANN: nearest-centroid cell assignment (nprobe=1, the shared
+    `assign_cells` coarse quantizer), exact cosine rerank within the
+    cell."""
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        centroids(spark, sf_dir).select(
-            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
-        )
-    )
-    # per-vector norm computed ONCE (map-side), not per centroid/pair
-    e = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.col("label")
-    )
-    assigned = (
-        e.crossJoin(cents)
-        .select("vec_id", "embedding", "nrm", "label", cos_vc.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
-    )
+    assigned = assign_cells(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -875,28 +900,9 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        centroids(spark, sf_dir).select(
-            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
-        )
-    )
-    e = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.col("label")
-    )
     # persisted: the self-join below would otherwise re-run the
     # assignment lineage twice (same guard as simhash/near-dup)
-    cells = (
-        e.crossJoin(cents)
-        .select("vec_id", "embedding", "nrm", "label", cos_vc.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
-        .persist()
-    )
+    cells = assign_cells(spark, sf_dir, persist=True)
     a = cells.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_id"),
@@ -1566,30 +1572,8 @@ def q_ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval harness, same as q_ext_ann_recall."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        centroids(spark, sf_dir).select(
-            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
-        )
-    )
-    e = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.col("label")
-    )
     # persisted: queries and corpus both read it, as in q_ext_semdedup
-    cells = (
-        e.crossJoin(cents)
-        .select("vec_id", "embedding", "nrm", "label",
-                cos_vc.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
-        .persist()
-    )
+    cells = assign_cells(spark, sf_dir, persist=True)
     codes = quantized_codes(emb)
     code_side = codes.select(
         "vec_id", "q", F.sqrt(dot(F.col("q"), F.col("q"))).alias("q_nrm")
@@ -1614,7 +1598,9 @@ def q_ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell") == F.col("c_cell"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", exact_cos.alias("exact_cos"))
-    qa = code_side.select(
+    # only the query rows can match the broadcast: filter BEFORE the
+    # broadcast so 20 rows ship, not the whole code table
+    qa = code_side.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
         F.col("q_nrm").alias("qa_nrm"),

@@ -507,11 +507,11 @@ def q_ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("o_custkey"))
         .alias("custkey"),
-        (F.xxhash64("o_orderkey") % JOIN_SALTS).alias("salt"),
+        # pmod, not %: xxhash64 is signed and a negative salt would
+        # never match the exploded 0..S-1 values (silent row drop)
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(JOIN_SALTS)).alias("salt"),
         "o_totalprice",
     )
-    # DuckDB/Spark % on negatives both keep the sign; normalize
-    o = o.withColumn("salt", F.pmod(F.col("salt"), F.lit(JOIN_SALTS)))
     c_salted = cust.select(
         "c_custkey",
         "c_name",

@@ -102,9 +102,18 @@ _FORCE_FIRST: tuple[str, ...] = (
 _DEFER: tuple[str, ...] = ()
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
-# truthful; safe to displace from the window.  Empty at the start of
-# r7 (the r6 rewrites all landed clean rows in CORRECTNESS_r06).
-_PRIORITY: tuple[str, ...] = ()
+# truthful; safe to displace from the window.
+_PRIORITY: tuple[str, ...] = (
+    # r7 refactor: the IVF cell assignment extracted into the shared
+    # assign_cells() helper (one copy instead of three); values and
+    # plans unchanged, locally re-verified via tools/check_oracle +
+    # check_pandas_hash.  embed_neardup additionally gained the
+    # adaptive band-geometry ladder whose <=4000 rung reproduces the
+    # old geometry bit-for-bit at every gate sf.
+    "q_ext_ann_ivf",
+    "q_ext_semdedup",
+    "q_ext_embed_neardup",
+)
 
 
 def _verified_names(repo_root: Optional[str] = None) -> set[str]:

@@ -6,11 +6,15 @@ integrity preserved (each replica shifts fact AND dimension foreign
 keys by the same stride) and the content columns perturbed so
 data-dependent operators scale the way a real 10x corpus would:
 
-- documents: replica i>0 intersperses a replica-specific tag token
-  every 4 words, so positional 5-grams and MinHash shingles never
-  collide ACROSS replicas (without it, every doc gains 9 verbatim
-  near-copies and LSH candidate volume grows ~100x — a data artifact,
-  not a plan property).  Within-replica duplicate structure is intact.
+- documents: replica i>0 suffixes EVERY word with the replica tag, so
+  positional 5-grams and MinHash shingles never collide ACROSS
+  replicas (without it, every doc gains 9 verbatim near-copies and
+  LSH candidate volume grows ~100x — a data artifact, not a plan
+  property).  Per-word suffixing preserves ALL within-replica
+  duplicate structure bit-for-bit (two docs sharing a span still
+  share it after the identical word-wise transform); an interspersed
+  tag every k words would NOT — spans at offsets differing mod k get
+  tags at different positions inside the block and vanish.
 - embeddings: replica i>0 adds deterministic FULL-RANK hash noise
   (the frac-sin shader hash per (vec_id, dim, replica), amplitude
   0.16 against the unit-norm base vectors) pushing cross-replica
@@ -50,17 +54,13 @@ def _replicate(df: DataFrame, shifts: dict[str, int], i: int) -> DataFrame:
 
 
 def _tag_words(text_col, tag):
-    """Intersperse `tag` after every 4th word so no 5-gram survives
-    across replicas; preserves length/vocab distribution otherwise."""
+    """Suffix every word with `tag`: no gram survives across replicas,
+    while every within-replica shared span survives verbatim (both
+    docs undergo the identical word-wise transform)."""
     words = F.split(text_col, " ")
-    n_groups = F.ceil(F.size(words) / F.lit(4)).cast("int")
-    grouped = F.transform(
-        F.sequence(F.lit(0), n_groups - 1),
-        lambda g: F.concat(
-            F.slice(words, g * 4 + 1, 4), F.array(tag)
-        ),
+    return F.array_join(
+        F.transform(words, lambda w: F.concat(w, F.lit("_"), tag)), " "
     )
-    return F.array_join(F.flatten(grouped), " ")
 
 
 def _mk_noise(rep: int):
