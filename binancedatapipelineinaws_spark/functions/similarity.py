@@ -596,15 +596,21 @@ def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_cells(
-    spark: SparkSession, sf_dir: str, persist: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = False,
+    probes: int = 1,
 ) -> DataFrame:
-    """(vec_id, embedding, nrm, cell): nearest-centroid IVF cell
-    assignment — broadcast K-row centroids, map-only cosine argmin
-    with the (desc cent_sim, label) tie-break every oracle replays
-    bit-for-bit.  THE single copy of the coarse quantizer shared by
-    q_ext_ann_ivf / q_ext_semdedup / q_ext_ann_pq; a tie-break or
-    persist change here changes all three together with their
-    oracles."""
+    """(vec_id, embedding, nrm, cell[, probe_rank]): nearest-centroid
+    IVF cell assignment — broadcast K-row centroids, map-only cosine
+    argmin with the (desc cent_sim, label) tie-break every oracle
+    replays bit-for-bit.  THE single copy of the coarse quantizer
+    shared by q_ext_ann_ivf / q_ext_semdedup / q_ext_ann_pq /
+    q_ext_ann_nprobe; a tie-break or persist change here changes all
+    of them together with their oracles.  With probes > 1 the
+    `probe_rank` column (1 = nearest cell) is included and each
+    vector appears once per probed cell — the multi-cell search list
+    of an nprobe>1 IVF query."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = F.broadcast(
         centroids(spark, sf_dir).select(
@@ -620,16 +626,27 @@ def assign_cells(
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_sim"), F.col("label")
     )
-    out = (
+    ranked = (
         e.crossJoin(cents)
         .select(
             "vec_id", "embedding", "nrm", "label",
             cos_vc.alias("cent_sim"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
+        .filter(F.col("rn") <= probes)
     )
+    if probes == 1:
+        out = ranked.select(
+            "vec_id", "embedding", "nrm", F.col("label").alias("cell")
+        )
+    else:
+        out = ranked.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("label").alias("cell"),
+            F.col("rn").alias("probe_rank"),
+        )
     return out.persist() if persist else out
 
 
@@ -1653,3 +1670,193 @@ def q_ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_query.crossJoin(overall)
+
+
+# --- IVF nprobe ladder -------------------------------------------------------
+# The recall-vs-cost knob of IVF search, priced inside the gate:
+# nprobe=2 searches the query's two nearest cells instead of one.
+# Enlarging the candidate set can only move the top-k TOWARD the true
+# top-k (any true top-k member in the candidate set can be displaced
+# only by other true top-k members), so recall_p2 >= recall_p1 is a
+# structural invariant — pinned TRUE in the oracle: an implementation
+# that breaks it breaks the hash.
+
+ANN_NPROBE = 2
+
+
+@register(
+    "q_ext_ann_nprobe",
+    oracle="WITH "
+    + _DUCK_CENTROIDS
+    + f""",
+assigned AS (
+  SELECT e.vec_id, e.embedding, cv.label AS cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DUCK_DOT_VC} / ({_DUCK_NORM_V} * {_DUCK_NORM_C}) DESC,
+                    cv.label) AS rn
+  FROM embeddings e CROSS JOIN centroid_vecs cv
+),
+cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT vec_id, embedding, cell, rn AS probe_rank
+  FROM assigned WHERE rn <= {ANN_NPROBE} AND vec_id < {N_QUERY}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.probe_rank,
+         {duck_dot('p.embedding', 'c.embedding')}
+           / (sqrt({duck_dot('p.embedding', 'p.embedding')})
+              * sqrt({duck_dot('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM probes p JOIN cells c
+    ON c.cell = p.cell AND c.vec_id != p.vec_id
+),
+p1 AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS r
+  FROM cand WHERE probe_rank = 1
+),
+p2 AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS r
+  FROM cand
+),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERY}
+   AND c.vec_id != q.vec_id
+),
+ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM ex_scored
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= {TOP_K}
+),
+h1 AS (
+  SELECT e.query_id, count(*) AS n FROM exact_k e
+  JOIN p1 ON p1.query_id = e.query_id
+         AND p1.neighbor_id = e.neighbor_id AND p1.r <= {TOP_K}
+  GROUP BY 1
+),
+h2 AS (
+  SELECT e.query_id, count(*) AS n FROM exact_k e
+  JOIN p2 ON p2.query_id = e.query_id
+         AND p2.neighbor_id = e.neighbor_id AND p2.r <= {TOP_K}
+  GROUP BY 1
+),
+denom AS (SELECT query_id, count(*) AS k FROM exact_k GROUP BY 1)
+SELECT d.query_id, d.k,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_p1,
+       round(coalesce(h1.n, 0) / CAST(d.k AS DOUBLE), 6) AS recall_p1,
+       CAST(coalesce(h2.n, 0) AS BIGINT) AS n_hits_p2,
+       round(coalesce(h2.n, 0) / CAST(d.k AS DOUBLE), 6) AS recall_p2,
+       TRUE AS p2_not_worse
+FROM denom d
+LEFT JOIN h1 ON h1.query_id = d.query_id
+LEFT JOIN h2 ON h2.query_id = d.query_id
+""",
+)
+def q_ext_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe ladder: recall@{TOP_K} vs exact brute-force ground
+    truth at nprobe=1 and nprobe={ANN_NPROBE}, per query, with the
+    structural invariant recall_p2 >= recall_p1 pinned as a literal
+    TRUE — this is the number that tells a 100 TB deployment what a
+    second probed cell buys before paying for it.
+
+    Plan: corpus cells from the shared `assign_cells` quantizer
+    (persisted — candidate join and nothing else reads it); the
+    query-side probe list is a 20-row inline crossJoin with the
+    broadcast centroids (NOT a second corpus-wide assignment pass);
+    candidates ride the cell equi-join; both probe levels rank the
+    same scored frame.  The exact baseline reuses q_ext_cosine_knn's
+    registered plan."""
+    prepare(spark)
+    cells = assign_cells(spark, sf_dir, persist=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        centroids(spark, sf_dir).select(
+            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+        )
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    cos_qc = dot(F.col("q_emb"), F.col("cvec")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.col("label")
+    )
+    probes = (
+        qe.crossJoin(cents)
+        .select("query_id", "q_emb", "q_nrm", "label",
+                cos_qc.alias("cent_sim"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= ANN_NPROBE)
+        .select("query_id", "q_emb", "q_nrm",
+                F.col("label").alias("cell"), "probe_rank")
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm2"),
+        F.col("cell").alias("c_cell"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm2")
+    )
+    cand = probes.join(
+        c,
+        (F.col("cell") == F.col("c_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", "probe_rank", cos.alias("cos_sim"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    p1 = (
+        cand.filter(F.col("probe_rank") == 1)
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    p2 = (
+        cand.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_k = q_ext_cosine_knn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    h1 = (
+        exact_k.join(p1, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n1"))
+    )
+    h2 = (
+        exact_k.join(p2, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n2"))
+    )
+    denom = exact_k.groupBy("query_id").agg(F.count("*").alias("k"))
+    n1 = F.coalesce("n1", F.lit(0)).cast("long")
+    n2 = F.coalesce("n2", F.lit(0)).cast("long")
+    return (
+        denom.join(h1, "query_id", "left")
+        .join(h2, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            n1.alias("n_hits_p1"),
+            F.round(n1 / F.col("k").cast("double"), 6).alias("recall_p1"),
+            n2.alias("n_hits_p2"),
+            F.round(n2 / F.col("k").cast("double"), 6).alias("recall_p2"),
+            (n2 >= n1).alias("p2_not_worse"),
+        )
+    )

@@ -314,6 +314,17 @@ def test_skew_salted_join_explodes_small_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_nprobe_no_cartesian_and_invariant(spark):
+    # candidate path must ride the cell equi-join (the only
+    # nested-loop joins are the K-row centroid broadcasts); and the
+    # structural recall invariant holds on real data
+    df = queries()["q_ext_ann_nprobe"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(r["n_hits_p2"] >= r["n_hits_p1"] for r in rows)
+
+
 def test_skew_profile_map_side_combine(spark):
     # bucket aggregate must partial-aggregate before its exchange
     df = queries()["q_ext_skew_profile"](spark, SF)
