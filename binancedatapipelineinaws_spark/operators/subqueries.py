@@ -225,3 +225,56 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE)
+
+
+# --- recursive CTE (Spark 4 surface) ----------------------------------------
+# WITH RECURSIVE landed in Spark 4.0 (SPARK-24497); this registers it
+# with a real use: shortest-hop reachability over the event-type
+# transition graph.  The recursion runs over the TYPES graph (a
+# handful of nodes, built by ONE corpus pass + distinct) — the corpus
+# never enters the loop, so the iterative plan is bounded no matter
+# the data size.  One engine-portable SQL string, run verbatim by
+# spark.sql AND the DuckDB oracle (the q_sql_surface discipline).
+
+REACH_MAX_HOPS = 4
+
+_TRANSITION_REACH_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT event_type AS src, next_type AS dst
+  FROM seq
+  WHERE next_type IS NOT NULL AND next_type != event_type
+),
+reach (src, dst, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.dst
+  WHERE r.hops < {REACH_MAX_HOPS} AND e.dst != r.src
+)
+SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY src, dst
+"""
+
+
+@register("q_ext_transition_reach", oracle=_TRANSITION_REACH_SQL)
+def q_ext_transition_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop reachability (<= {REACH_MAX_HOPS} hops) between
+    event types via WITH RECURSIVE — the Spark 4 recursive-CTE
+    surface exercised on the transition graph q_ext_event_transitions
+    derives.  min(hops) collapses the UNION ALL path multiplicity, so
+    the fixpoint is deterministic in both engines.
+
+    Plan: one user-partitioned lead() window + distinct builds the
+    edge list (types^2-bounded); the recursion then iterates ONLY
+    over that bounded edge table with a {REACH_MAX_HOPS}-hop guard —
+    at 100 TB the corpus cost is the single window pass, and the
+    loop's size depends on the type alphabet, not the data."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_TRANSITION_REACH_SQL)
