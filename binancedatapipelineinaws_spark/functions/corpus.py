@@ -463,3 +463,143 @@ def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("longest_span_tokens"),
     )
+
+
+# --- span trimming (the curation ACTION behind the measurements) -------------
+# q_ext_dupspan scores, q_ext_longest_dupspan measures; this TRIMS:
+# remove the longest duplicated run's tokens from each document and
+# keep the rest — the "trim, don't drop" curation move for documents
+# whose contamination is one pasted block (Lee et al. 2022 trim all
+# qualifying spans; one pass of this operator removes the largest,
+# and iterating it converges the same way).  Trimmed text is emitted
+# as an md5 so the gate hash-checks every reconstruction without
+# shipping full documents through the driver compare.
+
+@register(
+    "q_ext_trim_dupspan",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
+  FROM w
+),
+g AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
+           AS gram
+  FROM pos
+),
+d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
+flags AS (
+  SELECT g.doc_id, g.j FROM g JOIN d USING (gram) WHERE d.mn != d.mx
+),
+runs AS (
+  SELECT doc_id, j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+           AS grp, j
+  FROM flags
+),
+runlens AS (
+  SELECT doc_id, grp, count(*) AS run, min(j) AS start
+  FROM runs GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, run, start,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY run DESC, start) AS rk
+  FROM runlens
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       CAST(coalesce(b.run + {DUPSPAN_N - 1}, 0) AS BIGINT) AS n_removed,
+       -- outer coalesce: DuckDB array_to_string([]) is NULL, not ''
+       -- (Spark array_join([]) is '') — a whole-doc trim hits this
+       md5(CASE WHEN b.doc_id IS NULL THEN array_to_string(w.words, ' ')
+            ELSE coalesce(array_to_string(
+              list_concat(
+                list_slice(w.words, 1, b.start),
+                list_slice(w.words, b.start + b.run + {DUPSPAN_N},
+                           len(w.words))),
+              ' '), '') END) AS trimmed_md5
+FROM w LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+""",
+)
+def q_ext_trim_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove each document's longest duplicated run (ties: earliest
+    start) and hash the surviving text: per doc, token count before,
+    tokens removed (run + {DUPSPAN_N - 1}, or 0 when nothing is
+    shared), and md5 of the trimmed reconstruction — every keep/cut
+    decision is value-checked through the hash.
+
+    Plan: the q_ext_longest_dupspan machinery (gram-window shared
+    flags -> doc-keyed run collapse) plus an argmax row_number over
+    the runs table and ONE array-slice reconstruction joined back to
+    the per-doc words — the trim itself is map-only; no pair join
+    anywhere."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.when(
+                F.size("words") >= DUPSPAN_N,
+                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    )
+    g = pos.select(
+        "doc_id",
+        "j",
+        F.array_join(
+            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
+        ).alias("gram"),
+    )
+    gw = Window.partitionBy("gram")
+    flags = g.select(
+        "doc_id",
+        "j",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "is_dup"
+        ),
+    ).filter(F.col("is_dup"))
+    dw = Window.partitionBy("doc_id").orderBy("j")
+    runlens = (
+        flags.select(
+            "doc_id",
+            "j",
+            (F.col("j") - F.row_number().over(dw)).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"), F.min("j").alias("start"))
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.col("run").desc(), F.col("start")
+    )
+    best = (
+        runlens.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "run", "start")
+    )
+    joined = w.join(best, "doc_id", "left")
+    keep_head = F.slice(F.col("words"), 1, F.col("start"))
+    tail_from = F.col("start") + F.col("run") + DUPSPAN_N
+    keep_tail = F.slice(
+        F.col("words"),
+        tail_from,
+        F.greatest(F.size("words") - tail_from + 1, F.lit(0)),
+    )
+    trimmed = F.when(
+        F.col("run").isNull(), F.array_join(F.col("words"), " ")
+    ).otherwise(F.array_join(F.concat(keep_head, keep_tail), " "))
+    return joined.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("run") + (DUPSPAN_N - 1), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(trimmed).alias("trimmed_md5"),
+    )

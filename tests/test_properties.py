@@ -1690,3 +1690,43 @@ def test_longest_dupspan_planted_verbatim_block(spark, tmp_path):
     assert got[0] == (40, 44)  # the 44-token block = 40 5-gram run
     assert got[1] == (40, 44)
     assert got[2] == (0, 0)
+
+
+def test_trim_dupspan_removes_planted_block(spark, tmp_path):
+    """Trim must cut exactly the planted 44-token block (verified by
+    reconstructing the expected text in Python and comparing md5) and
+    leave the clean doc untouched."""
+    import hashlib
+
+    block = " ".join(f"blk{i}" for i in range(44))
+    texts = {
+        0: f"a0 a1 a2 a3 a4 a5 {block} a6 a7 a8 a9 a10 a11",
+        1: f"b0 b1 b2 b3 b4 b5 b6 {block} b7 b8 b9 b10 b11",
+        2: "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in queries()["q_ext_trim_dupspan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    w0 = texts[0].split(" ")
+    exp0 = " ".join(w0[:6] + w0[6 + 44:])
+    assert got[0]["n_removed"] == 44
+    assert got[0]["trimmed_md5"] == md5(exp0)
+    w1 = texts[1].split(" ")
+    exp1 = " ".join(w1[:7] + w1[7 + 44:])
+    assert got[1]["n_removed"] == 44
+    assert got[1]["trimmed_md5"] == md5(exp1)
+    assert got[2]["n_removed"] == 0
+    assert got[2]["trimmed_md5"] == md5(texts[2])
