@@ -603,3 +603,149 @@ def q_ext_trim_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.md5(trimmed).alias("trimmed_md5"),
     )
+
+
+# --- full exact-substring strip (Lee et al. 2022 semantics) ------------------
+# q_ext_trim_dupspan removes the single longest block; the published
+# operator removes EVERY duplicated span meeting the length minimum
+# (50 tokens).  Qualifying runs explode to their covered token
+# positions (adjacent runs' token spans can overlap — the distinct
+# collapses that), and one indexed array filter reconstructs the
+# stripped document.  Everything stays on the doc key after the gram
+# window: no pair join, no iteration, linear in corpus tokens.
+
+STRIP_MIN_TOKENS = 50
+
+
+@register(
+    "q_ext_strip_dupspans",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
+  FROM w
+),
+g AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
+           AS gram
+  FROM pos
+),
+d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
+flags AS (
+  SELECT g.doc_id, g.j FROM g JOIN d USING (gram) WHERE d.mn != d.mx
+),
+runs AS (
+  SELECT doc_id, j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+           AS grp, j
+  FROM flags
+),
+runlens AS (
+  SELECT doc_id, grp, count(*) AS run, min(j) AS start
+  FROM runs GROUP BY 1, 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(start, start + run + {DUPSPAN_N - 1}))
+           AS t
+  FROM runlens WHERE run + {DUPSPAN_N - 1} >= {STRIP_MIN_TOKENS}
+),
+cov AS (SELECT doc_id, list(t) AS ts FROM covered GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(c.ts), 0) AS BIGINT) AS n_removed,
+       md5(CASE WHEN c.doc_id IS NULL THEN array_to_string(w.words, ' ')
+            ELSE coalesce(array_to_string(
+              list_filter(w.words,
+                          (x, i) -> NOT list_contains(c.ts, i - 1)),
+              ' '), '') END) AS stripped_md5
+FROM w LEFT JOIN cov c USING (doc_id)
+""",
+)
+def q_ext_strip_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring strip, full Lee et al. 2022 semantics: remove
+    EVERY duplicated span of at least {STRIP_MIN_TOKENS} tokens
+    (runs of shared positional grams covering >= that many tokens),
+    keep everything else, and hash the reconstruction.
+
+    Plan: the run-collapse machinery -> qualifying runs explode to
+    covered token positions (distinct merges overlapping adjacent
+    spans) -> per-doc position list -> ONE indexed array filter
+    rebuilds the text map-only.  Token positions are 0-based in both
+    engines (DuckDB's filter lambda index is 1-based, shifted in the
+    oracle)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.when(
+                F.size("words") >= DUPSPAN_N,
+                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+    )
+    g = pos.select(
+        "doc_id",
+        "j",
+        F.array_join(
+            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
+        ).alias("gram"),
+    )
+    gw = Window.partitionBy("gram")
+    flags = g.select(
+        "doc_id",
+        "j",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "is_dup"
+        ),
+    ).filter(F.col("is_dup"))
+    dw = Window.partitionBy("doc_id").orderBy("j")
+    runlens = (
+        flags.select(
+            "doc_id",
+            "j",
+            (F.col("j") - F.row_number().over(dw)).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"), F.min("j").alias("start"))
+    )
+    covered = (
+        runlens.filter(
+            F.col("run") + (DUPSPAN_N - 1) >= STRIP_MIN_TOKENS
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.col("start") + F.col("run") + (DUPSPAN_N - 2),
+                )
+            ).alias("t"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("t").alias("ts"))
+    )
+    joined = w.join(covered, "doc_id", "left")
+    stripped = F.when(
+        F.col("ts").isNull(), F.array_join(F.col("words"), " ")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.col("words"),
+                lambda x, i: ~F.array_contains(F.col("ts"), i),
+            ),
+            " ",
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("ts"), F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(stripped).alias("stripped_md5"),
+    )

@@ -1730,3 +1730,48 @@ def test_trim_dupspan_removes_planted_block(spark, tmp_path):
     assert got[1]["trimmed_md5"] == md5(exp1)
     assert got[2]["n_removed"] == 0
     assert got[2]["trimmed_md5"] == md5(texts[2])
+
+
+def test_strip_dupspans_threshold_and_multi_span(spark, tmp_path):
+    """Only spans >= STRIP_MIN_TOKENS are removed; two qualifying
+    blocks in one doc are BOTH removed; a sub-threshold 44-token block
+    survives."""
+    import hashlib
+
+    big1 = " ".join(f"x{i}" for i in range(55))
+    big2 = " ".join(f"y{i}" for i in range(60))
+    small = " ".join(f"s{i}" for i in range(44))
+    texts = {
+        0: f"a0 a1 {big1} a2 a3 a4 a5 a6 {big2} a7 a8",
+        1: f"b0 b1 b2 {big1} b3 {big2} b4 b5 b6 b7",
+        2: f"c0 c1 {small} c2 c3",
+        3: f"d0 d1 d2 {small} d3",
+        4: "e0 e1 e2 e3 e4 e5 e6 e7",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in queries()["q_ext_strip_dupspans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 0: both big blocks stripped, connectors survive
+    assert got[0]["n_removed"] == 55 + 60
+    assert got[0]["stripped_md5"] == md5(
+        "a0 a1 a2 a3 a4 a5 a6 a7 a8"
+    )
+    assert got[1]["n_removed"] == 55 + 60
+    assert got[1]["stripped_md5"] == md5("b0 b1 b2 b3 b4 b5 b6 b7")
+    # 44-token shared block is below the 50-token minimum: untouched
+    assert got[2]["n_removed"] == 0
+    assert got[2]["stripped_md5"] == md5(texts[2])
+    assert got[4]["n_removed"] == 0
