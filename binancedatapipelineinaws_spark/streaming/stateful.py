@@ -419,3 +419,66 @@ def heavy_hitters_stream(events: DataFrame, k: int = HH_K) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming EWMA (online recurrence) --------------------------------------
+# The streaming twin of the oracle-gated batch fold (operators/
+# analytics.py:q_ext_ewma): state per user is ONE double + a count —
+# the O(1)-state form of the recurrence whose batch reference collects
+# and folds the (capped) per-user sequence.  Parity: the batch cap at
+# EWMA_TAIL events changes the value by < (1-a)^EWMA_TAIL ~ 4e-24 of
+# the value range, invisible under the 6-dp round, so an in-order
+# replay of this kernel must equal the batch query exactly after
+# rounding (tests/test_streaming.py).
+
+EWMA_SCHEMA = "user_id long, n_events long, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, n long"
+
+
+def make_ewma_fn(alpha: float):
+    def ewma_fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # whole-batch sort at full microsecond precision — the
+            # 63ebea5 determinism discipline (never per Arrow chunk)
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for v in batch["value"]:
+                x = float(v)
+                # identical expression shape to the batch fold:
+                # a * x + (1 - a) * acc, same IEEE double ops/order
+                ewma = x if ewma is None else alpha * x + (1 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        # snapshot per batch; consumers keep each user's max-n row
+        yield pd.DataFrame(
+            {"user_id": [int(user_id)], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return ewma_fn
+
+
+def ewma_stream(events: DataFrame, alpha: float) -> DataFrame:
+    """events stream -> per-user EWMA snapshots (one row per user per
+    micro-batch; the max-n_events row per user is the final state)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_ewma_fn(alpha),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1113,3 +1113,72 @@ def test_streaming_dedup_first_events_within_horizon_twin(
     )
     assert joined.filter(F.col("n_kept").isNull()).count() == 0
     assert joined.filter(F.col("n_kept") < 1).count() == 0
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """In-order replay of the O(1)-state streaming EWMA kernel must
+    equal the oracle-gated batch fold (q_ext_ewma) at 6 dp for every
+    user.  Files are TIME-sliced (not hash-sliced) so micro-batches
+    deliver events in event-time order and the recurrence sees the
+    same sequence as the batch sort."""
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        EWMA_ALPHA,
+    )
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        ewma_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    src = str(tmp_path / "ev_time_sliced")
+    ev = load_table(spark, SF, "events")
+    # three contiguous time slices, one file each, named in time order
+    # (the file source lists lexicographically within a batch, and
+    # maxFilesPerTrigger=1 feeds them one per micro-batch)
+    import pyspark.sql.window as W
+
+    w = W.Window.orderBy("ts", "event_id")
+    sliced = ev.withColumn("rn", F.row_number().over(w))
+    n = ev.count()
+    os.makedirs(src)
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        part = sliced.filter(
+            (F.col("rn") > lo) & (F.col("rn") <= hi)
+        ).drop("rn")
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}_stage{i}"
+        )
+        import glob as _g
+        import shutil
+
+        f = _g.glob(f"{src}_stage{i}/part-*.parquet")[0]
+        shutil.copy(f, f"{src}/slice{i}.parquet")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "ewma_out")
+    q = (
+        ewma_stream(stream, EWMA_ALPHA)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snaps = spark.read.parquet(out)
+    wu = W.Window.partitionBy("user_id")
+    final = (
+        snaps.withColumn("n_max", F.max("n_events").over(wu))
+        .filter(F.col("n_events") == F.col("n_max"))
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+        .dropDuplicates(["user_id"])
+    )
+    batch = queries()["q_ext_ewma"](spark, SF)
+    got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["ewma"]) for r in batch.collect()}
+    assert got == want
