@@ -37,6 +37,15 @@ EXPENSIVE = [
     "q_ext_dupspan",
     "q_ext_longest_dupspan",
     "q_ext_hybrid_rrf",
+    # r7 additions with corpus-heavy plans
+    "q_ext_strip_dupspans",
+    "q_ext_trim_dupspan",
+    "q_ext_equidepth_hist",
+    "q_ext_ann_pq",
+    "q_ext_ann_nprobe",
+    "q_ext_topk_talkers",
+    "q_ext_dedup_horizon",
+    "q_ext_skew_salted_join",
 ]
 
 
