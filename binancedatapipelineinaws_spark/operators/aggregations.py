@@ -365,3 +365,97 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- incremental continuous-aggregate refresh --------------------------------
+# The production cadence of the candle table: history is already
+# rolled up; a new batch of ticks arrives; only the minutes the batch
+# TOUCHES are recomputed from raw and merged over the stale rows —
+# the TimescaleDB continuous-aggregate refresh semantics over the
+# reference's minute rotation.  The ORACLE IS THE FULL RECOMPUTE, so
+# the gate hash-proves refresh == recompute, including the straddled
+# minute whose partial history candle must be replaced, not merged.
+
+REFRESH_HORIZON_S = 330  # the "new batch": last 5.5 minutes of ticks
+
+
+@register(
+    "q_ext_ohlcv_incremental",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, ranked AS (
+  SELECT date_trunc('minute', "time") AS m, price, quantity,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time", bid) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('minute', "time")
+                            ORDER BY "time" DESC, bid DESC) AS rn_d
+  FROM btcusdt
+)
+SELECT m AS minute_start,
+       max(CASE WHEN rn_a = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rn_d = 1 THEN price END) AS close,
+       CAST(sum(CAST(quantity AS DECIMAL(18,5))) AS DOUBLE) AS volume,
+       count(*) AS trades
+FROM ranked
+GROUP BY 1
+""",
+)
+def q_ext_ohlcv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental 1-min candle refresh: candles for minutes untouched
+    by the last {REFRESH_HORIZON_S} s of ticks come from the HISTORY
+    rollup; every touched minute is recomputed from raw (history +
+    batch — the 330 s horizon deliberately straddles a minute so the
+    partial history candle must be REPLACED); the merge must equal
+    the full recompute, which is exactly what the oracle computes.
+
+    Plan: one broadcast 1-row max-time bound (no driver collect)
+    splits the stream; the affected-minute list is a broadcast
+    semi-join key; each candle row is produced by ONE of the two
+    branches (anti-join + union), so refresh cost at 100 TB is the
+    NEW minutes' raw ticks plus a scan of the rollup — not a corpus
+    recompute."""
+    prepare(spark)
+    df = btcusdt(spark, sf_dir)
+    bound = df.agg(F.max("time").alias("mx"))
+    flagged = df.crossJoin(F.broadcast(bound)).withColumn(
+        "is_new",
+        F.col("time")
+        > F.col("mx") - F.expr(f"INTERVAL {REFRESH_HORIZON_S} SECONDS"),
+    )
+    order_key = F.struct(F.col("time"), F.col("bid"))
+
+    def candles(ticks: DataFrame) -> DataFrame:
+        return ticks.groupBy(
+            F.window("time", "1 minute").start.alias("minute_start")
+        ).agg(
+            F.min_by("price", order_key).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", order_key).alias("close"),
+            dec_sum("quantity", 5).alias("volume"),
+            F.count("*").alias("trades"),
+        )
+
+    prev = candles(flagged.filter(~F.col("is_new")))
+    affected = (
+        flagged.filter(F.col("is_new"))
+        .select(
+            F.window("time", "1 minute").start.alias("minute_start")
+        )
+        .distinct()
+    )
+    with_minute = flagged.withColumn(
+        "tick_minute", F.window("time", "1 minute").start
+    )
+    recomputed = candles(
+        with_minute.join(
+            F.broadcast(affected),
+            with_minute["tick_minute"] == affected["minute_start"],
+            "left_semi",
+        ).drop("tick_minute")
+    )
+    kept = prev.join(F.broadcast(affected), "minute_start", "left_anti")
+    return kept.unionByName(recomputed)

@@ -1775,3 +1775,17 @@ def test_strip_dupspans_threshold_and_multi_span(spark, tmp_path):
     assert got[2]["n_removed"] == 0
     assert got[2]["stripped_md5"] == md5(texts[2])
     assert got[4]["n_removed"] == 0
+
+
+def test_ohlcv_incremental_branches_partition_minutes(spark):
+    """The refresh's two branches must PARTITION the candle table:
+    every minute comes from exactly one of (kept history rollup,
+    recomputed affected set), and the union equals the direct full
+    rollup row-for-row (the oracle proves values; this pins the
+    mechanism)."""
+    inc = queries()["q_ext_ohlcv_incremental"](spark, SF)
+    full = queries()["q_agg_ohlcv_1min"](spark, SF)
+    assert inc.count() == full.count()
+    assert inc.select("minute_start").distinct().count() == inc.count()
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
