@@ -296,6 +296,23 @@ def test_ann_pq_no_cartesian_candidates(spark):
     )
 
 
+def test_strip_dupspans_no_pair_join(spark):
+    # the strip reconstruction must stay on the doc key: gram window +
+    # doc-keyed run collapse + indexed array filter, no position
+    # self-join, no cartesian
+    plan = _plan(queries()["q_ext_strip_dupspans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 2  # gram flags + run collapse
+
+
+def test_ohlcv_incremental_broadcasts_and_partitions(spark):
+    # the 1-row time bound and the affected-minute list must broadcast;
+    # no cartesian beyond the 1-row bound cross join
+    plan = _plan(queries()["q_ext_ohlcv_incremental"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
 def test_equidepth_hist_broadcast_boundaries(spark):
     # boundaries (types-bounded) broadcast onto the corpus; the bucket
     # expression is map-only; no corpus sort / range exchange
