@@ -346,22 +346,24 @@ def q_ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- longest duplicated span (exact-substring dedup upgrade) ----------------
-# q_ext_dupspan counts WHICH grams are shared; it cannot tell a doc
-# with 40 scattered duplicated 5-grams from one containing a single
-# 44-token verbatim block — and exact-substring dedup (Lee et al.
-# 2022) keys on LONG verbatim runs (50-token minimums).  This query
-# reports each doc's longest run of CONSECUTIVE duplicated positional
-# grams, collapsed by the run-length trick: within a doc, sort the
-# duplicated positions and subtract row_number() — the difference is
-# constant exactly within a consecutive run, so one groupBy on
-# (doc, run-key) measures every run with no self-join, no pair join,
-# and no per-row iteration.  A run of R grams covers R + N - 1 tokens.
 
-@register(
-    "q_ext_longest_dupspan",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+# --- duplicated-run machinery (shared by the three span operators) -----------
+# q_ext_longest_dupspan / q_ext_trim_dupspan / q_ext_strip_dupspans all
+# build on the same two stages: (1) flag each positional gram that
+# occurs in a second document (ONE gram-keyed shuffle, min!=max over
+# the gram window — the q_ext_dupspan discipline), (2) collapse
+# consecutive duplicated positions into runs via the run-length trick
+# (j - row_number() is constant exactly within a consecutive run; one
+# doc-keyed exchange).  ONE copy of each stage lives here — in Spark
+# below and in the oracle CTE prefix — so a change to gram
+# construction, the dup flag, or run keying moves all three operators
+# and their oracles together.
+
+# DuckDB CTE chain ending in runlens(doc_id, grp, run, start); `w` and
+# `g` stay visible for per-doc rollups and reconstructions.
+_DUCK_RUNLENS_CTE = f"""w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
 pos AS (
   SELECT doc_id, words,
          unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
@@ -375,44 +377,22 @@ g AS (
 ),
 d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
 flags AS (
-  SELECT g.doc_id, g.j, (d.mn != d.mx) AS is_dup FROM g JOIN d USING (gram)
+  SELECT g.doc_id, g.j FROM g JOIN d USING (gram) WHERE d.mn != d.mx
 ),
 runs AS (
   SELECT doc_id,
-         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
-  FROM flags WHERE is_dup
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp, j
+  FROM flags
 ),
-runlens AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
-per_doc AS (SELECT doc_id, count(*) AS n_grams FROM flags GROUP BY doc_id),
-m AS (SELECT doc_id, max(run) AS longest FROM runlens GROUP BY doc_id)
-SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
-       CAST(coalesce(m.longest, 0) AS BIGINT) AS longest_run_grams,
-       CAST(CASE WHEN coalesce(m.longest, 0) > 0
-                 THEN m.longest + {DUPSPAN_N - 1} ELSE 0 END AS BIGINT)
-         AS longest_span_tokens
-FROM per_doc p LEFT JOIN m USING (doc_id)
-""",
-)
-def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest verbatim duplicated span per document, in positional
-    {DUPSPAN_N}-grams and in tokens (run + {DUPSPAN_N - 1}) — the
-    doc-level signal exact-substring dedup thresholds on (Lee et al.
-    2022's 50-token minimum becomes `longest_span_tokens >= 50`).
+runlens AS (
+  SELECT doc_id, grp, count(*) AS run, min(j) AS start
+  FROM runs GROUP BY 1, 2
+)"""
 
-    Plan: gram explode -> ONE gram-keyed shuffle where min!=max over
-    the gram window flags shared grams (the q_ext_dupspan discipline)
-    -> doc-keyed row_number over duplicated positions -> run key
-    j - row_number() (constant within a consecutive run) ->
-    (doc, run)-grouped counts and per-doc max.  After the doc_id
-    window, hashpartitioning(doc_id) already satisfies the
-    (doc_id, grp) and doc_id aggregates, so the whole run-collapse
-    adds ONE doc-keyed exchange on top of the gram shuffle — linear
-    in corpus grams, no pair join, boilerplate shared by k docs costs
-    k rows."""
-    from pyspark.sql import Window
 
-    prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def _dupspan_words_and_grams(docs: DataFrame):
+    """(w, g): per-doc word arrays and positional (doc_id, j, gram)
+    rows — docs shorter than the gram width produce no gram rows."""
     w = docs.select("doc_id", F.split("text", " ").alias("words"))
     pos = w.select(
         "doc_id",
@@ -431,28 +411,74 @@ def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
         ).alias("gram"),
     )
+    return w, g
+
+
+def _dupspan_runlens(g: DataFrame) -> DataFrame:
+    """(doc_id, grp, run, start): maximal runs of consecutive
+    duplicated gram positions, from the run-length collapse."""
+    from pyspark.sql import Window
+
     gw = Window.partitionBy("gram")
-    flags = g.select(
+    dup_pos = g.select(
         "doc_id",
         "j",
         (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
             "is_dup"
         ),
-    )
-    per_doc = flags.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams")
-    )
+    ).filter(F.col("is_dup"))
     dw = Window.partitionBy("doc_id").orderBy("j")
-    runs = (
-        flags.filter(F.col("is_dup"))
-        .select(
+    return (
+        dup_pos.select(
             "doc_id",
+            "j",
             (F.col("j") - F.row_number().over(dw)).alias("grp"),
         )
         .groupBy("doc_id", "grp")
-        .agg(F.count("*").alias("run"))
+        .agg(F.count("*").alias("run"), F.min("j").alias("start"))
     )
-    m = runs.groupBy("doc_id").agg(F.max("run").alias("longest"))
+
+
+# --- longest duplicated span (exact-substring dedup upgrade) ----------------
+# q_ext_dupspan counts WHICH grams are shared; it cannot tell a doc
+# with 40 scattered duplicated 5-grams from one containing a single
+# 44-token verbatim block — and exact-substring dedup (Lee et al.
+# 2022) keys on LONG verbatim runs (50-token minimums).  A run of R
+# grams covers R + N - 1 tokens.
+
+@register(
+    "q_ext_longest_dupspan",
+    oracle="WITH "
+    + _DUCK_RUNLENS_CTE
+    + f""",
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+m AS (SELECT doc_id, max(run) AS longest FROM runlens GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(m.longest, 0) AS BIGINT) AS longest_run_grams,
+       CAST(CASE WHEN coalesce(m.longest, 0) > 0
+                 THEN m.longest + {DUPSPAN_N - 1} ELSE 0 END AS BIGINT)
+         AS longest_span_tokens
+FROM per_doc p LEFT JOIN m USING (doc_id)
+""",
+)
+def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim duplicated span per document, in positional
+    {DUPSPAN_N}-grams and in tokens (run + {DUPSPAN_N - 1}) — the
+    doc-level signal exact-substring dedup thresholds on (Lee et al.
+    2022's 50-token minimum becomes `longest_span_tokens >= 50`).
+
+    Plan: the shared machinery's gram shuffle + doc-keyed run collapse
+    (after the doc_id window, hashpartitioning(doc_id) already
+    satisfies the (doc_id, grp) and doc_id aggregates) — linear in
+    corpus grams, no pair join, boilerplate shared by k docs costs k
+    rows."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    _, g = _dupspan_words_and_grams(docs)
+    per_doc = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    m = _dupspan_runlens(g).groupBy("doc_id").agg(
+        F.max("run").alias("longest")
+    )
     longest = F.coalesce(F.col("longest"), F.lit(0)).cast("long")
     return per_doc.join(m, "doc_id", "left").select(
         "doc_id",
@@ -466,43 +492,19 @@ def q_ext_longest_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- span trimming (the curation ACTION behind the measurements) -------------
-# q_ext_dupspan scores, q_ext_longest_dupspan measures; this TRIMS:
-# remove the longest duplicated run's tokens from each document and
+# Remove the longest duplicated run's tokens from each document and
 # keep the rest — the "trim, don't drop" curation move for documents
 # whose contamination is one pasted block (Lee et al. 2022 trim all
-# qualifying spans; one pass of this operator removes the largest,
-# and iterating it converges the same way).  Trimmed text is emitted
-# as an md5 so the gate hash-checks every reconstruction without
-# shipping full documents through the driver compare.
+# qualifying spans; `q_ext_strip_dupspans` below is that full form).
+# Trimmed text is emitted as an md5 so the gate hash-checks every
+# reconstruction without shipping full documents through the driver
+# compare.
 
 @register(
     "q_ext_trim_dupspan",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-pos AS (
-  SELECT doc_id, words,
-         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
-  FROM w
-),
-g AS (
-  SELECT doc_id, j,
-         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
-           AS gram
-  FROM pos
-),
-d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
-flags AS (
-  SELECT g.doc_id, g.j FROM g JOIN d USING (gram) WHERE d.mn != d.mx
-),
-runs AS (
-  SELECT doc_id, j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
-           AS grp, j
-  FROM flags
-),
-runlens AS (
-  SELECT doc_id, grp, count(*) AS run, min(j) AS start
-  FROM runs GROUP BY 1, 2
-),
+    oracle="WITH "
+    + _DUCK_RUNLENS_CTE
+    + f""",
 best AS (
   SELECT doc_id, run, start,
          row_number() OVER (PARTITION BY doc_id
@@ -531,51 +533,15 @@ def q_ext_trim_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared), and md5 of the trimmed reconstruction — every keep/cut
     decision is value-checked through the hash.
 
-    Plan: the q_ext_longest_dupspan machinery (gram-window shared
-    flags -> doc-keyed run collapse) plus an argmax row_number over
-    the runs table and ONE array-slice reconstruction joined back to
-    the per-doc words — the trim itself is map-only; no pair join
-    anywhere."""
+    Plan: the shared run-collapse machinery plus an argmax row_number
+    over the runs table and ONE map-only array-slice reconstruction
+    joined back to the per-doc words; no pair join anywhere."""
     from pyspark.sql import Window
 
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("words"))
-    pos = w.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.when(
-                F.size("words") >= DUPSPAN_N,
-                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("j"),
-    )
-    g = pos.select(
-        "doc_id",
-        "j",
-        F.array_join(
-            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
-        ).alias("gram"),
-    )
-    gw = Window.partitionBy("gram")
-    flags = g.select(
-        "doc_id",
-        "j",
-        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
-            "is_dup"
-        ),
-    ).filter(F.col("is_dup"))
-    dw = Window.partitionBy("doc_id").orderBy("j")
-    runlens = (
-        flags.select(
-            "doc_id",
-            "j",
-            (F.col("j") - F.row_number().over(dw)).alias("grp"),
-        )
-        .groupBy("doc_id", "grp")
-        .agg(F.count("*").alias("run"), F.min("j").alias("start"))
-    )
+    w, g = _dupspan_words_and_grams(docs)
+    runlens = _dupspan_runlens(g)
     rw = Window.partitionBy("doc_id").orderBy(
         F.col("run").desc(), F.col("start")
     )
@@ -606,45 +572,22 @@ def q_ext_trim_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- full exact-substring strip (Lee et al. 2022 semantics) ------------------
-# q_ext_trim_dupspan removes the single longest block; the published
-# operator removes EVERY duplicated span meeting the length minimum
-# (50 tokens).  Qualifying runs explode to their covered token
-# positions (adjacent runs' token spans can overlap — the distinct
-# collapses that), and one indexed array filter reconstructs the
-# stripped document.  Everything stays on the doc key after the gram
-# window: no pair join, no iteration, linear in corpus tokens.
+# The published operator: remove EVERY duplicated span meeting the
+# length minimum (50 tokens).  Qualifying runs explode to their
+# covered token positions (adjacent runs' token spans can overlap —
+# the distinct collapses that), and one indexed array filter
+# reconstructs the stripped document.  Everything stays on the doc key
+# after the gram window: no pair join, no iteration, linear in corpus
+# tokens.
 
 STRIP_MIN_TOKENS = 50
 
 
 @register(
     "q_ext_strip_dupspans",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-pos AS (
-  SELECT doc_id, words,
-         unnest(range(greatest(len(words) - {DUPSPAN_N - 1}, 0))) AS j
-  FROM w
-),
-g AS (
-  SELECT doc_id, j,
-         array_to_string(list_slice(words, j + 1, j + {DUPSPAN_N}), '_')
-           AS gram
-  FROM pos
-),
-d AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram),
-flags AS (
-  SELECT g.doc_id, g.j FROM g JOIN d USING (gram) WHERE d.mn != d.mx
-),
-runs AS (
-  SELECT doc_id, j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
-           AS grp, j
-  FROM flags
-),
-runlens AS (
-  SELECT doc_id, grp, count(*) AS run, min(j) AS start
-  FROM runs GROUP BY 1, 2
-),
+    oracle="WITH "
+    + _DUCK_RUNLENS_CTE
+    + f""",
 covered AS (
   SELECT DISTINCT doc_id, unnest(range(start, start + run + {DUPSPAN_N - 1}))
            AS t
@@ -668,56 +611,18 @@ def q_ext_strip_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (runs of shared positional grams covering >= that many tokens),
     keep everything else, and hash the reconstruction.
 
-    Plan: the run-collapse machinery -> qualifying runs explode to
-    covered token positions (distinct merges overlapping adjacent
+    Plan: the shared run-collapse machinery -> qualifying runs explode
+    to covered token positions (distinct merges overlapping adjacent
     spans) -> per-doc position list -> ONE indexed array filter
     rebuilds the text map-only.  Token positions are 0-based in both
     engines (DuckDB's filter lambda index is 1-based, shifted in the
     oracle)."""
-    from pyspark.sql import Window
-
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("words"))
-    pos = w.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.when(
-                F.size("words") >= DUPSPAN_N,
-                F.sequence(F.lit(0), F.size("words") - DUPSPAN_N),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("j"),
-    )
-    g = pos.select(
-        "doc_id",
-        "j",
-        F.array_join(
-            F.slice("words", F.col("j") + 1, DUPSPAN_N), "_"
-        ).alias("gram"),
-    )
-    gw = Window.partitionBy("gram")
-    flags = g.select(
-        "doc_id",
-        "j",
-        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
-            "is_dup"
-        ),
-    ).filter(F.col("is_dup"))
-    dw = Window.partitionBy("doc_id").orderBy("j")
-    runlens = (
-        flags.select(
-            "doc_id",
-            "j",
-            (F.col("j") - F.row_number().over(dw)).alias("grp"),
-        )
-        .groupBy("doc_id", "grp")
-        .agg(F.count("*").alias("run"), F.min("j").alias("start"))
-    )
+    w, g = _dupspan_words_and_grams(docs)
     covered = (
-        runlens.filter(
-            F.col("run") + (DUPSPAN_N - 1) >= STRIP_MIN_TOKENS
-        )
+        _dupspan_runlens(g)
+        .filter(F.col("run") + (DUPSPAN_N - 1) >= STRIP_MIN_TOKENS)
         .select(
             "doc_id",
             F.explode(

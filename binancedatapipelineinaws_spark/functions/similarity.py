@@ -596,21 +596,17 @@ def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_cells(
-    spark: SparkSession,
-    sf_dir: str,
-    persist: bool = False,
-    probes: int = 1,
+    spark: SparkSession, sf_dir: str, persist: bool = False
 ) -> DataFrame:
-    """(vec_id, embedding, nrm, cell[, probe_rank]): nearest-centroid
-    IVF cell assignment — broadcast K-row centroids, map-only cosine
-    argmin with the (desc cent_sim, label) tie-break every oracle
-    replays bit-for-bit.  THE single copy of the coarse quantizer
-    shared by q_ext_ann_ivf / q_ext_semdedup / q_ext_ann_pq /
-    q_ext_ann_nprobe; a tie-break or persist change here changes all
-    of them together with their oracles.  With probes > 1 the
-    `probe_rank` column (1 = nearest cell) is included and each
-    vector appears once per probed cell — the multi-cell search list
-    of an nprobe>1 IVF query."""
+    """(vec_id, embedding, nrm, cell): nearest-centroid IVF cell
+    assignment — broadcast K-row centroids, map-only cosine argmin
+    with the (desc cent_sim, label) tie-break every oracle replays
+    bit-for-bit.  THE single copy of the coarse quantizer shared by
+    q_ext_ann_ivf / q_ext_semdedup / q_ext_ann_pq / q_ext_ann_nprobe
+    (whose nprobe>1 QUERY-side probe list is deliberately a separate
+    20-row inline crossJoin, not a corpus-wide variant of this); a
+    tie-break or persist change here changes all of them together
+    with their oracles."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = F.broadcast(
         centroids(spark, sf_dir).select(
@@ -626,27 +622,16 @@ def assign_cells(
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_sim"), F.col("label")
     )
-    ranked = (
+    out = (
         e.crossJoin(cents)
         .select(
             "vec_id", "embedding", "nrm", "label",
             cos_vc.alias("cent_sim"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= probes)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
     )
-    if probes == 1:
-        out = ranked.select(
-            "vec_id", "embedding", "nrm", F.col("label").alias("cell")
-        )
-    else:
-        out = ranked.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.col("label").alias("cell"),
-            F.col("rn").alias("probe_rank"),
-        )
     return out.persist() if persist else out
 
 

@@ -64,9 +64,11 @@ def q_agg_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_agg_ohlcv_1min",
-    oracle="WITH "
+# Shared 1-min candle definition: ONE aggregation body and ONE oracle
+# string used by both q_agg_ohlcv_1min and q_ext_ohlcv_incremental, so
+# a tie-break or decimal-scale change cannot silently fork the twins.
+_OHLCV_1MIN_ORACLE = (
+    "WITH "
     + BTCUSDT_CTE
     + """
 , ranked AS (
@@ -86,27 +88,33 @@ SELECT m AS minute_start,
        count(*) AS trades
 FROM ranked
 GROUP BY 1
-""",
+"""
 )
+
+
+def _candles(ticks: DataFrame) -> DataFrame:
+    """1-min OHLCV candles: open/close tie-broken by (time, bid)."""
+    order_key = F.struct(F.col("time"), F.col("bid"))
+    return ticks.groupBy(
+        F.window("time", "1 minute").start.alias("minute_start")
+    ).agg(
+        F.min_by("price", order_key).alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", order_key).alias("close"),
+        dec_sum("quantity", 5).alias("volume"),
+        F.count("*").alias("trades"),
+    )
+
+
+@register("q_agg_ohlcv_1min", oracle=_OHLCV_1MIN_ORACLE)
 def q_agg_ohlcv_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OHLCV candle: open/close tie-broken deterministically by
     (time, bid) — trade id disambiguates trades in the same second,
     mirroring the TSV line order of the reference writer (main.py:61-67).
     """
     prepare(spark)
-    df = btcusdt(spark, sf_dir)
-    order_key = F.struct(F.col("time"), F.col("bid"))
-    return (
-        df.groupBy(F.window("time", "1 minute").start.alias("minute_start"))
-        .agg(
-            F.min_by("price", order_key).alias("open"),
-            F.max("price").alias("high"),
-            F.min("price").alias("low"),
-            F.max_by("price", order_key).alias("close"),
-            dec_sum("quantity", 5).alias("volume"),
-            F.count("*").alias("trades"),
-        )
-    )
+    return _candles(btcusdt(spark, sf_dir))
 
 
 @register(
@@ -379,30 +387,7 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 REFRESH_HORIZON_S = 330  # the "new batch": last 5.5 minutes of ticks
 
 
-@register(
-    "q_ext_ohlcv_incremental",
-    oracle="WITH "
-    + BTCUSDT_CTE
-    + """
-, ranked AS (
-  SELECT date_trunc('minute', "time") AS m, price, quantity,
-         row_number() OVER (PARTITION BY date_trunc('minute', "time")
-                            ORDER BY "time", bid) AS rn_a,
-         row_number() OVER (PARTITION BY date_trunc('minute', "time")
-                            ORDER BY "time" DESC, bid DESC) AS rn_d
-  FROM btcusdt
-)
-SELECT m AS minute_start,
-       max(CASE WHEN rn_a = 1 THEN price END) AS open,
-       max(price) AS high,
-       min(price) AS low,
-       max(CASE WHEN rn_d = 1 THEN price END) AS close,
-       CAST(sum(CAST(quantity AS DECIMAL(18,5))) AS DOUBLE) AS volume,
-       count(*) AS trades
-FROM ranked
-GROUP BY 1
-""",
-)
+@register("q_ext_ohlcv_incremental", oracle=_OHLCV_1MIN_ORACLE)
 def q_ext_ohlcv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental 1-min candle refresh: candles for minutes untouched
     by the last {REFRESH_HORIZON_S} s of ticks come from the HISTORY
@@ -414,9 +399,15 @@ def q_ext_ohlcv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one broadcast 1-row max-time bound (no driver collect)
     splits the stream; the affected-minute list is a broadcast
     semi-join key; each candle row is produced by ONE of the two
-    branches (anti-join + union), so refresh cost at 100 TB is the
-    NEW minutes' raw ticks plus a scan of the rollup — not a corpus
-    recompute."""
+    branches (anti-join + union).  NOTE on cost: in this
+    self-contained form the "history rollup" is SIMULATED by
+    re-aggregating the old ticks, so the query scans the corpus for
+    both branches — in production `prev` is a materialized candle
+    table read back from storage and the refresh pays only the new
+    minutes' raw ticks plus a rollup scan.  What the gate proves is
+    the MERGE SEMANTICS: touched-minute replacement (including the
+    straddled partial candle) reproduces the full recompute
+    hash-exactly."""
     prepare(spark)
     df = btcusdt(spark, sf_dir)
     bound = df.agg(F.max("time").alias("mx"))
@@ -425,21 +416,7 @@ def q_ext_ohlcv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("time")
         > F.col("mx") - F.expr(f"INTERVAL {REFRESH_HORIZON_S} SECONDS"),
     )
-    order_key = F.struct(F.col("time"), F.col("bid"))
-
-    def candles(ticks: DataFrame) -> DataFrame:
-        return ticks.groupBy(
-            F.window("time", "1 minute").start.alias("minute_start")
-        ).agg(
-            F.min_by("price", order_key).alias("open"),
-            F.max("price").alias("high"),
-            F.min("price").alias("low"),
-            F.max_by("price", order_key).alias("close"),
-            dec_sum("quantity", 5).alias("volume"),
-            F.count("*").alias("trades"),
-        )
-
-    prev = candles(flagged.filter(~F.col("is_new")))
+    prev = _candles(flagged.filter(~F.col("is_new")))
     affected = (
         flagged.filter(F.col("is_new"))
         .select(
@@ -450,7 +427,7 @@ def q_ext_ohlcv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_minute = flagged.withColumn(
         "tick_minute", F.window("time", "1 minute").start
     )
-    recomputed = candles(
+    recomputed = _candles(
         with_minute.join(
             F.broadcast(affected),
             with_minute["tick_minute"] == affected["minute_start"],

@@ -113,6 +113,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_ext_ann_ivf",
     "q_ext_semdedup",
     "q_ext_embed_neardup",
+    # r7 refactor: the 1-min candle body + oracle extracted into
+    # _candles()/_OHLCV_1MIN_ORACLE shared with the incremental
+    # refresh twin; oracle string and plan unchanged byte-for-byte,
+    # locally re-verified
+    "q_agg_ohlcv_1min",
 )
 
 

@@ -1132,9 +1132,8 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
 
     src = str(tmp_path / "ev_time_sliced")
     ev = load_table(spark, SF, "events")
-    # three contiguous time slices, one file each, named in time order
-    # (the file source lists lexicographically within a batch, and
-    # maxFilesPerTrigger=1 feeds them one per micro-batch)
+    # three contiguous time slices, one file each, fed one per
+    # micro-batch (maxFilesPerTrigger=1) in mtime order — pinned below
     import pyspark.sql.window as W
 
     w = W.Window.orderBy("ts", "event_id")
@@ -1154,6 +1153,10 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
 
         f = _g.glob(f"{src}_stage{i}/part-*.parquet")[0]
         shutil.copy(f, f"{src}/slice{i}.parquet")
+        # FileStreamSource orders new files by MODIFICATION TIME, not
+        # name: pin strictly increasing mtimes so a coarse-granularity
+        # filesystem cannot feed slices out of event-time order
+        os.utime(f"{src}/slice{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1")
