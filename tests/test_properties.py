@@ -1789,3 +1789,90 @@ def test_ohlcv_incremental_branches_partition_minutes(spark):
     assert inc.select("minute_start").distinct().count() == inc.count()
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+# --- r7 algorithmic cores (hypothesis) ---------------------------------------
+# The greedy horizon fold and the run-length collapse are encodings of
+# imperative algorithms into engine folds/windows; these prove the
+# ENCODINGS equal their imperative definitions for ALL inputs, not
+# just the driver tables (the same discipline as the integer-
+# reformulation proofs above).
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),  # epoch seconds
+            st.integers(min_value=0, max_value=10**6),  # event id
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    horizon=st.sampled_from([0, 1, 7, 600]),
+)
+def test_horizon_fold_encoding_equals_greedy_replay(evs, horizon):
+    # q_ext_dedup_horizon encodes greedy within-horizon dedup as a
+    # fold over a flat [sec, id, sec, id, ...] array with
+    # acc[len - 1] = last kept second; replay the EXACT fold the
+    # engines run and compare with the straightforward greedy scan —
+    # including tied seconds, where (sec, id) order decides the chain
+    pairs = sorted(evs)
+    # the engine fold: init = first pair, then concat-if-beyond-horizon
+    acc = [pairs[0][0], pairs[0][1]]
+    for sec, eid in pairs[1:]:
+        if sec > acc[-2] + horizon:
+            acc += [sec, eid]
+    fold_kept = [acc[2 * i + 1] for i in range(len(acc) // 2)]
+    # the imperative definition
+    kept, last = [], None
+    for sec, eid in pairs:
+        if last is None or sec > last + horizon:
+            kept.append(eid)
+            last = sec
+    assert fold_kept == kept
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    dup_positions=st.sets(
+        st.integers(min_value=0, max_value=200), min_size=0, max_size=80
+    )
+)
+def test_runlength_collapse_equals_maximal_runs(dup_positions):
+    # q_ext_longest_dupspan / trim / strip key runs on j - rank(j):
+    # constant exactly within a maximal run of consecutive positions.
+    # Group by that key and compare (length, start) multisets against
+    # an imperative maximal-run scan.
+    ps = sorted(dup_positions)
+    groups: dict[int, list[int]] = {}
+    for rank, j in enumerate(ps, start=1):
+        groups.setdefault(j - rank, []).append(j)
+    got = sorted((len(v), min(v)) for v in groups.values())
+    runs, i = [], 0
+    while i < len(ps):
+        k = i
+        while k + 1 < len(ps) and ps[k + 1] == ps[k] + 1:
+            k += 1
+        runs.append((k - i + 1, ps[i]))
+        i = k + 1
+    assert got == sorted(runs)
+
+
+def test_band_ladder_holds_recall_at_threshold():
+    # every adaptive_band_geometry rung must keep banded collision
+    # probability >= 0.99 for a pair AT the cos-0.9 near-dup threshold
+    # (pairs above the threshold collide with higher probability)
+    import math
+
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        _BAND_CEILING,
+        _BAND_LADDER,
+        NEARDUP_COS,
+    )
+
+    p_bit = 1 - math.acos(NEARDUP_COS) / math.pi
+    for bands, rows in [r[1:] for r in _BAND_LADDER] + [_BAND_CEILING]:
+        p_collide = 1 - (1 - p_bit**rows) ** bands
+        assert p_collide >= 0.99, (bands, rows, p_collide)
