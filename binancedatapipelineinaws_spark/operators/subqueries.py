@@ -230,15 +230,30 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- recursive CTE (Spark 4 surface) ----------------------------------------
 # WITH RECURSIVE landed in Spark 4.0 (SPARK-24497); this registers it
 # with a real use: shortest-hop reachability over the event-type
-# transition graph.  The recursion runs over the TYPES graph (a
-# handful of nodes, built by ONE corpus pass + distinct) — the corpus
-# never enters the loop, so the iterative plan is bounded no matter
-# the data size.  One engine-portable SQL string, run verbatim by
-# spark.sql AND the DuckDB oracle (the q_sql_surface discipline).
+# transition graph.  The Spark side builds the edge table as a
+# PERSISTED DataFrame and recurses over that cached view: a naive
+# one-string form (which the DuckDB oracle, a materializing engine,
+# runs verbatim) inlines the edges CTE into the UnionLoop STEP, so
+# every iteration re-scans the corpus and re-runs the lead() window —
+# the .explain() audit caught exactly that.  With the cache, the
+# corpus cost is one window pass and the loop touches only the
+# types^2-bounded in-memory edge table.
 
 REACH_MAX_HOPS = 4
 
-_TRANSITION_REACH_SQL = f"""
+_REACH_RECURSION_SQL = f"""
+WITH RECURSIVE reach (src, dst, hops) AS (
+  SELECT src, dst, 1 FROM transition_edges
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1
+  FROM reach r JOIN transition_edges e ON e.src = r.dst
+  WHERE r.hops < {REACH_MAX_HOPS} AND e.dst != r.src
+)
+SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY src, dst
+"""
+
+_TRANSITION_REACH_ORACLE = f"""
 WITH RECURSIVE seq AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id
@@ -262,7 +277,7 @@ FROM reach GROUP BY src, dst
 """
 
 
-@register("q_ext_transition_reach", oracle=_TRANSITION_REACH_SQL)
+@register("q_ext_transition_reach", oracle=_TRANSITION_REACH_ORACLE)
 def q_ext_transition_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-hop reachability (<= {REACH_MAX_HOPS} hops) between
     event types via WITH RECURSIVE — the Spark 4 recursive-CTE
@@ -271,10 +286,25 @@ def q_ext_transition_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint is deterministic in both engines.
 
     Plan: one user-partitioned lead() window + distinct builds the
-    edge list (types^2-bounded); the recursion then iterates ONLY
-    over that bounded edge table with a {REACH_MAX_HOPS}-hop guard —
-    at 100 TB the corpus cost is the single window pass, and the
-    loop's size depends on the type alphabet, not the data."""
+    edge list (types^2-bounded), PERSISTED and registered as a view so
+    the recursion's anchor AND step read the cache — without it Spark
+    inlines the edge CTE into the loop and re-scans the corpus per
+    iteration (machine-asserted in tests/test_plans.py).  At 100 TB
+    the corpus cost is the single window pass; the loop's size
+    depends on the type alphabet, not the data."""
+    from pyspark.sql import Window
+
     prepare(spark)
-    register_views(spark, sf_dir)
-    return spark.sql(_TRANSITION_REACH_SQL)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+        .persist()
+    )
+    edges.createOrReplaceTempView("transition_edges")
+    return spark.sql(_REACH_RECURSION_SQL)

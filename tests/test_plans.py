@@ -313,6 +313,16 @@ def test_ohlcv_incremental_broadcasts_and_partitions(spark):
     assert plan.count("BroadcastExchange") >= 2
 
 
+def test_transition_reach_recursion_reads_cache(spark):
+    # both UnionLoop members (anchor and step) must read the PERSISTED
+    # edge table; without the cache Spark inlines the edges CTE into
+    # the loop and re-scans the corpus + re-runs the lead() window on
+    # every iteration (the pre-fix plan had zero InMemoryRelation)
+    plan = _plan(queries()["q_ext_transition_reach"](spark, SF))
+    assert "UnionLoop" in plan
+    assert plan.count("InMemoryRelation") >= 2
+
+
 def test_equidepth_hist_broadcast_boundaries(spark):
     # boundaries (types-bounded) broadcast onto the corpus; the bucket
     # expression is map-only; no corpus sort / range exchange
