@@ -1876,3 +1876,28 @@ def test_band_ladder_holds_recall_at_threshold():
     for bands, rows in [r[1:] for r in _BAND_LADDER] + [_BAND_CEILING]:
         p_collide = 1 - (1 - p_bit**rows) ** bands
         assert p_collide >= 0.99, (bands, rows, p_collide)
+
+
+def test_equidepth_hist_invariants(spark):
+    """Buckets partition each type's rows: counts sum to the type's
+    row count, bucket ids stay in [1, 10], lo <= hi inside each
+    bucket, and bucket value ranges are non-overlapping in bucket
+    order (hi of bucket k <= lo of bucket k+2's predecessor chain is
+    implied by lo/hi monotonicity across ascending buckets)."""
+    df = queries()["q_ext_equidepth_hist"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    by_type: dict = {}
+    for r in df:
+        assert 1 <= r["bucket"] <= 10
+        assert r["lo"] <= r["hi"]
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(totals)
+    for t, rows in by_type.items():
+        assert sum(r["n"] for r in rows) == totals[t]
+        rows.sort(key=lambda r: r["bucket"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9

@@ -19,7 +19,12 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os  # noqa: E402
+
+# Overridable so the sweep can run against other corpora — e.g. the
+# synthetic .bench_sf1 dataset as a testdata-regeneration robustness
+# drill (different value ranges, tie patterns, and row counts).
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -112,7 +117,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
+            # Spark-written tables are DIRECTORIES of part files
+            + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
         )
 
     n_ok = n_fail = 0
