@@ -521,16 +521,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 @register(
     "q_ext_dedup_clusters",
-    # the whole WITH clause must be declared RECURSIVE for the closure CTE
-    oracle="WITH RECURSIVE "
-    + _NEAR_CTES.removeprefix("WITH ")
-    + ", near AS ("
+    # The near-pair chain is NESTED as a plain-WITH subquery instead of
+    # sharing the recursive WITH clause: DuckDB 1.0 mis-evaluates
+    # non-recursive CTEs containing multi-way UNION when they sit
+    # inside WITH RECURSIVE (the banded `cand` UNION stopped deduping
+    # and `near` lost pairs — caught by the sf1 oracle drill, r7;
+    # plain WITH and Spark agreed, the recursive form silently lost 20
+    # nodes).  `edges` is UNION-free for the same reason: both
+    # directions come from a 2-row VALUES cross join.
+    oracle="WITH RECURSIVE edges AS ("
+    + """
+  SELECT CASE WHEN t.d = 0 THEN n.doc_a ELSE n.doc_b END AS src,
+         CASE WHEN t.d = 0 THEN n.doc_b ELSE n.doc_a END AS dst
+  FROM ("""
+    + _NEAR_CTES
     + _NEAR_FINAL
-    + """),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM near
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM near
+    + """) n, (VALUES (0), (1)) t(d)
 ),
 reach(src, dst) AS (
   SELECT src, dst FROM edges

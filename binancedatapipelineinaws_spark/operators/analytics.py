@@ -837,13 +837,25 @@ def q_ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
   FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS sum_n,
+         CAST(sum(n * n) AS BIGINT) AS sum_n2,
+         count(*) AS cnt
+  FROM daily GROUP BY user_id
 )
 SELECT user_id,
-       CAST(sum(n) AS BIGINT) AS n_events,
-       count(*) AS n_days,
-       round(avg(n), 6) AS mean_daily,
-       round(var_samp(n) / avg(n), 6) AS fano
-FROM daily GROUP BY user_id
+       sum_n AS n_events,
+       cnt AS n_days,
+       round(CAST(sum_n AS DOUBLE) / cnt, 6) AS mean_daily,
+       CASE WHEN cnt > 1 THEN
+         round(((CAST(sum_n2 AS DOUBLE)
+                 - CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE) / cnt)
+                / (cnt - 1))
+               / (CAST(sum_n AS DOUBLE) / cnt), 6)
+       ELSE NULL END AS fano
+FROM agg
 """,
 )
 def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +865,13 @@ def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the temporal complement of q_ext_activity_gini's volume view.
     Single-day users get NULL (variance undefined), never a crash.
 
+    Variance comes from EXACT integer moments (sum n, sum n^2 — daily
+    counts are integers, both sums land exactly in BIGINT and double),
+    then both engines evaluate the IDENTICAL expression tree, so the
+    fano doubles are bit-identical.  The original var_samp form was
+    engine-order-dependent: 9/15000 rows flipped at the 6-dp round in
+    the r7 sf1 oracle drill — a latent gate fragility at any sf.
+
     Plan: two stacked partial-aggregated groupBys ((user, day) then
     user) — no window, no join; both shuffles are on uniform keys."""
     prepare(spark)
@@ -860,11 +879,24 @@ def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n")
     )
-    return daily.groupBy("user_id").agg(
-        F.sum("n").cast("long").alias("n_events"),
-        F.count("*").alias("n_days"),
-        F.round(F.avg("n"), 6).alias("mean_daily"),
-        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    agg = daily.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+        F.count("*").alias("cnt"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("cnt")
+    var = (
+        F.col("sum_n2").cast("double")
+        - F.col("sum_n").cast("double")
+        * F.col("sum_n").cast("double")
+        / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    return agg.select(
+        "user_id",
+        F.col("sum_n").alias("n_events"),
+        F.col("cnt").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.when(F.col("cnt") > 1, F.round(var / mean, 6)).alias("fano"),
     )
 
 

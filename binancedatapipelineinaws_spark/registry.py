@@ -93,6 +93,15 @@ _FORCE_FIRST: tuple[str, ...] = (
     # scale-dependent assumption, not a structural one (ADVICE.md r6).
     # Re-verify under the capped oracle.
     "q_ext_ewma",
+    # r7 sf1 oracle drill: var_samp was engine-order-dependent (9/15k
+    # rows flipped at the 6-dp round) — rewritten on exact integer
+    # moments in BOTH engines; fresh row needed under the new math.
+    "q_ext_burstiness",
+    # r7 sf1 oracle drill: DuckDB 1.0 mis-evaluates multi-way UNION in
+    # non-recursive CTEs inside WITH RECURSIVE (near lost pairs) — the
+    # oracle now nests the plain-WITH chain in a subquery with a
+    # UNION-free edges derivation; fresh row under the new oracle.
+    "q_ext_dedup_clusters",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
