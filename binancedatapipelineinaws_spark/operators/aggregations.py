@@ -306,20 +306,47 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stddev_var",
     oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 6) AS std_qty,
-       round(var_samp(l_quantity), 6) AS var_qty
-FROM lineitem GROUP BY l_returnflag
+       round(sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (n - 1)), 6) AS std_qty,
+       round((CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (n - 1), 6) AS var_qty
+FROM agg
 """,
 )
 def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Over integer-valued l_quantity: both engines' stable one-pass
-    moment algorithms agree far beyond 6 dp there."""
+    """Sample stddev/variance of l_quantity from EXACT integer moments
+    (quantities are integer-valued, so sum and sum-of-squares land
+    exactly in BIGINT and double), then the identical expression tree
+    in both engines — bit-identical results at any scale, where the
+    engines' one-pass var_samp algorithms are merge-order-dependent
+    floats (the q_ext_burstiness lesson from the r7 sf1 drill)."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    q = F.col("l_quantity").cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(q).cast("long").alias("s"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return agg.select(
+        "l_returnflag",
+        F.round(F.sqrt(var), 6).alias("std_qty"),
+        F.round(var, 6).alias("var_qty"),
     )
 
 

@@ -102,6 +102,9 @@ _FORCE_FIRST: tuple[str, ...] = (
     # oracle now nests the plain-WITH chain in a subquery with a
     # UNION-free edges derivation; fresh row under the new oracle.
     "q_ext_dedup_clusters",
+    # same hardening class as burstiness: integer-valued quantities,
+    # var_samp swapped for exact integer moments in both engines.
+    "q_agg_stddev_var",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
