@@ -203,20 +203,24 @@ HLL_EVAL_SHARDS = 16
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS n_exact,
-       TRUE AS union_eq_direct,
-       TRUE AS within_bound
+       TRUE AS union_within_bound,
+       TRUE AS direct_within_bound
 FROM events
 GROUP BY event_type
 """,
 )
 def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch gate for distinct users per event type: the
-    16-shard union estimate must equal the direct estimate exactly
-    (merge-invariance — the property that makes incremental sketch
-    tables sound) and land within {HLL_REL_ERR:.0%} of the exact
-    count.  The oracle pins both invariants TRUE plus the exact
-    counts; a broken merge or an out-of-envelope sketch breaks the
-    hash.
+    16-shard union estimate AND the direct estimate must each land
+    within {HLL_REL_ERR:.0%} of the exact count — the accuracy
+    envelope IS the mergeability guarantee.  (The r6 form pinned
+    union == direct bit-equality; the r7 sf1 drill showed that only
+    holds while every sketch is still in sparse/coupon mode — at 15k
+    distinct per type the direct sketch goes dense and the union path
+    legitimately differs by a fraction of a percent.  DataSketches
+    promises the ENVELOPE for merged sketches, not bit-equality.)
+    The oracle pins both flags TRUE plus the exact counts; an
+    out-of-envelope sketch on either path breaks the hash.
 
     Plan: the direct sketch is one partial-aggregated pass (sketches
     combine map-side); the sharded path adds one (type, shard)
@@ -237,11 +241,14 @@ def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(F.broadcast(unioned), "event_type").select(
         "event_type",
         "n_exact",
-        (F.col("est_u") == F.col("est_d")).alias("union_eq_direct"),
+        (
+            F.abs(F.col("est_u") - F.col("n_exact"))
+            <= HLL_REL_ERR * F.col("n_exact")
+        ).alias("union_within_bound"),
         (
             F.abs(F.col("est_d") - F.col("n_exact"))
             <= HLL_REL_ERR * F.col("n_exact")
-        ).alias("within_bound"),
+        ).alias("direct_within_bound"),
     )
 
 
