@@ -451,16 +451,20 @@ def winsorize_frame(
             F.col("b")[1].alias("hi"),
         )
         b = ev.join(F.broadcast(bounds), "event_type")
+    # boundaries rounded to 6 dp BEFORE the clip (the equidepth-hist
+    # discipline): an interpolation ulp between the engines' percentile
+    # implementations flipped was_clipped on 50/1M boundary rows in the
+    # r7 sf1 drill; both engines comparing against the same 6-dp
+    # boundary cannot disagree
+    lo6, hi6 = F.round(F.col("lo"), 6), F.round(F.col("hi"), 6)
     return b.select(
         "event_id",
         "event_type",
         "value",
-        F.round(
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
-        ).alias("clipped"),
-        F.when(
-            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
-        )
+        F.round(F.least(F.greatest(F.col("value"), lo6), hi6), 6).alias(
+            "clipped"
+        ),
+        F.when((F.col("value") < lo6) | (F.col("value") > hi6), 1)
         .otherwise(0)
         .alias("was_clipped"),
     )
@@ -471,10 +475,12 @@ def winsorize_frame(
     oracle=f"""
 WITH b AS (
   SELECT event_id, event_type, value,
-         quantile_cont(value, {WINSOR_LO})
-           OVER (PARTITION BY event_type) AS lo,
-         quantile_cont(value, {WINSOR_HI})
-           OVER (PARTITION BY event_type) AS hi
+         -- 6-dp-rounded boundaries before the clip: an interpolation
+         -- ulp between engines flipped 50/1M boundary rows at sf1
+         round(quantile_cont(value, {WINSOR_LO})
+               OVER (PARTITION BY event_type), 6) AS lo,
+         round(quantile_cont(value, {WINSOR_HI})
+               OVER (PARTITION BY event_type), 6) AS hi
   FROM events
 )
 SELECT event_id, event_type, value,

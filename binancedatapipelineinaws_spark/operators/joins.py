@@ -737,15 +737,26 @@ def q_ext_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,5))) AS DOUBLE), 6)
          AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+       -- money sums: round IN DECIMAL (exact, half-up in both
+       -- engines) and only then cast to double.  At sf1 these sums
+       -- reach ~5e10 where a double's ulp (~1.5e-5) exceeds 1e-6, so
+       -- rounding the DOUBLE at 6 dp digitizes engine-dependent noise
+       -- (the r7 sf1 drill caught sum_charge flipping its 6th
+       -- decimal).  The narrow factor casts keep the triple product
+       -- at (24,6), inside width 38 for both engines, no scale
+       -- reduction anywhere.
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
          AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1.00 - CAST(l_discount AS DECIMAL(18,2))))
-                  AS DOUBLE), 6) AS sum_disc_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
-                     * (1.00 + CAST(l_tax AS DECIMAL(18,2))))
-                  AS DOUBLE), 6) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1.00 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1.00 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))
+                     * (CAST(1.00 AS DECIMAL(3,2))
+                        + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,5))) AS DOUBLE)
              / count(*), 6) AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -776,24 +787,27 @@ def q_ext_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2, d5 = "decimal(18,2)", "decimal(18,5)"
     qty = F.col("l_quantity").cast(d5)
     price = F.col("l_extendedprice").cast(d2)
-    disc = F.col("l_discount").cast(d2)
-    tax = F.col("l_tax").cast(d2)
-    one = F.lit(1).cast(d2)
+    # narrow casts for the PRODUCT terms so (12,2)x(5,2)x(5,2)=(24,6)
+    # fits decimal width 38 in both engines with no scale reduction
+    # (whose rounding rules differ: Spark half-up, DuckDB truncate)
+    nprice = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
     n = F.count("*")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(qty).cast("double"), 6).alias("sum_qty"),
-            F.round(F.sum(price).cast("double"), 6).alias(
+            F.round(F.sum(price), 2).cast("double").alias(
                 "sum_base_price"
             ),
-            F.round(
-                F.sum(price * (one - disc)).cast("double"), 6
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(price * (one - disc) * (one + tax)).cast("double"),
-                6,
-            ).alias("sum_charge"),
+            F.round(F.sum(nprice * (one - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(nprice * (one - disc) * (one + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
             F.round(F.sum(price).cast("double") / n, 6).alias(
                 "avg_price"

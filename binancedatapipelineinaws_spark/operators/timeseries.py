@@ -109,25 +109,49 @@ CORR_FRAME_ROWS = 20  # current row + 19 preceding
     "q_win_rolling_corr",
     oracle=f"""
 WITH w AS (
+  -- EXACT DECIMAL window sums (quantities integer-valued, prices
+  -- 2-dp): DuckDB's segment-tree sliding windows add doubles in TREE
+  -- order while Spark folds in frame order, so double sums diverged
+  -- by an ulp and flipped 24/6M rows at the 5-dp round in the r7 sf1
+  -- drill.  Decimal sums are order-independent; the scalar algebra
+  -- below is then the identical expression tree in both engines.
+  -- (The old /1000 scaling was float-precision hygiene; correlation
+  -- is scale-invariant and the sums are now exact.)
   SELECT l_suppkey, l_orderkey, l_linenumber,
          count(*) OVER fr AS n,
-         sum(CAST(l_quantity AS DOUBLE)) OVER fr AS sx,
-         sum(l_extendedprice / 1000.0) OVER fr AS sy,
-         sum(CAST(l_quantity AS DOUBLE) * l_quantity) OVER fr AS sxx,
-         sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0))
-           OVER fr AS syy,
-         sum(CAST(l_quantity AS DOUBLE) * (l_extendedprice / 1000.0))
-           OVER fr AS sxy
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))) OVER fr AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr AS DOUBLE)
+           AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))
+                  * CAST(l_quantity AS DECIMAL(7,0))) OVER fr AS DOUBLE)
+           AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr
+              AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr
+              AS DOUBLE) AS sxy
   FROM lineitem
+  -- l_partkey/quantity/price tie-breakers: (orderkey, linenumber)
+  -- is NOT unique in the synthetic lineitem, and a ROWS frame over a
+  -- partial order admits engine-dependent frame membership (16/6M
+  -- rows flipped at sf1 until the order became total)
   WINDOW fr AS (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+             l_quantity, l_extendedprice
     ROWS BETWEEN {CORR_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT l_suppkey, l_orderkey, l_linenumber, n,
+       -- greatest(...,0): a constant frame's variance term is exactly
+       -- zero in decimal but can round epsilon-negative after the
+       -- double conversion of its two products
+       -- + 0.0 canonicalizes IEEE -0.0 (a tiny negative numerator
+       -- rounds to signed zero differently across engines)
        round((n * sxy - sx * sy)
-             / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
-             5) AS rolling_corr
+             / nullif(sqrt(greatest(n * sxx - sx * sx, 0))
+                      * sqrt(greatest(n * syy - sy * sy, 0)), 0),
+             5) + 0.0 AS rolling_corr
 FROM w
 """,
 )
@@ -138,35 +162,44 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, then pure scalar algebra; no self-join and no second shuffle.
 
     The ORDER BY carries (shipdate, orderkey, linenumber) so the frame
-    is totally ordered and both engines fold the sums in the identical
-    sequence; price is scaled by 1e3 before squaring to keep the
-    cancellation term (n*Sxx - Sx^2) well inside double precision at a
-    5-dp round.  Degenerate frames (constant series, n=1) yield NULL
-    via the NULLIF guard in both engines.
+    is totally ordered; the six sums run in EXACT DECIMAL (quantities
+    integer-valued, prices 2-dp), so they are identical regardless of
+    summation order — frame folds, DuckDB's segment trees, partial
+    merges — and the closing scalar algebra is the same expression
+    tree in both engines (the r7 sf1 drill caught the float form
+    flipping 24/6M rows).  Degenerate frames (constant series, n=1)
+    yield NULL via the NULLIF guard in both engines.
     """
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("double")
-    y = F.col("l_extendedprice") / 1000.0
+    # exact decimal sums (see the oracle comment): order-independent
+    # across frame folds, segment trees, and partial merges
+    x = F.col("l_quantity").cast("decimal(7,0)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
     fr = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_extendedprice",
+        )
         .rowsBetween(-(CORR_FRAME_ROWS - 1), 0)
     )
     n = F.count("*").over(fr)
-    sx = F.sum(x).over(fr)
-    sy = F.sum(y).over(fr)
-    sxx = F.sum(x * x).over(fr)
-    syy = F.sum(y * y).over(fr)
-    sxy = F.sum(x * y).over(fr)
-    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    sx = F.sum(x).over(fr).cast("double")
+    sy = F.sum(y).over(fr).cast("double")
+    sxx = F.sum(x * x).over(fr).cast("double")
+    syy = F.sum(y * y).over(fr).cast("double")
+    sxy = F.sum(x * y).over(fr).cast("double")
+    denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
     corr = (n * sxy - sx * sy) / F.when(denom != 0, denom)
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         n.alias("n"),
-        F.round(corr, 5).alias("rolling_corr"),
+        (F.round(corr, 5) + F.lit(0.0)).alias("rolling_corr"),
     )
 
 
@@ -412,7 +445,9 @@ def q_ext_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(F.col("r") * F.col("r"))
     syy = F.sum(F.col("rp") * F.col("rp"))
     sxy = F.sum(F.col("r") * F.col("rp"))
-    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
     corr = (n * sxy - sx * sy) / F.when(denom != 0, denom)
     return p.agg(
         n.alias("n"), F.round(corr, 5).alias("autocorr_lag1")

@@ -105,6 +105,19 @@ _FORCE_FIRST: tuple[str, ...] = (
     # same hardening class as burstiness: integer-valued quantities,
     # var_samp swapped for exact integer moments in both engines.
     "q_agg_stddev_var",
+    # r7 sf1 drill: money sums reach magnitudes where a double's ulp
+    # exceeds 1e-6, so rounding the DOUBLE at 6 dp digitized noise —
+    # now rounded in exact decimal before the cast (plus narrow factor
+    # casts keeping the triple product inside width 38).
+    "q_ext_tpch_q1",
+    # r7 sf1 drill: percentile-boundary rows flipped on an
+    # interpolation ulp — clip boundaries now 6-dp-rounded in both
+    # engines before comparison.
+    "q_ext_winsorize",
+    # r7 sf1 drill: double window sums diverge between frame-order
+    # folds (Spark) and segment trees (DuckDB); sums now in exact
+    # decimal, frame order made total, signed zero canonicalized.
+    "q_win_rolling_corr",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
