@@ -109,28 +109,28 @@ CORR_FRAME_ROWS = 20  # current row + 19 preceding
     "q_win_rolling_corr",
     oracle=f"""
 WITH w AS (
-  -- EXACT DECIMAL window sums (quantities integer-valued, prices
-  -- 2-dp): DuckDB's segment-tree sliding windows add doubles in TREE
-  -- order while Spark folds in frame order, so double sums diverged
-  -- by an ulp and flipped 24/6M rows at the 5-dp round in the r7 sf1
-  -- drill.  Decimal sums are order-independent; the scalar algebra
-  -- below is then the identical expression tree in both engines.
-  -- (The old /1000 scaling was float-precision hygiene; correlation
-  -- is scale-invariant and the sums are now exact.)
+  -- EXACT INTEGER window sums over scaled values (quantities are
+  -- integers, prices are 2-dp -> x100 integers): DuckDB's
+  -- segment-tree sliding windows add doubles in TREE order while
+  -- Spark folds in frame order, so double sums diverged by an ulp
+  -- and flipped 24/6M rows at the 5-dp round in the r7 sf1 drill.
+  -- BIGINT sums are order-independent AND native-speed (the first
+  -- fix used DECIMAL sums and cost 2x wall); correlation is
+  -- scale-invariant, so the x100 never needs undoing.  Max product
+  -- (1e7)^2 x 20 rows = 2e15, far inside int64.
   SELECT l_suppkey, l_orderkey, l_linenumber,
          count(*) OVER fr AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))) OVER fr AS DOUBLE) AS sx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr AS DOUBLE)
-           AS sy,
-         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))
-                  * CAST(l_quantity AS DECIMAL(7,0))) OVER fr AS DOUBLE)
-           AS sxx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr
-              AS DOUBLE) AS syy,
-         CAST(sum(CAST(l_quantity AS DECIMAL(7,0))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) OVER fr
-              AS DOUBLE) AS sxy
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER fr AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              OVER fr AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              OVER fr AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              OVER fr AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              OVER fr AS DOUBLE) AS sxy
   FROM lineitem
   -- l_partkey/quantity/price tie-breakers: (orderkey, linenumber)
   -- is NOT unique in the synthetic lineitem, and a ROWS frame over a
@@ -172,10 +172,11 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    # exact decimal sums (see the oracle comment): order-independent
-    # across frame folds, segment trees, and partial merges
-    x = F.col("l_quantity").cast("decimal(7,0)")
-    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    # exact integer sums over scaled values (see the oracle comment):
+    # order-independent across frame folds, segment trees, and partial
+    # merges, at native long-sum speed
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     fr = (
         Window.partitionBy("l_suppkey")
         .orderBy(
