@@ -315,9 +315,12 @@ WITH agg AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       round(sqrt((CAST(s2 AS DOUBLE)
+       -- greatest(...,0): a constant group's variance is exactly zero
+       -- in integers but can round epsilon-negative in double once
+       -- s*s/n rounds above s2 (DuckDB sqrt hard-errors on negatives)
+       round(sqrt(greatest((CAST(s2 AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                  / (n - 1)), 6) AS std_qty,
+                  / (n - 1), 0)), 6) AS std_qty,
        round((CAST(s2 AS DOUBLE)
               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
              / (n - 1), 6) AS var_qty
@@ -345,7 +348,7 @@ def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n") - 1)
     return agg.select(
         "l_returnflag",
-        F.round(F.sqrt(var), 6).alias("std_qty"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_qty"),
         F.round(var, 6).alias("var_qty"),
     )
 

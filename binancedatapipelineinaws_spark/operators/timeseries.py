@@ -415,7 +415,11 @@ def q_ext_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT n,
        round((n * sxy - sx * sy)
-             / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+             -- greatest(...,0): epsilon-negative cancellation on a
+             -- degenerate (constant-return) series must clamp, not
+             -- hard-error DuckDB's sqrt (the rolling_corr guard)
+             / nullif(sqrt(greatest(n * sxx - sx * sx, 0))
+                      * sqrt(greatest(n * syy - sy * sy, 0)), 0),
              5) AS autocorr_lag1
 FROM s
 """,

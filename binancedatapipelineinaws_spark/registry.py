@@ -118,6 +118,14 @@ _FORCE_FIRST: tuple[str, ...] = (
     # folds (Spark) and segment trees (DuckDB); sums now in exact
     # decimal, frame order made total, signed zero canonicalized.
     "q_win_rolling_corr",
+    # r7 review of the drill fixes: both sides of the autocorr
+    # denominator now clamp epsilon-negative cancellation before sqrt
+    # (DuckDB hard-errors on sqrt(negative)) — oracle changed.
+    "q_ext_return_autocorr",
+    # oracle columns renamed/re-semantic'd this round (envelope on
+    # both paths instead of sparse-mode bit-equality); listed for
+    # policy consistency even though its first driver row is pending.
+    "q_ext_hll_union_error",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
