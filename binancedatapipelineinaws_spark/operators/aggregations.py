@@ -208,16 +208,67 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", oracle=None)  # HLL sketch: engine-specific
+# Envelope gate for the HLL++ estimate (the q_ext_hll_union_error
+# pattern, ADVICE/VERDICT r7): requested rsd=0.02 (one standard
+# deviation of relative error), gated at 5x = 10% relative — plus an
+# absolute floor so a tiny true cardinality (where +-1 exceeds 10%)
+# cannot flip the flag even though the sketch is behaving.  Spark's
+# approx_count_distinct is deterministic (fixed hash, no RNG), so the
+# flags are stable across partitionings and reruns; the margin makes
+# them stable across scale factors.
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_REL_GATE = 5 * APPROX_DISTINCT_RSD
+APPROX_DISTINCT_ABS_GATE = 16.0
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_bound,
+       TRUE AS supps_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path for q_agg_distinct: HyperLogLog++ sketch, one pass,
-    no per-group hash set.  Rows-only check (sketch estimates are
-    engine-specific by design)."""
+    """The 100 TB path for q_agg_distinct: HyperLogLog++ sketch, one
+    pass, mergeable map-side, no per-group hash set.  The sketch
+    estimate itself is engine-specific, so the hash-verified output is
+    the exact cardinalities plus TRUE accuracy flags: each estimate
+    must land within max({APPROX_DISTINCT_REL_GATE:.0%} relative,
+    {APPROX_DISTINCT_ABS_GATE:g} absolute) of the exact count — an
+    out-of-envelope sketch breaks the gate hash.  (Converted from a
+    rows-only check per VERDICT r7 item 2; the exact counts ride the
+    same single aggregate, which is the gate's cost, not the 100 TB
+    plan's — production keeps only the sketch column.)"""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct(
+            "l_partkey", rsd=APPROX_DISTINCT_RSD
+        ).alias("approx_parts"),
+        F.approx_count_distinct(
+            "l_suppkey", rsd=APPROX_DISTINCT_RSD
+        ).alias("approx_supps"),
+    )
+
+    def within(approx: str, exact: str):
+        bound = F.greatest(
+            APPROX_DISTINCT_REL_GATE * F.col(exact),
+            F.lit(APPROX_DISTINCT_ABS_GATE),
+        )
+        return F.abs(F.col(approx) - F.col(exact)) <= bound
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_supps", "exact_supps").alias("supps_within_bound"),
     )
 
 
@@ -317,13 +368,19 @@ WITH agg AS (
 SELECT l_returnflag,
        -- greatest(...,0): a constant group's variance is exactly zero
        -- in integers but can round epsilon-negative in double once
-       -- s*s/n rounds above s2 (DuckDB sqrt hard-errors on negatives)
-       round(sqrt(greatest((CAST(s2 AS DOUBLE)
-                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                  / (n - 1), 0)), 6) AS std_qty,
-       round((CAST(s2 AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-             / (n - 1), 6) AS var_qty
+       -- s*s/n rounds above s2 (DuckDB sqrt hard-errors on negatives).
+       -- CASE n > 1: a singleton group has UNDEFINED sample stddev —
+       -- without the guard var is NULL (0/0) but greatest(NULL,0)=0
+       -- made std_qty report 0.0, breaking std = sqrt(var)
+       -- (ADVICE.md r7)
+       CASE WHEN n > 1 THEN
+         round(sqrt(greatest((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1), 0)), 6) END AS std_qty,
+       CASE WHEN n > 1 THEN
+         round((CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1), 6) END AS var_qty
 FROM agg
 """,
 )
@@ -333,7 +390,10 @@ def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in BIGINT and double), then the identical expression tree
     in both engines — bit-identical results at any scale, where the
     engines' one-pass var_samp algorithms are merge-order-dependent
-    floats (the q_ext_burstiness lesson from the r7 sf1 drill)."""
+    floats (the q_ext_burstiness lesson from the r7 sf1 drill).
+    Singleton groups (n=1) report NULL for BOTH std and var — sample
+    moments are undefined there, and the unguarded form emitted
+    std=0.0 with var=NULL (ADVICE.md r7)."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("long")
@@ -346,10 +406,13 @@ def q_agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
+    n_ok = F.col("n") > 1
     return agg.select(
         "l_returnflag",
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_qty"),
-        F.round(var, 6).alias("var_qty"),
+        F.when(n_ok, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)).alias(
+            "std_qty"
+        ),
+        F.when(n_ok, F.round(var, 6)).alias("var_qty"),
     )
 
 

@@ -280,20 +280,38 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_json_struct", oracle=None)  # from_json/to_json round trip
+@register(
+    "q_fn_json_struct",
+    oracle="""
+SELECT event_id,
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+       END AS k,
+       TRUE AS roundtrip_ok,
+       TRUE AS schema_has_k
+FROM events
+""",
+)
 def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json -> typed struct -> to_json round trip + schema_of_json
-    (rows-only: JSON text formatting is engine-specific)."""
+    """from_json -> typed struct -> to_json round trip + schema_of_json.
+    The JSON TEXT to_json emits is engine-specific formatting, so the
+    hash-verified output is the typed field value plus TRUE round-trip
+    invariants: re-parsing to_json's output must reproduce the struct
+    field (null-safe, so malformed input rows — where both sides are
+    NULL — also pin TRUE), and schema_of_json must infer a schema
+    containing field k.  (Converted from rows-only per VERDICT r7
+    item 2.)"""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
-    parsed = ev.select(
-        "event_id", F.from_json("props", "k INT").alias("p")
-    )
+    parsed = ev.select("event_id", F.from_json("props", "k INT").alias("p"))
+    reparsed = F.from_json(F.to_json("p"), "k INT")
     return parsed.select(
         "event_id",
         F.col("p.k").alias("k"),
-        F.to_json("p").alias("as_json"),
-        F.schema_of_json(F.lit('{"k": 1}')).alias("inferred_schema"),
+        reparsed["k"].eqNullSafe(F.col("p.k")).alias("roundtrip_ok"),
+        F.schema_of_json(F.lit('{"k": 1}')).contains("k").alias(
+            "schema_has_k"
+        ),
     )
 
 
@@ -433,18 +451,63 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_hash_native", oracle=None)  # engine-native hashes
+# Envelope gate for the native hash family (VERDICT r7 item 2): DuckDB
+# has no xxhash64/murmur3/crc32, so the hash VALUES can never be
+# oracle-checked — but their structural invariants can be pinned TRUE:
+# injectivity of the 64-bit hash at this cardinality (collision
+# probability ~n^2/2^65, < 1e-9 even at sf1's 150k names), a 99.9%
+# distinctness floor for 32-bit murmur3 (expected birthday collisions
+# at 150k names ~2.6, far under the 150-collision allowance), and
+# crc32's [0, 2^32) range.  Distinct-hash-count <= distinct-name-count
+# holds by function-ness, so the >= floors are the informative side.
+MURMUR3_DISTINCT_FLOOR = 0.999
+
+
+@register(
+    "q_fn_hash_native",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT c_name) AS n_names,
+       TRUE AS xx64_injective,
+       TRUE AS murmur3_nearly_injective,
+       TRUE AS crc32_in_range
+FROM customer
+""",
+)
 def q_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native hash family (xxhash64 / murmur3 / crc32) — the fast
-    path for dedup keys and salting at 100 TB; rows-only (no DuckDB
-    equivalents)."""
+    path for dedup keys and salting at 100 TB.  Hash values are
+    engine-native, so the hash-verified output is the exact name
+    cardinality plus TRUE structural invariants (injectivity /
+    near-injectivity / value range); a misbehaving hash kernel breaks
+    the gate hash.  (Converted from rows-only per VERDICT r7 item 2.)"""
     prepare(spark)
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("name_xx64"),
-        F.hash("c_name").alias("name_murmur3"),
-        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+    hashed = c.select(
+        "c_name",
+        F.xxhash64("c_name").alias("xx64"),
+        F.hash("c_name").alias("mm3"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+    )
+    agg = hashed.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("c_name").alias("n_names"),
+        F.count_distinct("xx64").alias("n_xx64"),
+        F.count_distinct("mm3").alias("n_mm3"),
+        F.min("crc").alias("crc_min"),
+        F.max("crc").alias("crc_max"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_names",
+        (F.col("n_xx64") == F.col("n_names")).alias("xx64_injective"),
+        (
+            F.col("n_mm3")
+            >= F.ceil(MURMUR3_DISTINCT_FLOOR * F.col("n_names"))
+        ).alias("murmur3_nearly_injective"),
+        (
+            (F.col("crc_min") >= 0) & (F.col("crc_max") < F.lit(2**32))
+        ).alias("crc32_in_range"),
     )
 
 

@@ -71,26 +71,73 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentiles", oracle=None)  # sketch: engine-specific
+# Envelope gate for approx_percentile (VERDICT r7 item 2): accuracy
+# 10000 guarantees rank error <= 1/10000 of the group; the gate allows
+# 100x that (rank band p +- 0.01, clamped to [0, 1]) and checks the
+# RETURNED VALUE lies between the exact interpolated quantiles at the
+# band edges.  approx_percentile returns an actual dataset element
+# whose rank is within eps*n of the target, so its value is bounded by
+# the band-edge quantiles with a 100x margin — deterministic (the GK
+# sketch has no RNG) and scale-robust.
+APPROX_PCT_ACCURACY = 10_000
+APPROX_PCT_RANK_BAND = 0.01
+
+
+@register(
+    "q_agg_approx_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+       TRUE AS p50_in_band,
+       TRUE AS p95_in_band,
+       TRUE AS p99_in_band
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path: approx_percentile (KLL-style sketch, one pass,
-    mergeable across partitions) — rows-only check (the sketch's answers
-    are engine-specific).  The array result is unpacked into scalar
-    columns so the driver's pandas canonicalizer can sort them."""
+    """The 100 TB path: approx_percentile (GK sketch, one pass,
+    mergeable across partitions).  The sketch's answers are
+    engine-specific, so the hash-verified output is the exact
+    quantiles plus TRUE band flags: each approximate quantile's VALUE
+    must lie between the exact interpolated quantiles at rank
+    p +- {APPROX_PCT_RANK_BAND} — a 100x margin over the sketch's
+    1/{APPROX_PCT_ACCURACY} rank guarantee.  (Converted from a
+    rows-only check per VERDICT r7 item 2; production keeps only the
+    one-pass sketch column — the exact quantiles here are the gate's
+    cost.)"""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.expr(
-        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    lo = [max(0.0, p - APPROX_PCT_RANK_BAND) for p in (0.5, 0.95, 0.99)]
+    hi = [min(1.0, p + APPROX_PCT_RANK_BAND) for p in (0.5, 0.95, 0.99)]
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), "
+            f"{APPROX_PCT_ACCURACY})"
+        ).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(p) for p in (0.5, 0.95, 0.99) + tuple(lo) + tuple(hi))
+            + "))"
+        ).alias("ex"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("approx_pcts"))
-        .select(
-            "l_returnflag",
-            F.element_at("approx_pcts", 1).alias("p50_approx"),
-            F.element_at("approx_pcts", 2).alias("p95_approx"),
-            F.element_at("approx_pcts", 3).alias("p99_approx"),
+
+    def band(i: int):
+        # ex layout: [p50, p95, p99, lo50, lo95, lo99, hi50, hi95, hi99]
+        a = F.element_at("ap", i + 1)
+        return (a >= F.element_at("ex", i + 4)) & (
+            a <= F.element_at("ex", i + 7)
         )
+
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 6).alias("p50_exact"),
+        F.round(F.element_at("ex", 2), 6).alias("p95_exact"),
+        F.round(F.element_at("ex", 3), 6).alias("p99_exact"),
+        band(0).alias("p50_in_band"),
+        band(1).alias("p95_in_band"),
+        band(2).alias("p99_in_band"),
     )
 
 

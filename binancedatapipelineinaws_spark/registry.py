@@ -88,88 +88,53 @@ def _load_all() -> None:
 # ahead of even never-verified queries so the ~50-query window can
 # never squeeze them out.
 _FORCE_FIRST: tuple[str, ...] = (
-    # r6 EWMA state cap changed the oracle (capped CTE) but the query
-    # stayed in _PRIORITY on a bit-identical-values argument — a
-    # scale-dependent assumption, not a structural one (ADVICE.md r6).
-    # Re-verify under the capped oracle.
-    "q_ext_ewma",
-    # r7 sf1 oracle drill: var_samp was engine-order-dependent (9/15k
-    # rows flipped at the 6-dp round) — rewritten on exact integer
-    # moments in BOTH engines; fresh row needed under the new math.
-    "q_ext_burstiness",
-    # r7 sf1 oracle drill: DuckDB 1.0 mis-evaluates multi-way UNION in
-    # non-recursive CTEs inside WITH RECURSIVE (near lost pairs) — the
-    # oracle now nests the plain-WITH chain in a subquery with a
-    # UNION-free edges derivation; fresh row under the new oracle.
-    "q_ext_dedup_clusters",
-    # same hardening class as burstiness: integer-valued quantities,
-    # var_samp swapped for exact integer moments in both engines.
+    # r8 (VERDICT r7 item 2): the four formerly rows-only sketch /
+    # engine-native queries converted to envelope-pinned TRUE oracles
+    # via the q_ext_hll_union_error pattern — every prior driver row
+    # was a weaker no_oracle run, so the first hash-verified row is
+    # the round's top prize.
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentiles",
+    "q_fn_hash_native",
+    "q_fn_json_struct",
+    # r8 (ADVICE r7): singleton-group guard — std_qty/var_qty are now
+    # both NULL when n=1 (sample moments undefined); oracle changed
+    # (CASE WHEN n > 1), fresh row needed.
     "q_agg_stddev_var",
-    # r7 sf1 drill: money sums reach magnitudes where a double's ulp
-    # exceeds 1e-6, so rounding the DOUBLE at 6 dp digitized noise —
-    # now rounded in exact decimal before the cast (plus narrow factor
-    # casts keeping the triple product inside width 38).
-    "q_ext_tpch_q1",
-    # r7 sf1 drill: percentile-boundary rows flipped on an
-    # interpolation ulp — clip boundaries now 6-dp-rounded in both
-    # engines before comparison.
-    "q_ext_winsorize",
-    # r7 sf1 drill: double window sums diverge between frame-order
-    # folds (Spark) and segment trees (DuckDB); sums now in exact
-    # decimal, frame order made total, signed zero canonicalized.
-    "q_win_rolling_corr",
-    # r7 review of the drill fixes: both sides of the autocorr
-    # denominator now clamp epsilon-negative cancellation before sqrt
-    # (DuckDB hard-errors on sqrt(negative)) — oracle changed.
-    "q_ext_return_autocorr",
-    # oracle columns renamed/re-semantic'd this round (envelope on
-    # both paths instead of sparse-mode bit-equality); listed for
-    # policy consistency even though its first driver row is pending.
-    "q_ext_hll_union_error",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
-# when a round's 50-slot window is already full.  Empty at the start of
-# r7: the 13 r6-deferred queries are simply unverified and front-load
-# by themselves.
+# when a round's 50-slot window is already full.
 _DEFER: tuple[str, ...] = ()
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
 # truthful; safe to displace from the window.
-_PRIORITY: tuple[str, ...] = (
-    # r7 refactor: the IVF cell assignment extracted into the shared
-    # assign_cells() helper (one copy instead of three); values and
-    # plans unchanged, locally re-verified via tools/check_oracle +
-    # check_pandas_hash.  embed_neardup additionally gained the
-    # adaptive band-geometry ladder whose <=4000 rung reproduces the
-    # old geometry bit-for-bit at every gate sf.
-    "q_ext_ann_ivf",
-    "q_ext_semdedup",
-    "q_ext_embed_neardup",
-    # r7 refactor: the 1-min candle body + oracle extracted into
-    # _candles()/_OHLCV_1MIN_ORACLE shared with the incremental
-    # refresh twin; oracle string and plan unchanged byte-for-byte,
-    # locally re-verified
-    "q_agg_ohlcv_1min",
-)
+_PRIORITY: tuple[str, ...] = ()
 
 
-def _verified_names(repo_root: Optional[str] = None) -> set[str]:
-    """Query names with a clean row in any driver CORRECTNESS record: a
-    value-verified pass (hash included), or a rows-only run that
-    completed (no_oracle).  Rows that errored OR hash-mismatched don't
-    count — those need the window again.  A later failure un-verifies an
+def _verified_rounds(repo_root: Optional[str] = None) -> dict[str, int]:
+    """Map of query name -> round number of its LATEST clean driver
+    row (a value-verified pass with the hash matching, or a completed
+    rows-only run).  Rows that errored OR hash-mismatched don't count —
+    those need the window again.  A later failure un-verifies an
     earlier pass: the newest driver record for a name wins, so a query
     that regresses (e.g. after a testdata format change) re-enters the
-    window even if it was green in a previous round."""
+    window even if it was green in a previous round.  The round number
+    feeds the freshness rotation in ``all_specs``: with everything
+    verified at least once, the ~50-slot driver window refreshes the
+    OLDEST rows first (VERDICT r7 item 4 — 35 rows dated to r1 and 12
+    to r2 while slots went to already-fresh queries)."""
     import glob
     import json
     import os
+    import re
 
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, bool] = {}
+    latest: dict[str, Optional[int]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 records = json.load(f)
@@ -178,8 +143,13 @@ def _verified_names(repo_root: Optional[str] = None) -> set[str]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            latest[name] = _is_clean_record(rec)
-    return {name for name, ok in latest.items() if ok}
+            latest[name] = rnd if _is_clean_record(rec) else None
+    return {name: rnd for name, rnd in latest.items() if rnd is not None}
+
+
+def _verified_names(repo_root: Optional[str] = None) -> set[str]:
+    """Names with a clean latest driver row (see _verified_rounds)."""
+    return set(_verified_rounds(repo_root))
 
 
 def _is_clean_record(rec: dict) -> bool:
@@ -201,7 +171,7 @@ def all_specs() -> dict[str, QuerySpec]:
     missing = [n for n in listed if n not in _REGISTRY]
     if missing:
         raise RuntimeError(f"priority list names unregistered queries: {missing}")
-    verified = _verified_names()
+    vrounds = _verified_rounds()
     # stable base order: the round's hand-tuned sequence, then module
     # registration order for anything not listed
     pinned = set(_FORCE_FIRST) | set(_PRIORITY)
@@ -211,12 +181,21 @@ def all_specs() -> dict[str, QuerySpec]:
         + [n for n in _REGISTRY if n not in pinned]
     )
     # window order: forced re-verifies, then never-verified (deferred
-    # late additions last), then everything already green
+    # late additions last), then the green tail OLDEST driver row
+    # first — with full coverage achieved (r7), each round's ~50-slot
+    # window now refreshes the most stale verifications, so every row
+    # in the cumulative record stays at most a few rounds old.
     unverified = [
-        n for n in base if n not in verified and n not in set(_DEFER)
-    ] + [n for n in _DEFER if n not in verified]
+        n for n in base if n not in vrounds and n not in set(_DEFER)
+    ] + [n for n in _DEFER if n not in vrounds]
+    base_pos = {n: i for i, n in enumerate(base)}
+    green_by_age = sorted(
+        (n for n in base if n in vrounds),
+        key=lambda n: (vrounds[n], base_pos[n]),
+    )
     ordered = {n: _REGISTRY[n] for n in _FORCE_FIRST}
     ordered.update((n, _REGISTRY[n]) for n in unverified)
+    ordered.update((n, _REGISTRY[n]) for n in green_by_age)
     ordered.update((n, _REGISTRY[n]) for n in base if n not in ordered)
     return ordered
 
