@@ -608,29 +608,55 @@ def assign_cells(
     tie-break or persist change here changes all of them together
     with their oracles."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        centroids(spark, sf_dir).select(
-            "label", "cvec", norm(F.col("cvec")).alias("c_nrm")
+    # ALL K centroids packed into ONE broadcast row (label-ascending
+    # array of struct(label, cvec, c_nrm)) so the nearest-centroid
+    # argmin is a map-only array fold over the corpus — zero Exchange
+    # on the corpus side.  The r7 form crossJoined K broadcast rows
+    # and picked the argmin with a row_number() window partitioned by
+    # vec_id: a corpus x K row inflation plus a full corpus shuffle
+    # just to select a per-row minimum (VERDICT r7 item 3).  The fold
+    # keeps strictly-greater comparison over the label-sorted array,
+    # which replays the window's (desc cent_sim, label) tie-break
+    # bit-for-bit: first maximum encountered = smallest label.
+    cents_row = F.broadcast(
+        centroids(spark, sf_dir)
+        .select("label", "cvec", norm(F.col("cvec")).alias("c_nrm"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("label", "cvec", "c_nrm"))
+            ).alias("cents")
         )
     )
     e = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    cos_vc = dot(F.col("embedding"), F.col("cvec")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.col("label")
-    )
-    out = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id", "embedding", "nrm", "label",
-            cos_vc.alias("cent_sim"),
+
+    def cos_vc(x):
+        return dot(F.col("embedding"), x.getField("cvec")) / (
+            F.col("nrm") * x.getField("c_nrm")
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("label").alias("cell"))
+
+    # K dot products per row (same FLOPs as the old joined form),
+    # then a K-step constant fold — no row inflation, no window.
+    scored = F.transform(
+        F.col("cents"),
+        lambda x: F.struct(
+            cos_vc(x).alias("sim"), x.getField("label").alias("cell")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"),
+            F.lit(None).cast("int").alias("cell"),
+        ),
+        lambda acc, x: F.when(
+            x.getField("sim") > acc.getField("sim"), x
+        ).otherwise(acc),
+    )
+    out = e.crossJoin(cents_row).select(
+        "vec_id", "embedding", "nrm", best.getField("cell").alias("cell")
     )
     return out.persist() if persist else out
 

@@ -109,7 +109,18 @@ _DEFER: tuple[str, ...] = ()
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
 # truthful; safe to displace from the window.
-_PRIORITY: tuple[str, ...] = ()
+_PRIORITY: tuple[str, ...] = (
+    # r8: assign_cells made map-only (1-row broadcast centroid array +
+    # argmin fold instead of crossJoin + per-vec_id row_number window;
+    # VERDICT r7 item 3).  Values bit-identical — the fold replays the
+    # window's (desc sim, asc label) tie-break — locally re-verified
+    # via tools/check_oracle + check_pandas_hash; plan pinned by
+    # tests/test_plans.py::test_assign_cells_corpus_side_is_map_only.
+    "q_ext_ann_ivf",
+    "q_ext_semdedup",
+    "q_ext_ann_pq",
+    "q_ext_ann_nprobe",
+)
 
 
 def _verified_rounds(repo_root: Optional[str] = None) -> dict[str, int]:
