@@ -1474,35 +1474,66 @@ def q_ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = partials.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
     )
-    n_row = F.broadcast(
-        tot.filter((F.col("dim_i") == -1) & (F.col("dim_j") == -1)).select(
-            F.col("v").cast("double").alias("n_d"),
-            F.col("v").cast("long").alias("n"),
+    # Finish: the aggregated frame is a CONSTANT 2081 rows, so the
+    # whole covariance arithmetic collapses into one singleton-row
+    # higher-order-function projection — no joins.  (The r7 form
+    # routed it through three broadcast joins + a crossJoin; at bench
+    # scale each broadcast build is its own Spark job, and ~0.45 s of
+    # the query's 0.85 s was pure job-scheduling overhead on a
+    # 2016-row frame — the q_ext_embed_covariance bench regression,
+    # VERDICT r8 item 1.  At cluster scale the joins were free; the
+    # HOF finish is free at every scale.)  Identical double
+    # arithmetic, so values are bit-for-bit unchanged.
+    one = tot.agg(
+        F.collect_list(F.struct("dim_i", "dim_j", "v")).alias("cells")
+    )
+    cells = F.col("cells")
+    n_dec = F.element_at(
+        F.filter(cells, lambda x: x.getField("dim_i") == -1), 1
+    ).getField("v")
+    s_map = F.map_from_entries(
+        F.transform(
+            F.filter(
+                cells,
+                lambda x: (x.getField("dim_i") >= 0)
+                & (x.getField("dim_j") == -1),
+            ),
+            lambda x: F.struct(
+                x.getField("dim_i").alias("k"), x.getField("v").alias("v")
+            ),
         )
     )
-    s1 = tot.filter((F.col("dim_i") >= 0) & (F.col("dim_j") == -1))
-    si = F.broadcast(
-        s1.select(F.col("dim_i").alias("di"), F.col("v").alias("sx_i"))
+    finished = one.select(
+        F.filter(cells, lambda x: x.getField("dim_j") >= 0).alias("pairs"),
+        n_dec.cast("double").alias("n_d"),
+        n_dec.cast("long").alias("n"),
+        s_map.alias("s"),
     )
-    sj = F.broadcast(
-        s1.select(F.col("dim_i").alias("dj"), F.col("v").alias("sx_j"))
+
+    def pair_cov(x):
+        sx_i = F.element_at(F.col("s"), x.getField("dim_i"))
+        sx_j = F.element_at(F.col("s"), x.getField("dim_j"))
+        return (
+            x.getField("v").cast("double") / F.col("n_d")
+            - (sx_i.cast("double") / F.col("n_d"))
+            * (sx_j.cast("double") / F.col("n_d"))
+        ) / float(COV_SCALE * COV_SCALE)
+
+    scored = finished.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.col("pairs"),
+                lambda x: F.struct(
+                    x.getField("dim_i").cast("long").alias("dim_i"),
+                    x.getField("dim_j").cast("long").alias("dim_j"),
+                    pair_cov(x).alias("cov"),
+                ),
+            )
+        ).alias("p"),
     )
-    pairs = tot.filter(F.col("dim_j") >= 0)
-    cov = (
-        F.col("v").cast("double") / F.col("n_d")
-        - (F.col("sx_i").cast("double") / F.col("n_d"))
-        * (F.col("sx_j").cast("double") / F.col("n_d"))
-    ) / float(COV_SCALE * COV_SCALE)
     return (
-        pairs.join(si, F.col("dim_i") == F.col("di"))
-        .join(sj, F.col("dim_j") == F.col("dj"))
-        .crossJoin(n_row)
-        .select(
-            F.col("dim_i").cast("long").alias("dim_i"),
-            F.col("dim_j").cast("long").alias("dim_j"),
-            "n",
-            cov.alias("cov"),
-        )
+        scored.select("p.dim_i", "p.dim_j", "n", "p.cov")
         .orderBy(F.abs("cov").desc(), "dim_i", "dim_j")
         .limit(COV_TOP_PAIRS)
         .select("dim_i", "dim_j", "n", F.round("cov", 6).alias("cov"))
