@@ -429,6 +429,21 @@ def q_ext_theta_overlap_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~2.296/k^0.9 ≈ 0.6%, leaving a 5x margin under the 3% gate — the
 # tail probability of a flag flip is negligible at any sf the driver
 # runs (P[err > 3%] < 1e-40 by the KLL sub-Gaussian tail bound).
+#
+# r8 (VERDICT r7 item 6): the gate is additionally TIE-AWARE.  The
+# sketch promises the returned VALUE has some normalized rank within
+# eps of the target — but when that value sits in a tie block, its
+# "rank" is the whole interval [count(< v)/n, count(<= v)/n], and the
+# old one-sided count(<= v) check could overshoot by the tie mass
+# regardless of sketch accuracy (measured: 1.9% on 20k rows over 50
+# distinct values — most of the way to the 3% gate on data the sketch
+# answered perfectly).  The check is now
+#   rank_lt - eps <= target <= rank_le + eps
+# which is exactly what the KLL guarantee implies for tied data and
+# degenerates to the old check when values are unique.  Swept in
+# tests/test_properties.py over 10 distributions x sizes (uniform,
+# normal, lognormal, exponential, sorted, constant-heavy, integer
+# ties): max observed sketch-attributable error 0.35% — an 8x margin.
 KLL_RANK_EPS = 0.03
 KLL_SKETCH_K = 800
 KLL_QUANTILES = (0.5, 0.95)
@@ -447,7 +462,10 @@ def q_ext_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the mergeable complement of q_agg_approx_percentiles): the
     sketch's p50/p95 answers must have EXACT rank within
     {KLL_RANK_EPS} of their target — the published KLL guarantee,
-    recomputed against the real data and pinned TRUE in the oracle.
+    recomputed against the real data (tie-aware: the target must fall
+    in the answer's [rank_lt, rank_le] interval expanded by eps, so a
+    tie block at the quantile cannot fake an error) and pinned TRUE
+    in the oracle.
 
     Plan: one partial-aggregated sketch pass (O(k) state per type),
     estimates broadcast back into one exact rank-counting pass — two
@@ -481,24 +499,34 @@ def q_ext_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(
+                F.when(F.col("value") < F.col("q50"), 1).otherwise(0)
+            ).alias("lt50"),
+            F.sum(
                 F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)
             ).alias("le50"),
+            F.sum(
+                F.when(F.col("value") < F.col("q95"), 1).otherwise(0)
+            ).alias("lt95"),
             F.sum(
                 F.when(F.col("value") <= F.col("q95"), 1).otherwise(0)
             ).alias("le95"),
         )
     )
-    rank50 = F.col("le50").cast("double") / F.col("n")
-    rank95 = F.col("le95").cast("double") / F.col("n")
+
+    def rank_ok(lt: str, le: str, target: float):
+        # Tie-aware envelope (see KLL_RANK_EPS comment): the returned
+        # value's true rank is the whole [lt, le]/n interval when it
+        # sits in a tie block; the KLL promise is that SOME rank in
+        # that interval is within eps of the target.
+        lo = F.col(lt).cast("double") / F.col("n") - KLL_RANK_EPS
+        hi = F.col(le).cast("double") / F.col("n") + KLL_RANK_EPS
+        return (F.lit(target) >= lo) & (F.lit(target) <= hi)
+
     return ranks.select(
         "event_type",
         "n",
-        (F.abs(rank50 - KLL_QUANTILES[0]) <= KLL_RANK_EPS).alias(
-            "p50_rank_ok"
-        ),
-        (F.abs(rank95 - KLL_QUANTILES[1]) <= KLL_RANK_EPS).alias(
-            "p95_rank_ok"
-        ),
+        rank_ok("lt50", "le50", KLL_QUANTILES[0]).alias("p50_rank_ok"),
+        rank_ok("lt95", "le95", KLL_QUANTILES[1]).alias("p95_rank_ok"),
     )
 
 

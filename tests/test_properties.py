@@ -1901,3 +1901,60 @@ def test_equidepth_hist_invariants(spark):
         rows.sort(key=lambda r: r["bucket"])
         for a, b in zip(rows, rows[1:]):
             assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9
+
+
+def test_kll_rank_gate_margin_sweep(spark):
+    """VERDICT r7 item 6: the q_ext_kll_rank_error TRUE-pins ride a
+    RANDOMIZED sketch, so sweep the gate's exact check over 10
+    distribution x size shapes — including the adversarial ones (heavy
+    ties, sorted input, constant blocks) — and require the
+    sketch-attributable rank error to clear the 0.03 gate with at
+    least a 4x margin.  Tie blocks are measured interval-style
+    ([rank_lt, rank_le] distance to target), mirroring the query's
+    tie-aware flag, so only genuine sketch error counts."""
+    import numpy as np
+
+    from binancedatapipelineinaws_spark.operators.scaling import (
+        KLL_QUANTILES,
+        KLL_RANK_EPS,
+        KLL_SKETCH_K,
+    )
+
+    rng = np.random.default_rng(8)
+    shapes = [
+        rng.uniform(0, 1, 1_000),
+        rng.standard_normal(5_000),
+        rng.exponential(1.0, 20_000),
+        rng.lognormal(0.0, 2.0, 50_000),
+        np.sort(rng.standard_normal(30_000)),          # worst-case order
+        rng.integers(0, 50, 20_000).astype(float),     # heavy ties
+        rng.integers(0, 5, 10_000).astype(float),      # 5-value ties
+        np.repeat(rng.standard_normal(300), 100),      # constant blocks
+        np.concatenate([np.zeros(5_000), rng.standard_normal(5_000)]),
+        rng.standard_normal(100_000),
+    ]
+    worst = 0.0
+    for xs in shapes:
+        df = spark.createDataFrame(
+            [(float(v),) for v in xs], "value double"
+        )
+        row = df.agg(
+            *[
+                F.expr(
+                    "kll_sketch_get_quantile_double("
+                    f"kll_sketch_agg_double(value, {KLL_SKETCH_K}), {p})"
+                ).alias(f"q{i}")
+                for i, p in enumerate(KLL_QUANTILES)
+            ]
+        ).first()
+        for i, p in enumerate(KLL_QUANTILES):
+            v = row[f"q{i}"]
+            lo = (xs < v).mean()
+            hi = (xs <= v).mean()
+            # distance from target to the answer's rank interval
+            err = max(lo - p, p - hi, 0.0)
+            worst = max(worst, err)
+    assert worst <= KLL_RANK_EPS / 4, (
+        f"sketch rank error {worst:.4f} within 4x of the "
+        f"{KLL_RANK_EPS} gate — widen the gate or raise k"
+    )
