@@ -477,6 +477,7 @@ def embed_neardup_pairs(
     threshold: float = NEARDUP_COS,
     bands: int | None = None,
     rows_per_band: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cos >= threshold) from an (vec_id, label,
     embedding) frame: banded-LSH candidates -> exact-cosine verify.
@@ -484,13 +485,22 @@ def embed_neardup_pairs(
     Band geometry defaults to `adaptive_band_geometry` of the corpus
     row count so bucket sizes stay bounded as the corpus grows.  The
     two knobs are coupled (bands hold recall for a given width), so a
-    partial override is an error, not a silent ladder fallback."""
+    partial override is an error, not a silent ladder fallback.
+
+    ``n_vectors``: the corpus row count used to pick band geometry.
+    When omitted it is taken from ``emb.count()`` — a parquet-footer
+    job ONLY if ``emb`` is a raw scan; a caller passing a
+    derived/filtered frame should supply the count (or an estimate —
+    geometry rungs are order-of-magnitude) rather than silently
+    executing its full lineage one extra time (ADVICE.md r7)."""
     if (bands is None) != (rows_per_band is None):
         raise ValueError(
             "bands and rows_per_band must be overridden together"
         )
     if bands is None:
-        bands, rows_per_band = adaptive_band_geometry(emb.count())
+        if n_vectors is None:
+            n_vectors = emb.count()
+        bands, rows_per_band = adaptive_band_geometry(n_vectors)
     emb = emb.select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -547,10 +557,20 @@ def q_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs formulation; the Spark plan routes through banded-LSH
     buckets (equi-joins only — no BroadcastNestedLoopJoin), with recall
     exercised by the planted-near-dup test in tests/test_properties.py
-    (the synthetic corpus itself has no pair above cos 0.52)."""
+    (the synthetic corpus itself has no pair above cos 0.52).
+
+    ORACLE CONSTRAINT (ADVICE.md r7): the oracle is the exact
+    all-pairs join at every size, but above the adaptive ladder's
+    first rung (4000 vectors) the Spark path's banded-LSH candidates
+    have recall ~0.996 at the threshold — on a corpus that large
+    containing genuine near-threshold pairs the comparison can fail
+    by construction (a missed pair, not a wrong value).
+    tools/check_oracle.py knows this bound and SKIPs with a notice
+    instead of reporting a false FAIL."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return embed_neardup_pairs(emb)
+    # footer-only count of the raw scan picks the band geometry
+    return embed_neardup_pairs(emb, n_vectors=emb.count())
 
 
 # --- IVF (inverted-file) ANN -------------------------------------------------
@@ -925,7 +945,11 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to banded-LSH-within-cell with the adaptive geometry ladder; the
     exact verify and all aggregates are unchanged.  Every gate-scale
     corpus takes the exact path, so the oracle is exact where it
-    runs."""
+    runs.  ORACLE CONSTRAINT (ADVICE.md r7): above that rung the
+    oracle's exact within-cell join can contain near-threshold pairs
+    the LSH path misses (recall ~0.996) — tools/check_oracle.py SKIPs
+    this query with a notice on such corpora instead of reporting a
+    false FAIL."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     # persisted: the self-join below would otherwise re-run the

@@ -104,6 +104,24 @@ def run_one(spark, con, name, spec, verbose=False):
     return ("OK", len(srows), None)
 
 
+# Queries whose Spark path switches to an approximate-recall candidate
+# generator above a corpus-size rung while the registered oracle stays
+# the exact formulation (ADVICE.md r7): comparing them on a larger
+# corpus can fail BY CONSTRUCTION (a missed near-threshold pair — a
+# false negative, not silent wrongness).  The sweep SKIPs them with a
+# notice instead of reporting a misleading FAIL; their exactness at
+# gate scale is still fully checked.
+APPROX_RECALL_ABOVE: dict[str, tuple[str, int]] = {
+    # (table whose row count picks the code path, exact-path max rows)
+    "q_ext_semdedup": ("embeddings", 4_000),
+    "q_ext_embed_neardup": ("embeddings", 4_000),
+}
+
+
+def _corpus_rows(con, table: str) -> int:
+    return con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+
+
 def main():
     from binancedatapipelineinaws_spark.registry import all_specs
     from binancedatapipelineinaws_spark.session import get_spark
@@ -122,8 +140,18 @@ def main():
             + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
         )
 
-    n_ok = n_fail = 0
+    n_ok = n_fail = n_skip = 0
     for name in sorted(specs):
+        rung = APPROX_RECALL_ABOVE.get(name)
+        if rung is not None and _corpus_rows(con, rung[0]) > rung[1]:
+            print(
+                f"{name:28s} SKIP           corpus {rung[0]} exceeds "
+                f"exact-path rung ({rung[1]} rows): Spark uses "
+                "approx-recall candidates, oracle is exact — compare "
+                "not meaningful at this size"
+            )
+            n_skip += 1
+            continue
         try:
             status, nrows, msg = run_one(spark, con, name, specs[name], verbose=True)
         except Exception as e:  # noqa: BLE001
@@ -134,7 +162,10 @@ def main():
             n_ok += 1
         else:
             n_fail += 1
-    print(f"\n{n_ok} ok, {n_fail} failing")
+    print(
+        f"\n{n_ok} ok, {n_fail} failing"
+        + (f", {n_skip} skipped (approx-recall rung)" if n_skip else "")
+    )
     sys.exit(1 if n_fail else 0)
 
 
