@@ -168,3 +168,82 @@ def q_ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count("*").alias("n")
     )
+
+
+# --- incremental materialized-view maintenance (join view) -------------------
+# The JOIN sibling of q_ext_ohlcv_incremental's continuous aggregate:
+# a materialized per-customer revenue view (customer dim JOIN order
+# rollup) kept fresh against an order batch.  Only customers TOUCHED
+# by the batch recompute from raw; everyone else keeps their stale
+# view row.  THE ORACLE IS THE FULL RECOMPUTE, so the gate hash-proves
+# refresh == recompute — including customers whose FIRST order is in
+# the batch (insert, not update) and existing customers whose rollup
+# must be replaced, not merged.
+
+IVM_HORIZON_DAYS = 7  # the "new batch": orders from the last 7 days
+
+
+@register(
+    "q_ext_join_view_refresh",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_ext_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of the per-customer revenue view: the
+    last-{IVM_HORIZON_DAYS}-days order batch marks its customers
+    touched; their view rows are recomputed from ALL their orders
+    (history + batch) and merged over the untouched stale rows via
+    anti-join + union; the result must equal the full recompute the
+    oracle runs.
+
+    Plan & scale: the time bound is a broadcast 1-row aggregate
+    (never collected); the stale view is the history-only rollup (in
+    production it is READ, not recomputed — here it is derived so the
+    refresh semantics are self-contained); `touched` is a tiny
+    distinct-key table that drives BOTH sides as a broadcast
+    semi/anti join, so refresh cost is proportional to the batch's
+    customers, not the view size.  The dimension join broadcasts
+    customer attributes once.  Exact decimal revenue sums make merge
+    == recompute bit-identical at any scale."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    bound = F.broadcast(
+        o.agg(
+            F.date_sub(
+                F.max("o_orderdate").cast("date"), IVM_HORIZON_DAYS
+            ).alias("cutoff")
+        )
+    )
+    od = o.crossJoin(bound).withColumn(
+        "is_batch", F.col("o_orderdate").cast("date") > F.col("cutoff")
+    )
+
+    def rollup(orders: DataFrame) -> DataFrame:
+        return orders.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    stale = rollup(od.filter(~F.col("is_batch")))
+    touched = (
+        od.filter(F.col("is_batch")).select("o_custkey").distinct()
+    )
+    kept = stale.join(F.broadcast(touched), "o_custkey", "left_anti")
+    recomputed = rollup(
+        od.join(F.broadcast(touched), "o_custkey", "left_semi")
+    )
+    view = kept.unionAll(recomputed)
+    return view.join(
+        F.broadcast(c), view["o_custkey"] == c["c_custkey"]
+    ).select("c_custkey", "c_name", "c_mktsegment", "n_orders", "revenue")

@@ -1,0 +1,173 @@
+"""Iterative graph analytics (SURVEY.md §2, round-8 additions): the
+power-iteration family the relational surface can't express in one
+pass, re-expressed as unrolled edge-partitioned SpMV over DataFrames.
+
+The reference has no graph surface at all (its single BTCUSDT table
+has no edges, start_all_pipeline.py:463-464 DDL); this is the engine
+superset a recommendation / curation pipeline needs once co-purchase
+or link structure exists — each iteration is ONE shuffle keyed by the
+destination node, cost O(E), exactly the shape that scales to a
+100 TB edge list (GraphX/Pregel's message pass without the RDD
+detour).
+
+Numerics: PageRank is usually float — and float summation over an
+unordered edge shuffle is merge-order-dependent, the exact class of
+oracle flip the r7 sf1 drill hunted down.  Here every rank is a
+BIGINT scaled by PR_SCALE; contributions use integer division (DIV in
+Spark, // in DuckDB — both exact truncating division on BIGINT), so
+every iteration is bit-identical across engines, partitionings, and
+reruns.  The quantization error is bounded by deg/PR_SCALE per node
+per iteration — ~1e-9 of total mass, invisible at 6 significant
+digits but exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.registry import register
+from binancedatapipelineinaws_spark.session import prepare
+from binancedatapipelineinaws_spark.tables import load_table
+
+PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1e-12 resolution
+PR_ITERS = 3  # fixed unrolled power iterations (the gate's horizon)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_MINSUP = 2  # co-purchase support floor bounding the edge list
+
+_PR_EDGES_CTE = f"""
+op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_MINSUP}
+), edges AS (
+  SELECT part_a AS src, part_b AS dst FROM und
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM und
+), deg AS (
+  SELECT src AS part, count(*) AS deg FROM edges GROUP BY src
+), n AS (
+  SELECT count(*) AS n_nodes FROM deg
+)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One oracle power iteration: contributions by integer division,
+    damped sum by exact 85/100 integer ratio."""
+    return f"""
+, it{i} AS (
+  SELECT d.part, d.deg,
+         (15 * {PR_SCALE}) // (100 * (SELECT n_nodes FROM n))
+         + ({PR_DAMP_NUM} * coalesce(s.inc, 0)) // {PR_DAMP_DEN} AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS part, sum(p.pr // p.deg) AS inc
+    FROM edges e JOIN it{i - 1} p ON p.part = e.src
+    GROUP BY e.dst
+  ) s ON s.part = d.part
+)
+"""
+
+
+@register(
+    "q_ext_pagerank",
+    oracle="WITH "
+    + _PR_EDGES_CTE
+    + f"""
+, it0 AS (
+  SELECT part, deg,
+         CAST({PR_SCALE} // (SELECT n_nodes FROM n) AS BIGINT) AS pr
+  FROM deg
+)
+"""
+    + "".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))
+    + f"""
+SELECT part, deg, CAST(pr AS BIGINT) AS pr_scaled
+FROM it{PR_ITERS}
+""",
+)
+def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph ({PR_ITERS} power
+    iterations, damping {PR_DAMP_NUM}/{PR_DAMP_DEN}, ranks as
+    PR_SCALE-fixed-point BIGINTs so both engines produce bit-identical
+    integers — see module docstring).
+
+    Plan: the edge list is the q_ext_copurchase_pairs support join
+    (basket-width-bounded, support floor {PR_MINSUP}) symmetrized;
+    each unrolled iteration is contribution projection (map-only
+    integer division) -> edge join keyed on src -> ONE dst-keyed
+    partial+final sum -> teleport merge.  Per-iteration cost is one
+    O(E) shuffle; nothing is ever collected to the driver, and the
+    iteration count is a constant, so the plan is a fixed pipeline of
+    {PR_ITERS} joins Catalyst schedules like any other — the Pregel
+    message pass without leaving the DataFrame API."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_sup"))
+        .filter(F.col("n_sup") >= PR_MINSUP)
+    )
+    edges = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    # persisted: reused by deg + every iteration's join
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("part"), "deg"
+    )
+    n_row = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
+    pr = (
+        deg.crossJoin(n_row)
+        .select(
+            "part",
+            "deg",
+            "n_nodes",
+            F.expr(f"{PR_SCALE} DIV n_nodes").cast("long").alias("pr"),
+        )
+        .persist()
+    )
+    for _ in range(PR_ITERS):
+        contrib = pr.select(
+            F.col("part").alias("cpart"), F.expr("pr DIV deg").alias("c")
+        )
+        inc = (
+            edges.join(contrib, F.col("src") == F.col("cpart"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            pr.join(inc, pr["part"] == inc["dst"], "left")
+            .select(
+                "part",
+                "deg",
+                "n_nodes",
+                F.expr(
+                    f"(15 * CAST({PR_SCALE} AS BIGINT))"
+                    f" DIV (100 * n_nodes)"
+                    f" + ({PR_DAMP_NUM} * coalesce(inc, 0))"
+                    f" DIV {PR_DAMP_DEN}"
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr.select("part", "deg", F.col("pr").alias("pr_scaled"))

@@ -44,6 +44,7 @@ def _load_all() -> None:
         aggregations,
         analytics,
         cdc,
+        graph,
         joins,
         pipeline_ops,
         scalar_fns,
