@@ -171,3 +171,135 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("part", "deg", F.col("pr").alias("pr_scaled"))
+
+
+# --- triangle counting / global clustering coefficient -----------------------
+# The second classic edge-partitioned graph kernel: triangles via the
+# DEGREE-ORDERED orientation (Suri & Vassilvitskii 2011, "Counting
+# triangles and the curse of the last reducer") — every edge is
+# oriented from its lower-(deg, id) endpoint to the higher, so each
+# wedge is generated exactly once at its lowest-degree vertex and the
+# candidate join is bounded by sum(deg_oriented^2) <= O(E^1.5) instead
+# of the hub-squared blow-up a naive shared-vertex join takes on a
+# skewed degree distribution.  All counts are exact integers.
+
+
+@register(
+    "q_ext_triangles",
+    oracle="WITH "
+    + _PR_EDGES_CTE
+    + """
+, oriented AS (
+  -- dv carried so wedges can be canonicalized by the SAME total
+  -- order, making the closing probe a single equi-join
+  SELECT e.src AS u, e.dst AS v, dv.deg AS dv
+  FROM edges e
+  JOIN deg du ON du.part = e.src
+  JOIN deg dv ON dv.part = e.dst
+  WHERE (du.deg, e.src) < (dv.deg, e.dst)
+), wedges AS (
+  SELECT CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS x,
+         CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS y
+  FROM oriented a JOIN oriented b
+    ON a.u = b.u AND (a.dv, a.v) < (b.dv, b.v)
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN oriented o ON o.u = w.x AND o.v = w.y
+), wed AS (
+  SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM oriented) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       (SELECT n_wedges FROM wed) AS n_wedges
+""",
+)
+def q_ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle and wedge counts of the co-purchase graph (the
+    global clustering coefficient's numerator 3T and denominator W as
+    exact BIGINTs — the ratio itself would be a float; consumers
+    divide).  See the orientation note above: wedges come only from
+    each vertex's HIGHER-ordered neighbors, so a hub of degree d
+    contributes wedges from its few low-ordered neighbors, not d^2.
+
+    Plan: orient (broadcast deg twice onto the edge list, map-only
+    filter; the v-side degree rides along) -> self-join on the wedge
+    pivot u (one shuffle) with the wedge endpoints canonicalized by
+    the SAME (deg, id) total order as the orientation -> close the
+    wedge with ONE equi-join back to oriented edges on the (x, y)
+    pair (an OR-of-orientations condition here would plan as a
+    nested-loop join — the canonical order makes it hash-joinable)
+    -> three 1-row aggregates crossJoined into one output row."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_sup"))
+        .filter(F.col("n_sup") >= PR_MINSUP)
+    )
+    edges = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("part"), "deg"
+    )
+    du = F.broadcast(deg.select(F.col("part").alias("pu"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("part").alias("pv"), F.col("deg").alias("dv")))
+    oriented = (
+        edges.join(du, F.col("src") == F.col("pu"))
+        .join(dv, F.col("dst") == F.col("pv"))
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "dv")
+        .persist()
+    )
+    lt = (F.col("xd") < F.col("yd")) | (
+        (F.col("xd") == F.col("yd")) & (F.col("x0") < F.col("y0"))
+    )
+    wedges = (
+        oriented.select(
+            F.col("u").alias("wu"), F.col("v").alias("x0"),
+            F.col("dv").alias("xd"),
+        )
+        .join(
+            oriented.select(
+                F.col("u").alias("wu2"), F.col("v").alias("y0"),
+                F.col("dv").alias("yd"),
+            ),
+            (F.col("wu") == F.col("wu2")) & lt,
+        )
+        .select(F.col("x0").alias("x"), F.col("y0").alias("y"))
+    )
+    closing = wedges.join(
+        oriented, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y"))
+    )
+    n_tri = closing.agg(F.count("*").alias("n_triangles"))
+    n_wed = deg.agg(
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        ).alias("n_wedges")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = oriented.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_wed))
+        .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
+    )

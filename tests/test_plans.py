@@ -1033,3 +1033,30 @@ def test_assign_cells_corpus_side_is_map_only(spark):
     head, _, _build = plan.partition("BroadcastExchange")
     assert "Exchange" not in head, head
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_triangles_closing_join_is_hash_join(spark):
+    # wedge canonicalization by the orientation's (deg, id) order
+    # makes the closing probe an equi-join; an OR-of-orientations
+    # condition would plan as a CONDITION-BEARING nested-loop join
+    # over all wedges.  The only BNLJ allowed are the deliberate
+    # 1-row-build pure-Cross joins assembling the single output row.
+    import re
+
+    plan = _plan(queries()["q_ext_triangles"](spark, SF))
+    bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
+    assert not bad, bad
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_partial_aggregated(spark):
+    # each SpMV iteration must partial-aggregate contributions
+    # map-side; no condition-bearing nested-loop joins (the 1-row
+    # n_nodes broadcast is a pure Cross)
+    import re
+
+    plan = _plan(queries()["q_ext_pagerank"](spark, SF))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
+    assert not bad, bad
