@@ -82,6 +82,11 @@ HEADLINE = [
     "q_ext_topk_talkers",
     "q_ext_dedup_horizon",
     "q_ext_longest_dupspan",
+    # round-8: the graph kernels (edge-partitioned SpMV + degree-
+    # ordered triangles) and incremental join-view maintenance
+    "q_ext_pagerank",
+    "q_ext_triangles",
+    "q_ext_join_view_refresh",
 ]
 
 
