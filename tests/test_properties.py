@@ -1101,7 +1101,12 @@ def test_multimodal_meta_reports_real_dims_through_spark(spark):
 
 
 def test_approx_distinct_within_hll_error(spark):
-    approx = {
+    """Since the r8 envelope conversion the HLL accuracy check lives
+    INSIDE the gated query (TRUE-pinned flags); this test re-derives
+    the exact cardinalities independently and asserts the flags hold
+    and the exact columns match — a regression here means either the
+    sketch fell out of envelope or the gate's exact side drifted."""
+    rows = {
         r["l_returnflag"]: r
         for r in queries()["q_agg_approx_distinct"](spark, SF).collect()
     }
@@ -1115,19 +1120,21 @@ def test_approx_distinct_within_hll_error(spark):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        # rsd=0.02 -> 3-sigma is 6%; allow 10% for small-group noise
-        for acol, ecol in (
-            ("approx_parts", "n_parts"),
-            ("approx_supps", "n_supps"),
-        ):
-            rel = abs(a[acol] - exact[flag][ecol]) / exact[flag][ecol]
-            assert rel < 0.10, (flag, acol, a[acol], exact[flag][ecol])
+    assert set(rows) == set(exact)
+    for flag, a in rows.items():
+        assert a["exact_parts"] == exact[flag]["n_parts"]
+        assert a["exact_supps"] == exact[flag]["n_supps"]
+        assert a["parts_within_bound"] is True
+        assert a["supps_within_bound"] is True
 
 
 def test_approx_percentiles_within_rank_tolerance(spark):
-    approx = {
+    """Since the r8 envelope conversion the rank-tolerance check lives
+    INSIDE the gated query (value must sit between the exact p+-0.01
+    quantiles, TRUE-pinned); this test independently re-derives the
+    exact quantiles via q_agg_percentiles and asserts the flags hold
+    and the exact columns agree between the two queries."""
+    rows = {
         r["l_returnflag"]: r
         for r in queries()["q_agg_approx_percentiles"](spark, SF).collect()
     }
@@ -1135,66 +1142,81 @@ def test_approx_percentiles_within_rank_tolerance(spark):
         r["l_returnflag"]: r
         for r in queries()["q_agg_percentiles"](spark, SF).collect()
     }
-    spread = {
-        r["l_returnflag"]: (r["lo"], r["hi"])
-        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        lo, hi = spread[flag]
+    assert set(rows) == set(exact)
+    for flag, a in rows.items():
         for acol, ecol in (
-            ("p50_approx", "p50"),
-            ("p95_approx", "p95"),
-            ("p99_approx", "p99"),
+            ("p50_exact", "p50"),
+            ("p95_exact", "p95"),
+            ("p99_exact", "p99"),
         ):
-            assert lo <= a[acol] <= hi
-            # accuracy=10000 -> rank error <= n/10000 ranks; on the test
-            # groups that bounds value error well inside 5% of the range
-            assert abs(a[acol] - exact[flag][ecol]) <= 0.05 * (hi - lo), (
-                flag,
-                acol,
-            )
+            assert a[acol] == exact[flag][ecol], (flag, acol)
+        assert a["p50_in_band"] is True
+        assert a["p95_in_band"] is True
+        assert a["p99_in_band"] is True
 
 
 def test_hash_native_constant_vectors(spark):
+    """The r8 envelope conversion moved raw hash values out of the
+    gated output (they are invariants-only there), so the golden
+    vectors are pinned against the SAME expressions the query uses,
+    evaluated directly — a seed or encoding regression still cannot
+    slip through.  The query-level contract (cardinality + TRUE
+    flags) is asserted on top."""
     import zlib
 
-    out = {
-        r["c_custkey"]: r
-        for r in queries()["q_fn_hash_native"](spark, SF).collect()
-    }
-    names = {
-        r["c_custkey"]: r["c_name"]
+    hashed = {
+        r["c_name"]: r
         for r in spark.read.parquet(f"{SF}/customer.parquet")
-        .select("c_custkey", "c_name")
+        .select(
+            "c_name",
+            F.xxhash64("c_name").alias("xx64"),
+            F.hash("c_name").alias("mm3"),
+            F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        )
         .collect()
     }
     # crc32: independently recomputed with zlib (same polynomial)
-    for key, row in out.items():
-        assert row["name_crc32"] == zlib.crc32(names[key].encode())
+    for name, row in hashed.items():
+        assert row["crc"] == zlib.crc32(name.encode())
     # xxhash64/murmur3: Spark's published seed-42 implementations,
-    # pinned against precomputed vectors so a regression (seed change,
-    # encoding change) cannot slip through the rows-only driver check
+    # pinned against precomputed vectors
     golden = {
         "Customer#000000001": (5289279398613631133, -947655689),
         "Customer#000000002": (-5385866796556993174, 1908694569),
     }
-    by_name = {names[k]: r for k, r in out.items()}
+    checked = 0
     for name, (xx, mm) in golden.items():
-        if name in by_name:  # present at every SF for TPC-H-ish data
-            assert by_name[name]["name_xx64"] == xx
-            assert by_name[name]["name_murmur3"] == mm
-    assert sum(1 for n in golden if n in by_name) > 0
+        if name in hashed:  # present at every SF for TPC-H-ish data
+            assert hashed[name]["xx64"] == xx
+            assert hashed[name]["mm3"] == mm
+            checked += 1
+    assert checked > 0
+    (row,) = queries()["q_fn_hash_native"](spark, SF).collect()
+    assert row["n_names"] == len(hashed)
+    assert row["xx64_injective"] is True
+    assert row["murmur3_nearly_injective"] is True
+    assert row["crc32_in_range"] is True
 
 
 def test_json_struct_roundtrip_golden(spark):
+    """The r8 envelope conversion replaced the raw to_json /
+    schema_of_json text outputs with TRUE-pinned invariants, so the
+    golden JSON formatting is pinned against the same expressions
+    directly; the query-level contract (typed k + round-trip flags)
+    is asserted against an independent Python parse."""
     import json
+
+    # golden: Spark's to_json formatting and schema_of_json inference
+    (g,) = (
+        spark.range(1)
+        .select(
+            F.to_json(F.from_json(F.lit('{"k": 7}'), "k INT")).alias("j"),
+            F.schema_of_json(F.lit('{"k": 1}')).alias("s"),
+        )
+        .collect()
+    )
+    assert g["j"] == json.dumps({"k": 7}, separators=(",", ":"))
+    assert g["s"] == "STRUCT<k: BIGINT>"
 
     out = {
         r["event_id"]: r
@@ -1209,8 +1231,8 @@ def test_json_struct_roundtrip_golden(spark):
     assert len(out) == len(props)
     checked = 0
     for eid, row in out.items():
-        # schema_of_json on the literal is a constant across all rows
-        assert row["inferred_schema"] == "STRUCT<k: BIGINT>"
+        assert row["roundtrip_ok"] is True
+        assert row["schema_has_k"] is True
         src = props[eid]
         k = None
         if src:
@@ -1221,7 +1243,6 @@ def test_json_struct_roundtrip_golden(spark):
                 k = None
         if isinstance(k, int):
             assert row["k"] == k
-            assert row["as_json"] == json.dumps({"k": k}, separators=(",", ":"))
             checked += 1
         else:
             assert row["k"] is None
