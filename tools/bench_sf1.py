@@ -46,6 +46,11 @@ EXPENSIVE = [
     "q_ext_topk_talkers",
     "q_ext_dedup_horizon",
     "q_ext_skew_salted_join",
+    # r8 graph kernels (edge build is a basket self-join; wedge join
+    # is the O(E^1.5)-bounded stage to watch) + join-view IVM
+    "q_ext_pagerank",
+    "q_ext_triangles",
+    "q_ext_join_view_refresh",
 ]
 
 
