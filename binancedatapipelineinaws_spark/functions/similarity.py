@@ -651,6 +651,18 @@ def assign_cells(
     e = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
+    # Toy-corpus parallelism guard: at bench scale the whole table is
+    # ONE parquet split, and since this path is now exchange-free the
+    # cached assignment would stay single-partition — serializing the
+    # interpreted-cosine pair joins every consumer runs downstream
+    # (measured: semdedup's pair stage 0.54 s on 8 partitions vs
+    # 2.0-3.0 s on 1; the r7 window shuffle had been providing this
+    # parallelism by accident).  At any real corpus size the scan has
+    # >= defaultParallelism splits and this branch is dead — the plan
+    # stays map-only where it matters.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
 
     def cos_vc(x):
         return dot(F.col("embedding"), x.getField("cvec")) / (
