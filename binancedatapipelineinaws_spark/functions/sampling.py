@@ -472,3 +472,75 @@ def q_ext_groupk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= GROUPK_N)
     )
+
+
+# --- exactly-k weighted sampling (priority sampling) -------------------------
+# The weighted complement of q_ext_groupk_sample's uniform bottom-k:
+# per language, EXACTLY k documents chosen with probability scaling
+# with weight (n_chars — swap in any quality score), via priority
+# sampling (Duffield, Lund & Thorup 2007): priority = u / w with u
+# deterministic-uniform from a salted md5; take the k SMALLEST
+# priorities.  A heavier doc gets a proportionally smaller priority,
+# so selection probability rises with weight, and the k-th priority
+# doubles as the inclusion-threshold estimator the paper uses for
+# unbiased subset sums.
+#
+# Engine-exactness: u/w is ((h + 1) / 2^32) / w — two IEEE double
+# divisions on exact integers, correctly rounded and bit-identical in
+# Spark and DuckDB.  No pow/ln (the classic Efraimidis-Spirakis
+# u^(1/w) key needs transcendentals whose last-ulp behavior is
+# libm-specific — the exact class of cross-engine flip the sf1 drill
+# exists to catch).
+
+WEIGHTED_K = 50
+
+
+@register(
+    "q_ext_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST({duck_hex32("'ws:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+          / 4294967296.0) / n_chars AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, n_chars, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, round(priority * 1e9, 6) AS priority_ppb, rk
+FROM ranked WHERE rk <= {WEIGHTED_K}
+""",
+)
+def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{WEIGHTED_K} weighted sample per language by priority
+    sampling (see block comment: deterministic md5 uniform, priority
+    u/w, k smallest — reproducible across engines/partitionings, no
+    transcendentals).
+
+    Plan: map-only key projection + ONE language-partitioned rank
+    window with WindowGroupLimit pruning to k rows per stratum before
+    the sort network — identical shape (and scale story) to
+    q_ext_groupk_sample."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hex32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(4294967296.0)
+    priority = u / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", priority.alias("priority")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= WEIGHTED_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("priority") * 1e9, 6).alias("priority_ppb"),
+            "rk",
+        )
+    )

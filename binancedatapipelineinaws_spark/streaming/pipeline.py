@@ -415,6 +415,7 @@ def interval_join_stream(
     purchases: DataFrame,
     watermark: str = "2 hours",
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to every
     click by the same user in the preceding `horizon` — the streaming
@@ -425,7 +426,15 @@ def interval_join_stream(
     purchase-side watermark passes click_ts + horizon: state per user
     is `horizon` worth of clicks, independent of stream length.  The
     shuffle key is user_id (uniform); late events beyond `watermark`
-    drop instead of corrupting emitted matches."""
+    drop instead of corrupting emitted matches.
+
+    ``how="leftOuter"`` is the ABANDONMENT stream: a click with no
+    purchase inside the horizon emits exactly once with NULL purchase
+    columns — but only after the watermark passes click_ts + horizon
+    proves no match can still arrive, which is why outer stream-stream
+    joins REQUIRE both the watermark and the time-bound condition
+    (Spark rejects the query otherwise).  Same state bound as inner;
+    null rows trail the watermark by the horizon."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -446,7 +455,7 @@ def interval_join_stream(
             purchase_ts <= click_ts + INTERVAL {horizon}
             """
         ),
-        "inner",
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

@@ -1185,3 +1185,113 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["ewma"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_interval_join_abandonment(spark, tmp_path):
+    """leftOuter interval join (the abandonment stream): matched rows
+    must equal the batch interval join exactly; unmatched clicks emit
+    with NULL purchase columns once the watermark proves no match can
+    arrive (click_ts + horizon < watermark), so the null set equals
+    the batch left-join's null rows RESTRICTED to clicks old enough
+    to have expired — the documented trailing-edge divergence of any
+    watermarked outer join (nulls for the stream's last
+    watermark+horizon of clicks are still pending at shutdown)."""
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    def stream(d):
+        return (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .parquet(d)
+        )
+
+    out = str(tmp_path / "joined_lo")
+    ckpt = str(tmp_path / "ckpt_lo")
+
+    def run():
+        q = (
+            interval_join_stream(
+                stream(clicks_dir), stream(purch_dir), how="leftOuter"
+            )
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    run()  # second pass: watermark advance emits the expired nulls
+    got = spark.read.parquet(out)
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    matched_want = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("click_id", "purchase_id", "amount")
+    matched_got = got.filter(F.col("purchase_id").isNotNull()).select(
+        "click_id", "purchase_id", "amount"
+    )
+    assert matched_got.count() == matched_want.count()
+    assert matched_got.exceptAll(matched_want).count() == 0
+    assert matched_want.exceptAll(matched_got).count() == 0
+
+    # null rows: exactly the batch-unmatched clicks, up to the
+    # trailing watermark+horizon edge
+    unmatched_want = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "left_anti",
+    )
+    nulls_got = got.filter(F.col("purchase_id").isNull())
+    # every emitted null is a genuinely unmatched click
+    assert (
+        nulls_got.join(unmatched_want, "click_id", "left_anti").count() == 0
+    )
+    # and no matched click ever emitted a null
+    assert (
+        nulls_got.join(
+            matched_want.select("click_id").distinct(), "click_id"
+        ).count()
+        == 0
+    )
+    # completeness below the expiry edge: the query watermark is the
+    # MIN over both inputs' (max event time - 2h), plus the 1h
+    # horizon and a 1-minute guard band against boundary semantics
+    (max_c,) = c.agg(F.max("click_ts")).first()
+    (max_p,) = p.agg(F.max("purchase_ts")).first()
+    import datetime
+
+    cutoff = min(max_c, max_p) - datetime.timedelta(hours=3, minutes=1)
+    missing = (
+        unmatched_want.filter(F.col("click_ts") < F.lit(cutoff))
+        .join(nulls_got, "click_id", "left_anti")
+    )
+    assert missing.count() == 0
+    assert nulls_got.count() > 0  # the corpus must exercise the null path
