@@ -1555,3 +1555,114 @@ def q_ext_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HH_K)
         .select("shard", "item", "cnt", "rank")
     )
+
+
+# --- survival table (Kaplan-Meier input) -------------------------------------
+# Time-to-conversion survival analysis over the signup -> first
+# purchase delay: per whole-day bucket t, the number at risk n(t)
+# (users whose observed or censored time >= t) and events d(t)
+# (users converting in bucket t).  Users with no purchase are RIGHT-
+# CENSORED at the observation end (max event ts) — they leave the
+# risk set without an event, exactly the KM bookkeeping.  The output
+# is the exact-integer survival TABLE; the KM curve S(t) =
+# prod(1 - d/n) is a float product consumers fold locally over the
+# handful of buckets (day-bucket count is bounded by the observation
+# window, never the corpus — keeping the gated result bit-exact).
+
+
+@register(
+    "q_ext_survival_table",
+    oracle="""
+WITH bounds AS (
+  SELECT max(ts) AS obs_end FROM events
+), signup AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, min(e.ts) AS t1
+  FROM signup s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.t0
+  GROUP BY s.user_id
+), spans AS (
+  SELECT s.user_id,
+         CASE WHEN c.t1 IS NULL
+              THEN CAST(floor(date_diff('second', s.t0,
+                                        (SELECT obs_end FROM bounds))
+                              / 86400.0) AS BIGINT)
+              ELSE CAST(floor(date_diff('second', s.t0, c.t1)
+                              / 86400.0) AS BIGINT) END AS t_day,
+         CASE WHEN c.t1 IS NULL THEN 0 ELSE 1 END AS converted
+  FROM signup s LEFT JOIN conv c ON c.user_id = s.user_id
+), buckets AS (
+  SELECT t_day,
+         CAST(sum(converted) AS BIGINT) AS d,
+         CAST(count(*) - sum(converted) AS BIGINT) AS censored
+  FROM spans GROUP BY t_day
+)
+SELECT t_day, d, censored,
+       CAST(sum(d + censored) OVER (ORDER BY t_day DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk
+FROM buckets
+""",
+)
+def q_ext_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table for signup -> first-purchase delay
+    (see block comment): per day bucket, conversions d, right-censored
+    exits, and the at-risk count n — all exact integers.  n(t) is the
+    suffix sum of (d + censored) over later-or-equal buckets, computed
+    with a descending running sum over the BUCKETS table (bounded by
+    the observation window in days), never a per-user window.
+
+    Plan: two per-user min-aggregates (signup epoch, first purchase
+    at-or-after it — one shuffle each on user_id), a 1-row observation
+    bound broadcast for censoring, a day-bucket aggregate, and the
+    tiny suffix-sum window.  At 100 TB every corpus-sized stage is
+    key-partitioned aggregation; only the day-bucket table (a few
+    hundred rows for a year) hits a window."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.broadcast(ev.agg(F.max("ts").alias("obs_end")))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(signup, "user_id")
+        .filter(F.col("pts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t1"))
+    )
+    day = lambda a, b: F.floor(  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 86400.0
+    ).cast("long")
+    spans = (
+        signup.join(conv, "user_id", "left")
+        .crossJoin(bounds)
+        .select(
+            F.when(F.col("t1").isNull(), day(F.col("t0"), F.col("obs_end")))
+            .otherwise(day(F.col("t0"), F.col("t1")))
+            .alias("t_day"),
+            F.when(F.col("t1").isNull(), 0).otherwise(1).alias("converted"),
+        )
+    )
+    buckets = spans.groupBy("t_day").agg(
+        F.sum("converted").cast("long").alias("d"),
+        (F.count("*") - F.sum("converted")).cast("long").alias("censored"),
+    )
+    w = (
+        Window.orderBy(F.col("t_day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.select(
+        "t_day",
+        "d",
+        "censored",
+        F.sum(F.col("d") + F.col("censored")).over(w).cast("long").alias(
+            "n_at_risk"
+        ),
+    )
