@@ -246,3 +246,89 @@ def q_ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("byte_end"),
         )
     )
+
+
+# --- chunk-level blob dedup (CAS accounting) ---------------------------------
+# Storage-level dedup for multimodal lakes: blobs are sliced into the
+# same fixed 256-byte frames as q_ext_multimodal_frames, each chunk
+# content-addressed by md5, and the dedup ledger reports how many
+# bytes a content-addressable store would hold vs raw — the
+# sub-asset-granularity complement of whole-blob exact dedup
+# (near-identical videos/images share most chunks even when their
+# whole-file hashes differ).  Everything is exact integers + hashes;
+# the corpus-sized stages are one explode projection and one
+# chunk-hash aggregate (uniform keys — content hashes don't skew).
+
+CHUNK_BYTES = 256
+
+
+@register(
+    "q_ext_multimodal_chunk_dedup",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(f.frame_idx * {CHUNK_BYTES} + 1 AS BIGINT),
+                    {CHUNK_BYTES})) AS chunk_md5,
+         least(CAST((f.frame_idx + 1) * {CHUNK_BYTES} AS BIGINT),
+               CAST(length(text) AS BIGINT))
+           - CAST(f.frame_idx * {CHUNK_BYTES} AS BIGINT) AS n_bytes
+  FROM documents,
+       LATERAL (SELECT unnest(range(CAST(ceil(length(text) / {CHUNK_BYTES}.0)
+                                    AS BIGINT))) AS frame_idx) f
+), ledger AS (
+  SELECT chunk_md5, count(*) AS n_refs, min(n_bytes) AS n_bytes
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT CAST(sum(n_refs) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(n_refs * n_bytes) AS BIGINT) AS bytes_raw,
+       CAST(sum(n_bytes) AS BIGINT) AS bytes_stored,
+       CAST(sum(CASE WHEN n_refs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_chunks
+FROM ledger
+""",
+)
+def q_ext_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunk ledger over the blob corpus (see
+    block comment): total vs unique {CHUNK_BYTES}-byte chunks and the
+    raw vs stored byte footprint a CAS would see.  A chunk's size is
+    min() over its references — identical content implies identical
+    length, so min is just the deterministic pick.
+
+    Plan: explode each blob's frame plan (map-only, same shape as
+    q_ext_multimodal_frames), md5 per chunk in JVM codegen, one
+    partial-agged shuffle on the uniform chunk hash, then a 1-row
+    rollup."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / float(CHUNK_BYTES)).cast("long")
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.length("text").cast("long").alias("blob_bytes"),
+    ).select(
+        F.md5(
+            F.expr(f"substring(text, frame_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})")
+        ).alias("chunk_md5"),
+        (
+            F.least(
+                (F.col("frame_idx") + 1) * CHUNK_BYTES, F.col("blob_bytes")
+            )
+            - F.col("frame_idx") * CHUNK_BYTES
+        ).alias("n_bytes"),
+    )
+    ledger = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_refs"), F.min("n_bytes").alias("n_bytes")
+    )
+    return ledger.agg(
+        F.sum("n_refs").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("n_refs") * F.col("n_bytes"))
+        .cast("long")
+        .alias("bytes_raw"),
+        F.sum("n_bytes").cast("long").alias("bytes_stored"),
+        F.sum((F.col("n_refs") > 1).cast("long"))
+        .cast("long")
+        .alias("shared_chunks"),
+    )
