@@ -1979,3 +1979,81 @@ def test_kll_rank_gate_margin_sweep(spark):
         f"sketch rank error {worst:.4f} within 4x of the "
         f"{KLL_RANK_EPS} gate — widen the gate or raise k"
     )
+
+
+def _copurchase_edges(spark):
+    """Independent (pure-Python) edge derivation for the graph tests:
+    co-purchase part pairs with support >= 2, symmetrized."""
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    support = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), n in support.items():
+        if n >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
+def test_pagerank_matches_python_reimplementation(spark):
+    """The gated oracle is a DuckDB twin of the same algorithm; this
+    pins the SEMANTICS against a from-scratch Python fixed-point
+    PageRank (same integer arithmetic), so a shared mis-translation
+    in both SQL dialects cannot hide."""
+    adj = _copurchase_edges(spark)
+    SCALE = 1_000_000_000_000
+    n = len(adj)
+    pr = {v: SCALE // n for v in adj}
+    for _ in range(3):
+        contrib = {v: pr[v] // len(adj[v]) for v in adj}
+        inc = {v: sum(contrib[u] for u in adj[v]) for v in adj}
+        pr = {
+            v: (15 * SCALE) // (100 * n) + (85 * inc[v]) // 100
+            for v in adj
+        }
+    got = {
+        r["part"]: (r["deg"], r["pr_scaled"])
+        for r in queries()["q_ext_pagerank"](spark, SF).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == (len(adj[v]), pr[v]), v
+    # mass conservation: total rank stays within the truncation loss
+    # bound (each node loses < deg + 2 units per iteration)
+    total = sum(p for _, p in got.values())
+    assert 0 < SCALE - total < 10 * sum(len(a) for a in adj.values())
+
+
+def test_triangles_matches_python_reimplementation(spark):
+    adj = _copurchase_edges(spark)
+    tri = 0
+    for v, nbrs in adj.items():
+        for a in nbrs:
+            if a <= v:
+                continue
+            for b in nbrs:
+                if b <= a:
+                    continue
+                if b in adj[a]:
+                    tri += 1
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    (row,) = queries()["q_ext_triangles"](spark, SF).collect()
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == sum(len(a) for a in adj.values()) // 2
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
