@@ -1666,3 +1666,148 @@ def q_ext_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_at_risk"
         ),
     )
+
+
+# --- Holt double-exponential smoothing ---------------------------------------
+# The EWMA's two-state sibling: level + trend recurrence
+#   l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+#   b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+# init l = x1, b = x2 - x1 (n=1: level x1, trend 0).  Windows cannot
+# express it; Spark folds the identically-ordered list with a STRUCT
+# accumulator (F.aggregate, snapshot semantics) and the oracle
+# replays the same recurrence as a recursive CTE with identical IEEE
+# expression shapes, so doubles agree bit-for-bit.  The per-user list is capped at the last
+# HOLT_TAIL observations: older contributions mix down by at least
+# (1-B)^t = 0.9^300 ~ 2e-14 per step — invisible under the 6-dp
+# round, so a hot key costs O(HOLT_TAIL), the q_ext_ewma bound.
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_TAIL = 300
+
+
+@register(
+    "q_ext_holt_smoothing",
+    oracle=f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+), capped AS (
+  SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+         CASE WHEN len(xs) > {HOLT_TAIL}
+              THEN list_slice(xs, len(xs) - {HOLT_TAIL} + 1, len(xs))
+              ELSE xs END AS xt
+  FROM seq
+), st AS (
+  -- init consumes x1 (and x2 when present): l = x1, b = x2 - x1 | 0.
+  -- NOTE: the natural list_reduce struct fold is NOT usable here —
+  -- DuckDB 1.0 evaluates the lambda's struct fields SEQUENTIALLY,
+  -- updating the accumulator in place, so the second field sees the
+  -- first field's NEW value (probed: fold of {{l, b}} over 3 elements
+  -- gives b computed from the updated l).  The recursive CTE's SELECT
+  -- has snapshot semantics, matching Spark's aggregate().
+  SELECT user_id, CAST(2 AS BIGINT) AS i,
+         CAST(xt[1] AS DOUBLE) AS l,
+         CASE WHEN len(xt) >= 2 THEN xt[2] - xt[1]
+              ELSE CAST(0.0 AS DOUBLE) END AS b
+  FROM capped
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         {HOLT_ALPHA} * c.xt[r.i + 1] + {1 - HOLT_ALPHA} * (r.l + r.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * c.xt[r.i + 1]
+                         + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+         + {1 - HOLT_BETA} * r.b
+  FROM st r JOIN capped c ON c.user_id = r.user_id
+  WHERE r.i < len(c.xt)
+)
+SELECT c.user_id, c.n_events,
+       round(s.l, 6) AS level,
+       round(s.b, 6) AS trend,
+       round(s.l + s.b, 6) AS forecast_1
+FROM capped c JOIN st s
+  ON s.user_id = c.user_id AND s.i = greatest(len(c.xt), 2)
+""",
+)
+def q_ext_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level + trend; see
+    block comment) with a one-step-ahead forecast — the trend-aware
+    upgrade of q_ext_ewma, still a pure JVM fold: collect-sorted
+    values, struct-accumulator aggregate, no Python.
+
+    Note the init consumes x1 and x2 ((x1, x2-x1)); the fold then
+    runs over x3..  The oracle replays the identical recurrence with
+    a recursive CTE rather than list_reduce: DuckDB 1.0's struct-
+    lambda fold updates accumulator fields sequentially in place (the
+    second field sees the first field's new value — probed in r8), so
+    only the CTE's snapshot SELECT matches Spark's aggregate()
+    semantics."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.col("value").cast("double").alias("value"),
+                    )
+                )
+            ),
+            lambda s: s["value"],
+        ).alias("xs")
+    )
+    capped = seq.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.when(
+            F.size("xs") > HOLT_TAIL,
+            F.slice(F.col("xs"), -HOLT_TAIL, HOLT_TAIL),
+        )
+        .otherwise(F.col("xs"))
+        .alias("xt"),
+    )
+    x1 = F.element_at("xt", 1)
+    x2 = F.element_at("xt", 2)
+
+    def step(acc, x):
+        new_l = F.lit(HOLT_ALPHA) * x.getField("l") + F.lit(
+            1 - HOLT_ALPHA
+        ) * (acc.getField("l") + acc.getField("b"))
+        new_b = (
+            F.lit(HOLT_BETA)
+            * (
+                (
+                    F.lit(HOLT_ALPHA) * x.getField("l")
+                    + F.lit(1 - HOLT_ALPHA)
+                    * (acc.getField("l") + acc.getField("b"))
+                )
+                - acc.getField("l")
+            )
+            + F.lit(1 - HOLT_BETA) * acc.getField("b")
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.when(
+        F.size("xt") == 1,
+        F.struct(x1.alias("l"), F.lit(0.0).alias("b")),
+    ).otherwise(
+        F.aggregate(
+            F.transform(
+                F.slice(F.col("xt"), 3, F.greatest(F.size("xt") - 2, F.lit(0))),
+                lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+            ),
+            F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+            step,
+        )
+    )
+    return capped.select(
+        "user_id",
+        "n_events",
+        F.round(folded.getField("l"), 6).alias("level"),
+        F.round(folded.getField("b"), 6).alias("trend"),
+        F.round(folded.getField("l") + folded.getField("b"), 6).alias(
+            "forecast_1"
+        ),
+    )

@@ -2057,3 +2057,47 @@ def test_triangles_matches_python_reimplementation(spark):
     assert row["n_triangles"] == tri
     assert row["n_wedges"] == wedges
     assert 3 * row["n_triangles"] <= row["n_wedges"]
+
+
+def test_holt_smoothing_matches_python_recurrence(spark):
+    """From-scratch Python Holt recurrence over each user's sorted
+    values must reproduce the gated query at 6 dp — pins the
+    semantics independently of both SQL dialects (the DuckDB oracle
+    needed a recursive-CTE workaround for list_reduce's in-place
+    struct-field update, so an independent check matters here)."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_TAIL,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append((r["ts"], r["event_id"], float(r["value"])))
+    got = {
+        r["user_id"]: r
+        for r in queries()["q_ext_holt_smoothing"](spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for uid, evs in series.items():
+        xs = [v for _, _, v in sorted(evs)][-HOLT_TAIL:]
+        if len(xs) == 1:
+            level, trend = xs[0], 0.0
+        else:
+            level, trend = xs[0], xs[1] - xs[0]
+            for x in xs[2:]:
+                nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+                trend = HOLT_BETA * (nl - level) + (1 - HOLT_BETA) * trend
+                level = nl
+        g = got[uid]
+        assert g["n_events"] == len(evs)
+        assert abs(g["level"] - round(level, 6)) < 1e-9, uid
+        assert abs(g["trend"] - round(trend, 6)) < 1e-9, uid
+        assert abs(g["forecast_1"] - round(level + trend, 6)) < 1e-9, uid
