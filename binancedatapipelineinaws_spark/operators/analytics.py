@@ -1811,3 +1811,108 @@ def q_ext_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_1"
         ),
     )
+
+
+# --- session path mining (top user journeys) ---------------------------------
+# The full-path complement of q_ext_event_transitions' first-order
+# Markov matrix: per session, the ordered event-type path (capped at
+# the first PATH_MAX_STEPS steps — real journey reports truncate, and
+# the cap bounds the path-string key domain), then global support
+# counts and the top-PATH_TOP_K most common journeys.
+
+PATH_MAX_STEPS = 8
+PATH_TOP_K = 20
+
+
+@register(
+    "q_ext_top_paths",
+    oracle=f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                   > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gapped
+), paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {PATH_MAX_STEPS}),
+           '>') AS path,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx
+), support AS (
+  SELECT path, count(*) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events
+  FROM paths GROUP BY path
+), ranked AS (
+  SELECT path, n_sessions, n_events,
+         row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+  FROM support
+)
+SELECT path, n_sessions, n_events, rk FROM ranked WHERE rk <= {PATH_TOP_K}
+""",
+)
+def q_ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP_K} session journeys: the most common ordered
+    event-type paths (first {PATH_MAX_STEPS} steps) across all
+    sessions, with session support and total event mass — the
+    product-analytics "top user flows" report.
+
+    Plan: the q_ext_sessionize gaps-and-islands pair (ONE window
+    exchange on user_id), a per-session collect-sorted path projection
+    (session-bounded state, same key — no extra shuffle), a path-keyed
+    support aggregate whose cardinality is bounded by the (capped)
+    path domain, then TakeOrdered top-k.  Path strings join on
+    content, so hot paths partial-aggregate map-side."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    paths = sess.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                PATH_MAX_STEPS,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    support = paths.groupBy("path").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        support.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= PATH_TOP_K)
+    )
