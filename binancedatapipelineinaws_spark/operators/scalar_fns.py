@@ -544,3 +544,43 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("l_orderkey"), 2).alias("k_shr"),
         F.bit_count(F.col("l_orderkey")).alias("k_bits"),
     )
+
+
+@register(
+    "q_fn_regex",
+    oracle=r"""
+SELECT event_id, props,
+       CASE WHEN regexp_matches(props, '^\{"k": [0-9]+\}$')
+            THEN 1 ELSE 0 END AS is_simple_obj,
+       regexp_extract(props, '[0-9]+', 0) AS first_num,
+       regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+       CASE WHEN regexp_matches(props, '"k": *([0-9]{2})[^0-9]')
+            THEN 1 ELSE 0 END AS k_two_digits
+FROM events WHERE event_id % 7 = 0
+""",
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (MySQL 5.7 REGEXP surface -> Spark
+    rlike / regexp_extract / regexp_replace).  Patterns stay inside
+    the portable subset (character classes, anchors, quantifiers — no
+    lookaround, no backrefs) so Java regex and DuckDB's RE2 agree;
+    the oracle mirrors each call (regexp_replace needs the 'g' flag —
+    DuckDB replaces first-only by default where Spark replaces all)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0
+    )
+    return ev.select(
+        "event_id",
+        "props",
+        F.col("props")
+        .rlike(r'^\{"k": [0-9]+\}$')
+        .cast("int")
+        .alias("is_simple_obj"),
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_num"),
+        F.regexp_replace("props", "[0-9]", "#").alias("masked"),
+        F.col("props")
+        .rlike(r'"k": *([0-9]{2})[^0-9]')
+        .cast("int")
+        .alias("k_two_digits"),
+    )
