@@ -1,0 +1,189 @@
+"""THE reference pipeline, end-to-end in one test (EP1 + S3 event +
+EP2 + Aurora, re-expressed):
+
+  live WebSocket (local RFC 6455 server, Binance trade JSON)
+    -> ws client spools one TSV per event-time minute  [main.py:36-47]
+    -> exactly-once file stream picks up closed minutes, ARCHIVES
+       processed files                        [lambda_function.py:38-48]
+    -> canonicalize projection                [main.py:56-66]
+    -> (a) JDBC append into the BTCUSDT table [lambda_function.py:26-32]
+    -> (b) watermarked 1-min OHLCV candles    [the Aurora-side query]
+
+and the JDBC table contents + candles must equal the batch
+computation over the same wire lines.  Every hop is a component with
+its own tests; this chain test pins that they COMPOSE — the failure
+mode integration alone catches (schema drift between the spool format
+and the canonicalizer, archive racing the reader, the foreachBatch
+epoch wiring).
+"""
+
+from __future__ import annotations
+
+import glob
+import socket
+import struct
+import threading
+
+from pyspark.sql import functions as F
+
+from binancedatapipelineinaws_spark.canonical import canonicalize_btcusdt
+from binancedatapipelineinaws_spark.sources.tsv import (
+    read_jdbc_table,
+    write_btcusdt_jdbc,
+)
+from binancedatapipelineinaws_spark.streaming import websocket as ws
+from binancedatapipelineinaws_spark.streaming.pipeline import (
+    TICKS_WIRE_SCHEMA,
+    canonical_stream,
+    ohlcv_stream,
+    read_tick_stream,
+)
+from tests.test_streaming_websocket import (
+    BASE_MS,
+    _serve_session,
+)
+
+DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+def test_ws_to_jdbc_and_candles_full_chain(spark, tmp_path):
+    # --- EP1: live WebSocket -> minute-rotated TSV spool
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    seen: dict = {}
+    t = threading.Thread(
+        target=_serve_session, args=(server, seen)
+    )
+    t.start()
+    spool = str(tmp_path / "spool")
+    try:
+        conn = ws.connect("127.0.0.1", server.getsockname()[1])
+        stats = ws.spool_trades(conn, spool)
+        conn.close()
+    finally:
+        t.join(timeout=30)
+        server.close()
+    assert stats.files_closed == 3
+
+    # batch reference: the spooled wire lines, canonicalized
+    wire = (
+        spark.read.schema(TICKS_WIRE_SCHEMA)
+        .option("sep", "\t")
+        .csv(spool)
+    )
+    want = canonicalize_btcusdt(wire).cache()
+    n_trades = want.count()
+    assert n_trades == stats.trades
+
+    # --- EP2: file stream -> canonicalize -> JDBC append, with the
+    # processed files ARCHIVED (the Lambda's move-aside)
+    archive = str(tmp_path / "archive")
+    url = f"jdbc:derby:{tmp_path}/binance;create=true"
+
+    def to_jdbc(batch_df, batch_id):
+        write_btcusdt_jdbc(batch_df, url=url, properties=DERBY_PROPS)
+
+    q = (
+        canonical_stream(
+            read_tick_stream(spark, spool, archive_dir=archive)
+        )
+        .writeStream.foreachBatch(to_jdbc)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jdbc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    table = read_jdbc_table(spark, url, "btcusdt", properties=DERBY_PROPS)
+    assert table.count() == n_trades
+    cols = sorted(table.columns)
+    assert cols == sorted(want.columns)
+    got_rows = sorted(tuple(r) for r in table.select(cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(cols).collect())
+    assert got_rows == want_rows
+
+    # the processed minute files moved aside (cleanSource=archive is
+    # asynchronous with a fixed small delay in Spark — accept either
+    # already-archived or still-pending, but NEVER dropped)
+    remaining = set(glob.glob(f"{spool}/*.tsv"))
+    archived = set(
+        glob.glob(f"{archive}/**/*.tsv", recursive=True)
+    )
+    assert len(remaining) + len(archived) >= 3
+
+    # --- the Aurora-side rollup: candles from a fresh replay of the
+    # SAME spool (separate checkpoint) must equal the batch candles
+    out = str(tmp_path / "candles")
+
+    def run_candles():
+        qc = (
+            ohlcv_stream(
+                canonical_stream(read_tick_stream(spark, spool)),
+                watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "ckpt_candles"))
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qc.awaitTermination(120)
+
+    # NOTE: if the archive hop already moved files, the candle replay
+    # reads whatever is left in spool + archive — rebuild a stable
+    # replay dir from the batch reference instead of racing it.
+    import shutil
+
+    replay = str(tmp_path / "replay")
+    import os
+
+    os.makedirs(replay)
+    for f in sorted(remaining) + sorted(archived):
+        shutil.copy(f, replay)
+    assert len(glob.glob(f"{replay}/*.tsv")) == 3
+
+    def run_candles_replay():
+        qc = (
+            ohlcv_stream(
+                canonical_stream(read_tick_stream(spark, replay)),
+                watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "ckpt_candles"))
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qc.awaitTermination(120)
+
+    run_candles_replay()
+    run_candles_replay()
+    got_candles = spark.read.parquet(out)
+    # batch candles for the CLOSED windows (minute 2 stays open under
+    # the watermark — the documented trailing edge)
+    batch_candles = (
+        want.groupBy(F.window("time", "1 minute").alias("w"))
+        .agg(
+            F.min_by("price", F.struct("time", "bid")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("time", "bid")).alias("close"),
+            F.sum(F.col("quantity").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("trades"),
+        )
+        .select(F.col("w.start").alias("minute_start"), "open", "high",
+                "low", "close", "volume", "trades")
+        .filter(
+            F.col("minute_start")
+            < F.timestamp_seconds(F.lit(BASE_MS // 1000 + 120))
+        )
+    )
+    g = sorted(tuple(r) for r in got_candles.collect())
+    w = sorted(tuple(r) for r in batch_candles.collect())
+    assert g == w
