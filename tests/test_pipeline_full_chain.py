@@ -117,24 +117,8 @@ def test_ws_to_jdbc_and_candles_full_chain(spark, tmp_path):
     # SAME spool (separate checkpoint) must equal the batch candles
     out = str(tmp_path / "candles")
 
-    def run_candles():
-        qc = (
-            ohlcv_stream(
-                canonical_stream(read_tick_stream(spark, spool)),
-                watermark="0 seconds",
-            )
-            .writeStream.format("parquet")
-            .option("checkpointLocation", str(tmp_path / "ckpt_candles"))
-            .option("path", out)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qc.awaitTermination(120)
-
-    # NOTE: if the archive hop already moved files, the candle replay
-    # reads whatever is left in spool + archive — rebuild a stable
-    # replay dir from the batch reference instead of racing it.
+    # the archive hop may already have moved files — rebuild a stable
+    # replay dir from spool + archive instead of racing it
     import shutil
 
     replay = str(tmp_path / "replay")
