@@ -610,3 +610,169 @@ def q_ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.5)").over(w), 6
         ).alias("rolling_median"),
     )
+
+
+# --- CUSUM sequential drift detection ----------------------------------------
+# The third leg of the monitoring family: q_ext_daily_anomaly is the
+# POINTWISE z-score, q_ext_ks_drift the DISTRIBUTION test, this is the
+# SEQUENTIAL change-point monitor — the two-sided CUSUM (Page 1954)
+# over each event type's daily-mean series:
+#   s+_t = max(0, s+_{t-1} + z_t - K),  s-_t = max(0, s-_{t-1} - z_t - K)
+# with z the standardized daily mean, slack K = 0.5, decision H = 4;
+# a crossing counts an alarm and restarts both sides.  Small
+# persistent shifts accumulate here long before any single day trips
+# a pointwise z-test.
+#
+# Determinism: the corpus-sized stage emits exact (type, day) decimal
+# sums + counts; each type's bounded day series (calendar-bounded,
+# never corpus-bounded) is collect-sorted and folded in a fixed order
+# — mean/var via scalar folds, the 3-field CUSUM state via a struct
+# fold.  The oracle replays mean/var with list_reduce (scalar folds
+# are safe) but the CUSUM state via a RECURSIVE CTE, because DuckDB
+# 1.0's struct-lambda fold updates accumulator fields in place (the
+# q_ext_holt_smoothing probe).
+
+CUSUM_SLACK = 0.5
+CUSUM_H = 4.0
+
+
+@register(
+    "q_ext_cusum_drift",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS m
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type, list(m ORDER BY day) AS xs,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+), stats AS (
+  SELECT event_type, xs, n_days,
+         list_reduce(xs, (a, x) -> a + x) / n_days AS mu
+  FROM series
+), stats2 AS (
+  SELECT event_type, xs, n_days, mu,
+         sqrt(list_reduce(list_transform(xs, x -> (x - mu) * (x - mu)),
+                          (a, x) -> a + x) / n_days) AS sigma
+  FROM stats
+), st AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS i,
+         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         CAST(0 AS BIGINT) AS n_alarms
+  FROM stats2
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) > {CUSUM_H}
+                OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) > {CUSUM_H}
+              THEN 0.0
+              ELSE greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) END,
+         CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) > {CUSUM_H}
+                OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) > {CUSUM_H}
+              THEN 0.0
+              ELSE greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
+                                 - {CUSUM_SLACK}) END,
+         r.n_alarms
+         + CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
+                                   - {CUSUM_SLACK}) > {CUSUM_H}
+                  OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
+                                   - {CUSUM_SLACK}) > {CUSUM_H}
+                THEN 1 ELSE 0 END
+  FROM st r JOIN stats2 c ON c.event_type = r.event_type
+  WHERE r.i <= c.n_days
+)
+SELECT c.event_type, c.n_days,
+       round(c.mu, 6) AS mu, round(c.sigma, 6) AS sigma,
+       round(s.sp, 6) AS cusum_pos, round(s.sn, 6) AS cusum_neg,
+       s.n_alarms
+FROM stats2 c JOIN st s
+  ON s.event_type = c.event_type AND s.i = c.n_days + 1
+""",
+)
+def q_ext_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor per event type (see block
+    comment): final positive/negative CUSUM statistics and the alarm
+    count over the standardized daily-mean series, with restart after
+    each alarm.
+
+    Plan: ONE corpus pass partial-aggregates exact (type, day) sums;
+    everything after runs on the calendar-bounded series — scalar
+    folds for mu/sigma and a struct-accumulator fold
+    (snapshot-semantics F.aggregate) for the (s+, s-, alarms) state.
+    At 100 TB the fold input is days-per-type, not rows."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "m"))),
+            lambda s: s["m"],
+        ).alias("xs"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    mu = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda a, x: a + x
+    ) / F.col("n_days")
+    stats = series.select("event_type", "xs", "n_days", mu.alias("mu"))
+    sigma = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("xs"),
+                lambda x: (x - F.col("mu")) * (x - F.col("mu")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.col("n_days")
+    )
+    stats2 = stats.withColumn("sigma", sigma)
+
+    def step(acc, x):
+        z = (x - F.col("mu")) / F.col("sigma")
+        sp = F.greatest(
+            F.lit(0.0), acc.getField("sp") + z - CUSUM_SLACK
+        )
+        sn = F.greatest(
+            F.lit(0.0), acc.getField("sn") - z - CUSUM_SLACK
+        )
+        alarm = (sp > CUSUM_H) | (sn > CUSUM_H)
+        return F.struct(
+            F.when(alarm, F.lit(0.0)).otherwise(sp).alias("sp"),
+            F.when(alarm, F.lit(0.0)).otherwise(sn).alias("sn"),
+            (
+                acc.getField("n_alarms")
+                + F.when(alarm, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_alarms"),
+        )
+
+    folded = F.aggregate(
+        F.col("xs"),
+        F.struct(
+            F.lit(0.0).alias("sp"),
+            F.lit(0.0).alias("sn"),
+            F.lit(0).cast("long").alias("n_alarms"),
+        ),
+        step,
+    )
+    return stats2.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(folded.getField("sp"), 6).alias("cusum_pos"),
+        F.round(folded.getField("sn"), 6).alias("cusum_neg"),
+        folded.getField("n_alarms").alias("n_alarms"),
+    )

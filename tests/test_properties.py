@@ -2101,3 +2101,57 @@ def test_holt_smoothing_matches_python_recurrence(spark):
         assert abs(g["level"] - round(level, 6)) < 1e-9, uid
         assert abs(g["trend"] - round(trend, 6)) < 1e-9, uid
         assert abs(g["forecast_1"] - round(level + trend, 6)) < 1e-9, uid
+
+
+def test_cusum_drift_matches_python_recurrence(spark):
+    """From-scratch Python CUSUM over each type's daily-mean series
+    must reproduce the gated query at 6 dp (independent of both SQL
+    dialects — the oracle needed the recursive-CTE workaround, same
+    as Holt)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from binancedatapipelineinaws_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_SLACK,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), 0])
+    for r in rows:
+        a = acc[(r["event_type"], r["day"])]
+        a[0] += Decimal(str(round(float(r["value"]), 6)))
+        a[1] += 1
+    series = defaultdict(list)
+    for (et, day), (s, n) in acc.items():
+        series[et].append((day, float(s) / n))
+    got = {
+        r["event_type"]: r
+        for r in queries()["q_ext_cusum_drift"](spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        xs = [m for _, m in sorted(pts)]
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = (sum((x - mu) ** 2 for x in xs) / n) ** 0.5
+        sp = sn = 0.0
+        alarms = 0
+        for x in xs:
+            z = (x - mu) / sigma
+            sp = max(0.0, sp + z - CUSUM_SLACK)
+            sn = max(0.0, sn - z - CUSUM_SLACK)
+            if sp > CUSUM_H or sn > CUSUM_H:
+                alarms += 1
+                sp = sn = 0.0
+        g = got[et]
+        assert g["n_days"] == n
+        assert abs(g["mu"] - round(mu, 6)) < 1e-5, et
+        assert abs(g["sigma"] - round(sigma, 6)) < 1e-5, et
+        assert abs(g["cusum_pos"] - round(sp, 6)) < 1e-4, et
+        assert abs(g["cusum_neg"] - round(sn, 6)) < 1e-4, et
+        assert g["n_alarms"] == alarms, et
