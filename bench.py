@@ -87,6 +87,10 @@ HEADLINE = [
     "q_ext_pagerank",
     "q_ext_triangles",
     "q_ext_join_view_refresh",
+    # round-8 batch 2: struct-fold recurrences and session path mining
+    "q_ext_holt_smoothing",
+    "q_ext_cusum_drift",
+    "q_ext_top_paths",
 ]
 
 

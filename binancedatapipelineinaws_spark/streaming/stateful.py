@@ -482,3 +482,79 @@ def ewma_stream(events: DataFrame, alpha: float) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# The streaming twin of the oracle-gated Holt batch fold (operators/
+# analytics.py:q_ext_holt_smoothing): state per user is (level, trend,
+# count) — O(1), vs the batch reference's collect-and-fold of the
+# (HOLT_TAIL-capped) sequence.  Parity: the batch cap changes values
+# by < (1-beta)^HOLT_TAIL ~ 2e-14 of the value range, invisible under
+# the 6-dp round, so an in-order replay of this kernel equals the
+# batch query exactly after rounding (tests/test_streaming.py).
+
+HOLT_SCHEMA = "user_id long, n_events long, level double, trend double"
+HOLT_STATE_SCHEMA = "l double, b double, n long"
+
+
+def make_holt_fn(alpha: float, beta: float):
+    def holt_fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            level, trend, n = state.get
+        else:
+            level, trend, n = None, None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # whole-batch sort at full microsecond precision — the
+            # 63ebea5 determinism discipline (never per Arrow chunk)
+            batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for v in batch["value"]:
+                x = float(v)
+                n += 1
+                if n == 1:
+                    level, trend = x, 0.0
+                elif n == 2:
+                    # init consumes x1 and x2: (l, b) = (x1, x2 - x1),
+                    # the batch fold's initial state
+                    trend = x - level
+                else:
+                    # identical expression shape to the batch fold
+                    new_l = alpha * x + (1 - alpha) * (level + trend)
+                    trend = beta * (new_l - level) + (1 - beta) * trend
+                    level = new_l
+        state.update((level, trend, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_events": [n],
+                "level": [level],
+                "trend": [trend],
+            }
+        )
+
+    return holt_fn
+
+
+def holt_stream(
+    events: DataFrame, alpha: float, beta: float
+) -> DataFrame:
+    """events stream -> per-user Holt (level, trend) snapshots (one
+    row per user per micro-batch; the max-n_events row per user is
+    the final state)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_holt_fn(alpha, beta),
+        outputStructType=HOLT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

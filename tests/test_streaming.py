@@ -1295,3 +1295,64 @@ def test_stream_stream_left_outer_interval_join_abandonment(spark, tmp_path):
     )
     assert missing.count() == 0
     assert nulls_got.count() > 0  # the corpus must exercise the null path
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path):
+    """The O(1)-state streaming Holt kernel replayed over time-sliced
+    event files must equal the oracle-gated batch fold
+    (q_ext_holt_smoothing) at 6 dp for every user."""
+    from binancedatapipelineinaws_spark.operators.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        holt_stream,
+    )
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    import pyspark.sql.window as W
+
+    src = str(tmp_path / "ev_sliced")
+    ev = load_table(spark, SF, "events")
+    w = W.Window.orderBy("ts", "event_id")
+    n = ev.count()
+    sliced = ev.withColumn("rn", F.row_number().over(w))
+    for i in range(3):
+        sliced.filter(
+            (F.col("rn") > i * n // 3) & (F.col("rn") <= (i + 1) * n // 3)
+        ).drop("rn").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "holt_out")
+    q = (
+        holt_stream(stream, HOLT_ALPHA, HOLT_BETA)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "holt_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    snaps = spark.read.parquet(out)
+    wmax = W.Window.partitionBy("user_id")
+    final = (
+        snaps.withColumn("n_max", F.max("n_events").over(wmax))
+        .filter(F.col("n_events") == F.col("n_max"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+        )
+    )
+    want = queries()["q_ext_holt_smoothing"](spark, SF).select(
+        "user_id", "n_events", "level", "trend"
+    )
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
