@@ -619,3 +619,95 @@ def q_ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --- hash-fingerprint join pruning (1-hash Bloom) ----------------------------
+# At 100 TB the cheapest join is the one whose probe rows never leave
+# the scan: build a fingerprint set over the (selective) dim keys,
+# broadcast it, and drop fact rows map-side before any shuffle —
+# Spark's runtime row-group filter, made explicit and portable (the
+# engine-native bloom_filter_agg is not SQL-exposed in this build, so
+# the filter is a deterministic 1-hash Bloom: xxhash64(key) mod m
+# with m = BLOOM_BITS_PER_KEY * n_keys).  The gate pins the filter's
+# CONTRACT instead of its bits: ZERO false negatives (the hard Bloom
+# guarantee — one missed true key is a correctness bug) and a
+# false-positive rate within 3x the n/m expectation.  xxhash64 is
+# deterministic, so the flags are stable across engines and reruns.
+
+BLOOM_BITS_PER_KEY = 64  # m/n -> expected fp ~ 1.56%
+BLOOM_SEGMENT = "BUILDING"
+
+
+@register(
+    "q_ext_bloom_join_prune",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+)
+SELECT count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matches,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_rate_within_bound
+FROM orders
+""",
+)
+def q_ext_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-filter pre-join pruning of orders against the
+    '{BLOOM_SEGMENT}'-segment customers (see block comment): the
+    hash-verified output is the exact probe and true-match counts
+    plus TRUE flags pinning the filter contract — every true match
+    passes, and false positives stay within 3x the n/m expectation.
+    An out-of-contract filter breaks the gate.
+
+    Plan: the fingerprint set is one distinct aggregate over the
+    pruned dim scan, broadcast once; the probe rides the fact scan as
+    a broadcast LEFT join on the fingerprint (map-only — no fact
+    shuffle).  The exact semi-join exists only to measure the filter;
+    the production plan keeps just the pruned stream."""
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
+        "c_custkey"
+    )
+    n_keys = dim.count()
+    m_bits = max(1, BLOOM_BITS_PER_KEY * n_keys)
+    prints = F.broadcast(
+        dim.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(m_bits)).alias("fp")
+        ).distinct()
+    )
+    truth = F.broadcast(dim.withColumnRenamed("c_custkey", "mk"))
+    probed = (
+        o.select("o_custkey")
+        .withColumn("o_fp", F.pmod(F.xxhash64("o_custkey"), F.lit(m_bits)))
+        .join(prints, F.col("o_fp") == F.col("fp"), "left")
+        .join(truth, F.col("o_custkey") == F.col("mk"), "left")
+        .select(
+            F.col("mk").isNotNull().alias("is_true"),
+            F.col("fp").isNotNull().alias("passed"),
+        )
+    )
+    agg = probed.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("is_true").cast("long")).cast("long").alias(
+            "n_true_matches"
+        ),
+        F.sum((F.col("is_true") & ~F.col("passed")).cast("long")).alias(
+            "n_false_neg"
+        ),
+        F.sum((~F.col("is_true") & F.col("passed")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+    exp_fp = float(1.0 / BLOOM_BITS_PER_KEY)
+    return agg.select(
+        "n_orders",
+        "n_true_matches",
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+        (
+            F.col("n_false_pos")
+            <= 3 * exp_fp * (F.col("n_orders") - F.col("n_true_matches"))
+        ).alias("fp_rate_within_bound"),
+    )

@@ -625,15 +625,21 @@ def q_ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: the corpus-sized stage emits exact (type, day) decimal
 # sums + counts; each type's bounded day series (calendar-bounded,
-# never corpus-bounded) is collect-sorted and folded in a fixed order
-# — mean/var via scalar folds, the 3-field CUSUM state via a struct
-# fold.  The oracle replays mean/var with list_reduce (scalar folds
-# are safe) but the CUSUM state via a RECURSIVE CTE, because DuckDB
-# 1.0's struct-lambda fold updates accumulator fields in place (the
-# q_ext_holt_smoothing probe).
+# never corpus-bounded) is collect-sorted and folded in a fixed order.
+# The z-scores are bit-identical doubles in both engines (identical
+# fold association for mu/sigma), and the CUSUM state itself runs on
+# the 1e-9-QUANTIZED integer grid (zi = floor(z * 1e9) as BIGINT) —
+# the first float draft matched at sf0.01 but flipped 1-ulp at the
+# 6-dp rounding boundary at sf1 (engines round the same double
+# differently exactly at a half boundary); integer state has no
+# boundary to flip.  The oracle replays the recurrence via RECURSIVE
+# CTE because DuckDB 1.0's struct-lambda fold updates accumulator
+# fields in place (the q_ext_holt_smoothing probe); mu/sigma scalar
+# folds stay on list_reduce.
 
-CUSUM_SLACK = 0.5
-CUSUM_H = 4.0
+CUSUM_NANO = 1_000_000_000
+CUSUM_SLACK_NANO = 500_000_000  # K = 0.5 on the nano grid
+CUSUM_H_NANO = 4_000_000_000  # H = 4.0 on the nano grid
 
 
 @register(
@@ -657,49 +663,52 @@ WITH RECURSIVE daily AS (
          sqrt(list_reduce(list_transform(xs, x -> (x - mu) * (x - mu)),
                           (a, x) -> a + x) / n_days) AS sigma
   FROM stats
+), zq AS (
+  SELECT event_type, n_days, mu, sigma,
+         list_transform(xs, x -> CAST(floor((x - mu) / sigma * {CUSUM_NANO})
+                                      AS BIGINT)) AS zi
+  FROM stats2
 ), st AS (
   SELECT event_type, CAST(1 AS BIGINT) AS i,
-         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
          CAST(0 AS BIGINT) AS n_alarms
-  FROM stats2
+  FROM zq
   UNION ALL
   SELECT r.event_type, r.i + 1,
-         CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) > {CUSUM_H}
-                OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) > {CUSUM_H}
-              THEN 0.0
-              ELSE greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) END,
-         CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) > {CUSUM_H}
-                OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) > {CUSUM_H}
-              THEN 0.0
-              ELSE greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
-                                 - {CUSUM_SLACK}) END,
+         CASE WHEN greatest(0, r.sp + c.zi[r.i] - {CUSUM_SLACK_NANO})
+                   > {CUSUM_H_NANO}
+                OR greatest(0, r.sn - c.zi[r.i] - {CUSUM_SLACK_NANO})
+                   > {CUSUM_H_NANO}
+              THEN 0
+              ELSE greatest(0, r.sp + c.zi[r.i] - {CUSUM_SLACK_NANO}) END,
+         CASE WHEN greatest(0, r.sp + c.zi[r.i] - {CUSUM_SLACK_NANO})
+                   > {CUSUM_H_NANO}
+                OR greatest(0, r.sn - c.zi[r.i] - {CUSUM_SLACK_NANO})
+                   > {CUSUM_H_NANO}
+              THEN 0
+              ELSE greatest(0, r.sn - c.zi[r.i] - {CUSUM_SLACK_NANO}) END,
          r.n_alarms
-         + CASE WHEN greatest(0.0, r.sp + (c.xs[r.i] - c.mu) / c.sigma
-                                   - {CUSUM_SLACK}) > {CUSUM_H}
-                  OR greatest(0.0, r.sn - (c.xs[r.i] - c.mu) / c.sigma
-                                   - {CUSUM_SLACK}) > {CUSUM_H}
+         + CASE WHEN greatest(0, r.sp + c.zi[r.i] - {CUSUM_SLACK_NANO})
+                     > {CUSUM_H_NANO}
+                  OR greatest(0, r.sn - c.zi[r.i] - {CUSUM_SLACK_NANO})
+                     > {CUSUM_H_NANO}
                 THEN 1 ELSE 0 END
-  FROM st r JOIN stats2 c ON c.event_type = r.event_type
+  FROM st r JOIN zq c ON c.event_type = r.event_type
   WHERE r.i <= c.n_days
 )
 SELECT c.event_type, c.n_days,
        round(c.mu, 6) AS mu, round(c.sigma, 6) AS sigma,
-       round(s.sp, 6) AS cusum_pos, round(s.sn, 6) AS cusum_neg,
+       s.sp AS cusum_pos_nano, s.sn AS cusum_neg_nano,
        s.n_alarms
-FROM stats2 c JOIN st s
+FROM zq c JOIN st s
   ON s.event_type = c.event_type AND s.i = c.n_days + 1
 """,
 )
 def q_ext_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift monitor per event type (see block
-    comment): final positive/negative CUSUM statistics and the alarm
-    count over the standardized daily-mean series, with restart after
-    each alarm.
+    comment): final positive/negative CUSUM statistics (exact BIGINTs
+    on the 1e-9 z-grid) and the alarm count over the standardized
+    daily-mean series, with restart after each alarm.
 
     Plan: ONE corpus pass partial-aggregates exact (type, day) sums;
     everything after runs on the calendar-bounded series — scalar
@@ -739,19 +748,30 @@ def q_ext_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_days")
     )
     stats2 = stats.withColumn("sigma", sigma)
+    zq = stats2.withColumn(
+        "zi",
+        F.transform(
+            F.col("xs"),
+            lambda x: F.floor(
+                (x - F.col("mu")) / F.col("sigma") * CUSUM_NANO
+            ).cast("long"),
+        ),
+    )
 
-    def step(acc, x):
-        z = (x - F.col("mu")) / F.col("sigma")
+    def step(acc, zi):
         sp = F.greatest(
-            F.lit(0.0), acc.getField("sp") + z - CUSUM_SLACK
+            F.lit(0).cast("long"),
+            acc.getField("sp") + zi - CUSUM_SLACK_NANO,
         )
         sn = F.greatest(
-            F.lit(0.0), acc.getField("sn") - z - CUSUM_SLACK
+            F.lit(0).cast("long"),
+            acc.getField("sn") - zi - CUSUM_SLACK_NANO,
         )
-        alarm = (sp > CUSUM_H) | (sn > CUSUM_H)
+        alarm = (sp > CUSUM_H_NANO) | (sn > CUSUM_H_NANO)
+        zero = F.lit(0).cast("long")
         return F.struct(
-            F.when(alarm, F.lit(0.0)).otherwise(sp).alias("sp"),
-            F.when(alarm, F.lit(0.0)).otherwise(sn).alias("sn"),
+            F.when(alarm, zero).otherwise(sp).alias("sp"),
+            F.when(alarm, zero).otherwise(sn).alias("sn"),
             (
                 acc.getField("n_alarms")
                 + F.when(alarm, F.lit(1)).otherwise(F.lit(0))
@@ -759,20 +779,20 @@ def q_ext_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = F.aggregate(
-        F.col("xs"),
+        F.col("zi"),
         F.struct(
-            F.lit(0.0).alias("sp"),
-            F.lit(0.0).alias("sn"),
+            F.lit(0).cast("long").alias("sp"),
+            F.lit(0).cast("long").alias("sn"),
             F.lit(0).cast("long").alias("n_alarms"),
         ),
         step,
     )
-    return stats2.select(
+    return zq.select(
         "event_type",
         "n_days",
         F.round("mu", 6).alias("mu"),
         F.round("sigma", 6).alias("sigma"),
-        F.round(folded.getField("sp"), 6).alias("cusum_pos"),
-        F.round(folded.getField("sn"), 6).alias("cusum_neg"),
+        folded.getField("sp").alias("cusum_pos_nano"),
+        folded.getField("sn").alias("cusum_neg_nano"),
         folded.getField("n_alarms").alias("n_alarms"),
     )

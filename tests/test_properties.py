@@ -2105,26 +2105,33 @@ def test_holt_smoothing_matches_python_recurrence(spark):
 
 def test_cusum_drift_matches_python_recurrence(spark):
     """From-scratch Python CUSUM over each type's daily-mean series
-    must reproduce the gated query at 6 dp (independent of both SQL
-    dialects — the oracle needed the recursive-CTE workaround, same
-    as Holt)."""
+    must reproduce the gated query EXACTLY — the state runs on the
+    1e-9 integer z-grid, so the comparison is integer equality, not
+    tolerance (the float draft flipped a 6-dp rounding boundary at
+    sf1; this pin would catch any such drift at test scale too)."""
+    import math
     from collections import defaultdict
     from decimal import Decimal
 
     from binancedatapipelineinaws_spark.operators.timeseries import (
-        CUSUM_H,
-        CUSUM_SLACK,
+        CUSUM_H_NANO,
+        CUSUM_NANO,
+        CUSUM_SLACK_NANO,
     )
 
     rows = (
         spark.read.parquet(f"{SF}/events.parquet")
-        .selectExpr("event_type", "CAST(ts AS DATE) AS day", "value")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(CAST(value AS DECIMAL(18,6)) AS STRING) AS v6",
+        )
         .collect()
     )
     acc = defaultdict(lambda: [Decimal(0), 0])
     for r in rows:
         a = acc[(r["event_type"], r["day"])]
-        a[0] += Decimal(str(round(float(r["value"]), 6)))
+        a[0] += Decimal(r["v6"])
         a[1] += 1
     series = defaultdict(list)
     for (et, day), (s, n) in acc.items():
@@ -2137,21 +2144,27 @@ def test_cusum_drift_matches_python_recurrence(spark):
     for et, pts in series.items():
         xs = [m for _, m in sorted(pts)]
         n = len(xs)
-        mu = sum(xs) / n
-        sigma = (sum((x - mu) ** 2 for x in xs) / n) ** 0.5
-        sp = sn = 0.0
+        mu = 0.0
+        for x in xs:
+            mu += x
+        mu /= n
+        var = 0.0
+        for x in xs:
+            var += (x - mu) * (x - mu)
+        sigma = math.sqrt(var / n)
+        sp = sn = 0
         alarms = 0
         for x in xs:
-            z = (x - mu) / sigma
-            sp = max(0.0, sp + z - CUSUM_SLACK)
-            sn = max(0.0, sn - z - CUSUM_SLACK)
-            if sp > CUSUM_H or sn > CUSUM_H:
+            zi = math.floor((x - mu) / sigma * CUSUM_NANO)
+            sp = max(0, sp + zi - CUSUM_SLACK_NANO)
+            sn = max(0, sn - zi - CUSUM_SLACK_NANO)
+            if sp > CUSUM_H_NANO or sn > CUSUM_H_NANO:
                 alarms += 1
-                sp = sn = 0.0
+                sp = sn = 0
         g = got[et]
         assert g["n_days"] == n
-        assert abs(g["mu"] - round(mu, 6)) < 1e-5, et
-        assert abs(g["sigma"] - round(sigma, 6)) < 1e-5, et
-        assert abs(g["cusum_pos"] - round(sp, 6)) < 1e-4, et
-        assert abs(g["cusum_neg"] - round(sn, 6)) < 1e-4, et
+        assert abs(g["mu"] - round(mu, 6)) < 1e-9, et
+        assert abs(g["sigma"] - round(sigma, 6)) < 1e-9, et
+        assert g["cusum_pos_nano"] == sp, et
+        assert g["cusum_neg_nano"] == sn, et
         assert g["n_alarms"] == alarms, et
