@@ -1063,3 +1063,13 @@ def test_pagerank_iterations_are_partial_aggregated(spark):
     assert "CartesianProduct" not in plan
     bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
     assert not bad, bad
+
+
+def test_bloom_join_prune_probe_is_broadcast(spark):
+    # the probe must ride the fact scan: fingerprint set and truth
+    # dim both broadcast, no fact-side Exchange before the joins
+    plan = _plan(queries()["q_ext_bloom_join_prune"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    head, _, _rest = plan.partition("BroadcastExchange")
+    assert "Exchange hashpartitioning" not in head, head
