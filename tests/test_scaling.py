@@ -406,3 +406,34 @@ def test_covariance_partials_constant_per_partition(spark):
         }
         partials.unpersist()
     assert totals[1] == totals[4] == totals[16]
+
+
+def test_copurchase_edge_volume_linear_in_baskets(spark):
+    """The graph kernels' one quadratic-risk point is the basket
+    self-join that builds the co-purchase edge list: its row volume
+    is sum over baskets of width^2, which must grow LINEARLY in the
+    number of baskets for bounded basket width (never with part
+    popularity).  Measured: the pre-support pair count at k vs 4k
+    orders must grow <= ~5x (4x linear + tie noise) — a hub-keyed
+    join here would grow ~16x."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    def pair_volume(n_orders: int) -> int:
+        op = (
+            li.join(
+                li.select("l_orderkey").distinct().limit(n_orders),
+                "l_orderkey",
+            )
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = op.selectExpr("l_orderkey AS ok", "l_partkey AS pa")
+        b = op.selectExpr("l_orderkey AS ok2", "l_partkey AS pb")
+        return a.join(
+            b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb"))
+        ).count()
+
+    v1 = pair_volume(90)
+    v4 = pair_volume(360)
+    assert v1 > 0
+    assert v4 <= 5 * v1, (v1, v4)
