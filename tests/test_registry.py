@@ -179,3 +179,27 @@ def test_every_oracle_plans_in_duckdb():
         except Exception as e:  # noqa: BLE001 - collect all failures
             bad[name] = str(e).splitlines()[0]
     assert not bad, bad
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py is executed by the DRIVER; a renamed or typo'd
+    headline entry would fail the round's bench run, not a local
+    test — pin every name against the registry here."""
+    import bench
+
+    from binancedatapipelineinaws_spark.registry import all_specs
+
+    specs = all_specs()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
+
+
+def test_every_registered_query_has_an_oracle():
+    """r8 milestone worth pinning: zero rows-only checks remain — a
+    new rows-only registration should be a conscious, reviewed
+    decision (envelope-pin it instead, see q_ext_hll_union_error)."""
+    from binancedatapipelineinaws_spark.registry import all_specs
+
+    no_oracle = [n for n, s in all_specs().items() if s.oracle is None]
+    assert no_oracle == [], no_oracle
