@@ -330,3 +330,48 @@ def test_trade_json_to_wire_contract():
     assert ws.trade_json_to_wire("not json") is None
     assert ws.trade_json_to_wire('{"result": null, "id": 1}') is None
     assert ws.trade_json_to_wire(json.dumps({"e": "aggTrade"})) is None
+
+
+def test_frame_codec_roundtrip_all_length_forms():
+    """Property-style codec check over a loopback socket pair: random
+    payload sizes spanning all three length encodings (7-bit, 16-bit,
+    and the 64-bit form >= 65536 bytes — unexercised by the pipeline
+    tests), random fragmentation splits, pings interleaved; every
+    message must reassemble byte-identically and in order."""
+    import random
+
+    rng = random.Random(8)
+    sizes = [0, 1, 125, 126, 127, 65535, 65536, 70_001] + [
+        rng.randrange(0, 3000) for _ in range(10)
+    ]
+    payloads = [bytes(rng.randrange(256) for _ in range(min(n, 2048))) * max(1, n // max(1, min(n, 2048))) for n in sizes]
+    payloads = [p[:n] for p, n in zip(payloads, sizes)]
+
+    a, b = socket.socketpair()
+    try:
+        wire = b""
+        for i, p in enumerate(payloads):
+            if i % 3 == 2 and len(p) > 1:
+                # fragment: text + continuation
+                cut = rng.randrange(1, len(p))
+                wire += _server_frame(ws.OP_BINARY, p[:cut], fin=False)
+                wire += _server_frame(ws.OP_CONT, p[cut:])
+            else:
+                wire += _server_frame(ws.OP_BINARY, p)
+            if i % 4 == 1:
+                wire += _server_frame(ws.OP_PING, b"p%d" % i)
+        wire += _server_frame(ws.OP_CLOSE, struct.pack(">H", 1000))
+
+        def feed():
+            a.sendall(wire)
+
+        t = threading.Thread(target=feed)
+        t.start()
+        conn = ws.WSConn(b)
+        got = [p for op, p in ws.recv_messages(conn) if op == ws.OP_BINARY]
+        t.join(timeout=30)
+        assert [len(g) for g in got] == [len(p) for p in payloads]
+        assert got == payloads
+    finally:
+        a.close()
+        b.close()
