@@ -1911,8 +1911,11 @@ def q_ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
-    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
-    return (
-        support.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rk") <= PATH_TOP_K)
+    # top-k via orderBy().limit() = TakeOrderedAndProject (no global
+    # single-partition window over the full support table); the rank
+    # column is then a window over just the k surviving rows
+    top = support.orderBy(F.col("n_sessions").desc(), "path").limit(
+        PATH_TOP_K
     )
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.withColumn("rk", F.row_number().over(wr).cast("long"))
