@@ -45,6 +45,7 @@ def _load_all() -> None:
         analytics,
         cdc,
         graph,
+        indicators,
         joins,
         pipeline_ops,
         scalar_fns,
