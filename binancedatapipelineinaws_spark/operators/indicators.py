@@ -75,7 +75,6 @@ def _candles_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume in 1e-5 units (x1e5 BIGINT), plus the session day — the
     exact-arithmetic substrate every indicator below rolls over."""
     btc = btcusdt(spark, sf_dir)
-    key = F.struct(F.col("time"), F.col("bid"))
     pticks = btc.select(
         F.window("time", "1 minute").start.alias("m"),
         "time",
@@ -448,4 +447,293 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
             / float(STOCH_D),
             5,
         ).alias("pct_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# recurrence pair: Wilder RSI and MACD
+# ---------------------------------------------------------------------------
+# Both are sequential recurrences over the day's close series — the
+# q_ext_holt_smoothing machinery: per-day collect-sorted bars, a
+# struct-accumulator fold (snapshot semantics), and a RECURSIVE-CTE
+# oracle (DuckDB 1.0's list_reduce struct lambdas update the
+# accumulator IN PLACE — probed in r8 — so only the CTE's snapshot
+# SELECT matches Spark's fold).
+#
+# Exactness: the state is BIGINT FIXED-POINT, not double.  A first cut
+# ran the EMAs as double recurrences with identical literals and trees
+# in both engines, and STILL flipped 1/8961 rows at sf0.01 — the two
+# runtimes contract a*x + b*e differently (FMA), so "identical
+# expression tree" is not a bit-equality guarantee for chained float
+# arithmetic.  The EMA/Wilder coefficients are rational (2/13, 2/27,
+# 2/10, 1/14), so the recurrences run exactly as scaled-integer
+# truncating division — `div` (Spark) and `//` (DuckDB) both truncate
+# toward zero (probed: -7//5 = -1 in both) — and outputs quantize to
+# the display grid with a half-away-from-zero integer step.  The
+# truncation bias is a geometric tail of <= ~30 fixed-point ulps
+# (1e-9 cents for MACD, 1e-5 cents for RSI), orders of magnitude
+# below the display grids.
+#
+# 100 TB: the fold state is O(1) per day and the per-day series is
+# calendar-bounded (<= 1440 bars), so work is (days x 1440) regardless
+# of tick volume, parallel across days; DuckDB recursion depth is
+# likewise <= 1440.  Fixed-point headroom: MACD state = cents x 1e9
+# (overflows int64 only past ~$3M prices), RSI final step needs
+# 2e7 x ag_fp < 9.2e18, i.e. avg per-bar move < ~$46k — both far
+# outside the data contract (price = value*0.997 + 20000).
+
+RSI_N = 14
+_RSI_FP = 100_000  # RSI state scale: cents x 1e5
+
+# per-day bar/minute list CTE shared by both recurrences
+_BARS_CTE = (
+    _CANDLES_CTE
+    + """
+, bars AS (
+  SELECT day, list(close_c ORDER BY m) AS xs, list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+)
+"""
+)
+
+# Spark-SQL fragments for the RSI fold (shared shape with the oracle).
+_RSI_SEED_AG = (
+    "(aggregate(transform(sequence(2, 15), "
+    "j -> greatest(element_at(xs, j) - element_at(xs, j - 1), 0L)), "
+    "0L, (a, x) -> a + x) * 100000L) div 14"
+)
+_RSI_SEED_AL = (
+    "(aggregate(transform(sequence(2, 15), "
+    "j -> greatest(element_at(xs, j - 1) - element_at(xs, j), 0L)), "
+    "0L, (a, x) -> a + x) * 100000L) div 14"
+)
+_RSI_NEW_AG = (
+    "((acc.ag * 13L + greatest(element_at(xs, i) - element_at(xs, i - 1), 0L)"
+    " * 100000L) div 14)"
+)
+_RSI_NEW_AL = (
+    "((acc.al * 13L + greatest(element_at(xs, i - 1) - element_at(xs, i), 0L)"
+    " * 100000L) div 14)"
+)
+
+
+def _rsi_out(ag: str, al: str) -> str:
+    # round-half-up integer grid: (2e7*ag + tot) div (2*tot) ==
+    # floor(1e7*ag/tot + 0.5) for the non-negative ag/al; NULL on an
+    # all-flat history (tot = 0)
+    return (
+        f"CAST((20000000L * ({ag}) + (({ag}) + ({al}))) "
+        f"div nullif(2L * (({ag}) + ({al})), 0L) AS DOUBLE) / 100000.0D"
+    )
+
+
+_RSI_FOLD = f"""
+aggregate(
+  CASE WHEN size(xs) >= {RSI_N + 2} THEN sequence({RSI_N + 2}, size(xs))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct('ag', {_RSI_SEED_AG}, 'al', {_RSI_SEED_AL},
+               'out', array({_rsi_out(_RSI_SEED_AG, _RSI_SEED_AL)})),
+  (acc, i) -> named_struct(
+     'ag', {_RSI_NEW_AG},
+     'al', {_RSI_NEW_AL},
+     'out', concat(acc.out, array({_rsi_out(_RSI_NEW_AG, _RSI_NEW_AL)}))
+  )
+).out
+"""
+
+
+@register(
+    "q_ext_rsi",
+    oracle="WITH RECURSIVE "
+    + _BARS_CTE
+    + f"""
+, eligible AS (
+  SELECT day, xs, ms FROM bars WHERE len(xs) >= {RSI_N + 1}
+), st AS (
+  -- BIGINT fixed-point state (cents x 1e5): Wilder-smoothed avg
+  -- gain/loss over deltas d_j = xs[j] - xs[j-1]; seed = simple mean
+  -- of the first {RSI_N} deltas.  `//` truncates toward zero exactly
+  -- like Spark's `div`; all state is non-negative so the recurrences
+  -- are bit-identical integer machines in both engines.
+  SELECT day, CAST({RSI_N + 1} AS BIGINT) AS i,
+         (CAST(list_sum(list_transform(generate_series(2, {RSI_N + 1}),
+                j -> greatest(xs[j] - xs[j - 1], 0))) AS BIGINT)
+          * {_RSI_FP}) // {RSI_N} AS ag,
+         (CAST(list_sum(list_transform(generate_series(2, {RSI_N + 1}),
+                j -> greatest(xs[j - 1] - xs[j], 0))) AS BIGINT)
+          * {_RSI_FP}) // {RSI_N} AS al
+  FROM eligible
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         (s.ag * {RSI_N - 1} + greatest(e.xs[s.i + 1] - e.xs[s.i], 0)
+          * {_RSI_FP}) // {RSI_N},
+         (s.al * {RSI_N - 1} + greatest(e.xs[s.i] - e.xs[s.i + 1], 0)
+          * {_RSI_FP}) // {RSI_N}
+  FROM st s JOIN eligible e ON e.day = s.day
+  WHERE s.i < len(e.xs)
+)
+SELECT e.ms[s.i] AS minute_start,
+       -- round-half-up integer grid, then ONE exact final division
+       -- (numerator <= 1e7 is double-exact); engine round() on chained
+       -- float state flipped rows at this precision, integers cannot
+       CAST((20000000 * s.ag + (s.ag + s.al))
+            // nullif(2 * (s.ag + s.al), 0) AS DOUBLE) / 100000.0 AS rsi
+FROM st s JOIN eligible e ON e.day = s.day
+""",
+)
+def q_ext_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI(14) per session day in exact BIGINT fixed-point
+    (cents x 1e5): average gain / average loss over close-to-close
+    deltas, seeded with the simple mean of the first 14 deltas, then
+    the Wilder recurrence avg' = (avg*13 + x*FP) div 14 with
+    truncating integer division — identical semantics in Spark (`div`)
+    and DuckDB (`//`), so the state is bit-equal by construction, not
+    by float luck (the MACD first cut proved identical double trees
+    still diverge under FMA contraction).  RSI = 100*ag/(ag+al)
+    quantized half-up to 5 dp on the integer grid; NULL on an all-flat
+    history.  Emits one row per bar from bar 15 on.  Fixed-point
+    headroom and the 100 TB shape are in the block comment above."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    bars = c.groupBy("day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
+            lambda s: s["close_c"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
+            lambda s: s["m"],
+        ).alias("ms"),
+    )
+    elig = bars.filter(F.size("xs") >= RSI_N + 1)
+    exploded = elig.select(
+        "ms", F.posexplode(F.expr(_RSI_FOLD)).alias("pos", "rsi")
+    )
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + RSI_N + 1).alias(
+            "minute_start"
+        ),
+        "rsi",
+    )
+
+
+MACD_FAST = 12
+MACD_SLOW = 26
+MACD_SIG = 9
+_MACD_FP = 1_000_000_000  # MACD state scale: cents x 1e9
+
+# Spark-SQL fragments for the MACD fold.  EMA coefficients are exact
+# rationals (2/13, 2/27, 2/10 -> 1/5 after reduction), so each update
+# is one integer multiply-add and one truncating division.
+_MACD_X = "(element_at(xs, i) * 1000000000L)"
+_MACD_NEW_E12 = f"((2L * {_MACD_X} + 11L * acc.e12) div 13)"
+_MACD_NEW_E26 = f"((2L * {_MACD_X} + 25L * acc.e26) div 27)"
+_MACD_LINE = f"({_MACD_NEW_E12} - {_MACD_NEW_E26})"
+_MACD_NEW_SIG = f"(({_MACD_LINE} + 4L * acc.sig) div 5)"
+
+_MACD_FOLD = f"""
+aggregate(
+  CASE WHEN size(xs) >= 2 THEN sequence(2, size(xs))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct('e12', element_at(xs, 1) * 1000000000L,
+               'e26', element_at(xs, 1) * 1000000000L,
+               'sig', 0L,
+               'out', array(named_struct('line', 0L, 'sig', 0L))),
+  (acc, i) -> named_struct(
+    'e12', {_MACD_NEW_E12},
+    'e26', {_MACD_NEW_E26},
+    'sig', {_MACD_NEW_SIG},
+    'out', concat(acc.out,
+                  array(named_struct('line', {_MACD_LINE},
+                                     'sig', {_MACD_NEW_SIG})))
+  )
+).out
+"""
+
+
+def _q6(a: str) -> str:
+    """Half-away-from-zero quantization of a cents x 1e9 fixed-point
+    value to the 6-dp dollar grid (1e-6 $ = 1e5 fp units), entirely in
+    integers, then ONE exact final division (quotient <= ~1e9 is
+    double-exact).  Same text works in Spark SQL and DuckDB modulo the
+    div operator, handled by the caller."""
+    return (
+        f"CAST((({a}) + (CASE WHEN ({a}) >= 0 THEN 50000 ELSE -50000 END))"
+        f" DIVOP 100000 AS DOUBLE) / 1000000.0"
+    )
+
+
+@register(
+    "q_ext_macd",
+    oracle="WITH RECURSIVE "
+    + _BARS_CTE
+    + f"""
+, st AS (
+  -- BIGINT fixed-point EMAs in cents x 1e9 (linear, so the /100
+  -- display division commutes to the end); seeded at bar 1 with the
+  -- first close, signal seeded 0 — the standard chart convention.
+  -- Coefficients are exact rationals: e' = (2x + 11e)//13 (fast),
+  -- (2x + 25e)//27 (slow), sig' = (line + 4 sig)//5.  `//` truncates
+  -- toward zero exactly like Spark's `div` (probed both on -7/5), so
+  -- the state is a bit-identical integer machine in both engines —
+  -- the double form of this very recurrence flipped 1/8961 rows at
+  -- sf0.01 under runtime FMA contraction.
+  SELECT day, CAST(1 AS BIGINT) AS i,
+         xs[1] * 1000000000 AS e12,
+         xs[1] * 1000000000 AS e26,
+         CAST(0 AS BIGINT) AS sig
+  FROM bars
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         (2 * (b.xs[s.i + 1] * 1000000000) + 11 * s.e12) // 13,
+         (2 * (b.xs[s.i + 1] * 1000000000) + 25 * s.e26) // 27,
+         (((2 * (b.xs[s.i + 1] * 1000000000) + 11 * s.e12) // 13)
+          - ((2 * (b.xs[s.i + 1] * 1000000000) + 25 * s.e26) // 27)
+          + 4 * s.sig) // 5
+  FROM st s JOIN bars b ON b.day = s.day
+  WHERE s.i < len(b.xs)
+)
+SELECT b.ms[s.i] AS minute_start,
+       {_q6("s.e12 - s.e26").replace("DIVOP", "//")} AS macd,
+       {_q6("s.sig").replace("DIVOP", "//")} AS signal,
+       {_q6("(s.e12 - s.e26) - s.sig").replace("DIVOP", "//")} AS histogram
+FROM st s JOIN bars b ON b.day = s.day
+""",
+)
+def q_ext_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) per session day in exact BIGINT fixed-point
+    (cents x 1e9): fast/slow EMAs of the close (seeded with the first
+    bar), MACD line = fast - slow, signal = 9-bar EMA of the line
+    (seeded 0), histogram = line - signal; one row per bar.  All three
+    EMAs advance in ONE fold / ONE recursive CTE as integer
+    multiply-add + truncating division (coefficients are the exact
+    rationals 2/13, 2/27, 1/5), making the state bit-identical across
+    engines by construction — the double form with identical literals
+    and trees still flipped 1/8961 rows at sf0.01 (FMA contraction).
+    Outputs quantize half-away-from-zero to the 6-dp dollar grid on
+    the integer state; truncation bias is a <= ~30-ulp geometric tail
+    at 1e-9 cents, invisible at the grid.  See the block comment for
+    the 100 TB shape and overflow headroom (~$3M prices)."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    bars = c.groupBy("day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
+            lambda s: s["close_c"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
+            lambda s: s["m"],
+        ).alias("ms"),
+    )
+    exploded = bars.select(
+        "ms", F.posexplode(F.expr(_MACD_FOLD)).alias("pos", "s")
+    )
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + 1).alias("minute_start"),
+        F.expr(_q6("s.line").replace("DIVOP", "div")).alias("macd"),
+        F.expr(_q6("s.sig").replace("DIVOP", "div")).alias("signal"),
+        F.expr(_q6("s.line - s.sig").replace("DIVOP", "div")).alias(
+            "histogram"
+        ),
     )
