@@ -1073,3 +1073,39 @@ def test_bloom_join_prune_probe_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     head, _, _rest = plan.partition("BroadcastExchange")
     assert "Exchange hashpartitioning" not in head, head
+
+
+def test_indicator_windows_day_partitioned_and_jvm_only(spark):
+    # the window indicators must stay whole-JVM (no Python eval in the
+    # hot path), partial-aggregate the candle rollup map-side, and run
+    # their frames as Window nodes over the day partitioning (never an
+    # unpartitioned global sort)
+    for qid, max_windows in [
+        ("q_ext_bollinger", 1),
+        ("q_ext_donchian", 1),
+        ("q_ext_obv", 2),       # lag + running sum share the day spec
+        ("q_ext_atr", 2),       # lag window + rolling-mean frame
+        ("q_ext_stochastic", 2),  # %K frame + %D lag window
+    ]:
+        plan = _plan(queries()[qid](spark, SF))
+        assert "BatchEvalPython" not in plan, qid
+        assert "ArrowEvalPython" not in plan, qid
+        assert "partial_" in plan, qid  # candle rollup map-side combine
+        n_win = plan.count(" Window [")
+        assert 1 <= n_win <= max_windows, (qid, n_win)
+        # every Window node is partitioned (by day): the plan renders
+        # an unpartitioned spec as `Window [...], [ord...]` with an
+        # empty partition list `[], [`
+        assert "], [], [" not in plan, qid
+
+
+def test_recurrence_folds_are_generate_projections(spark):
+    # RSI/MACD run the fold inside a project over the day-grouped
+    # arrays and explode the result: no Window nodes, no Python, one
+    # aggregate for the bars collect
+    for qid in ["q_ext_rsi", "q_ext_macd"]:
+        plan = _plan(queries()[qid](spark, SF))
+        assert "BatchEvalPython" not in plan, qid
+        assert "ArrowEvalPython" not in plan, qid
+        assert " Window [" not in plan, qid
+        assert "Generate posexplode" in plan, qid

@@ -2168,3 +2168,202 @@ def test_cusum_drift_matches_python_recurrence(spark):
         assert g["cusum_pos_nano"] == sp, et
         assert g["cusum_neg_nano"] == sn, et
         assert g["n_alarms"] == alarms, et
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Spark `div` /
+    DuckDB `//` semantics; Python's // floors, so negatives differ."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _candles_cents(spark, sf):
+    """Minute candles in exact cents from the canonical tick table,
+    rebuilt in plain Python as the independent semantics pin."""
+    from collections import defaultdict
+
+    rows = btcusdt(spark, sf).collect()
+    by_min = defaultdict(list)
+    for r in rows:
+        m = r["time"].replace(second=0, microsecond=0)
+        by_min[m].append(
+            (r["time"], r["bid"], round(r["price"] * 100), round(r["quantity"] * 100000))
+        )
+    out = {}
+    for m, ticks in by_min.items():
+        ticks.sort(key=lambda t: (t[0], t[1]))
+        out[m] = {
+            "open": ticks[0][2],
+            "high": max(t[2] for t in ticks),
+            "low": min(t[2] for t in ticks),
+            "close": ticks[-1][2],
+            "vol": sum(t[3] for t in ticks),
+        }
+    return out
+
+
+def test_rsi_matches_python_fixed_point_recurrence(spark):
+    """From-scratch Python replay of the BIGINT fixed-point Wilder
+    recurrence must reproduce q_ext_rsi EXACTLY (integer state, so the
+    comparison is equality on the 5-dp grid, not tolerance) — pins the
+    semantics independently of both SQL dialects and of the FMA issue
+    that sank the double form."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        RSI_N,
+        _RSI_FP,
+    )
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]["close"]))
+    expected = {}
+    for day, bars in days.items():
+        if len(bars) < RSI_N + 1:
+            continue
+        xs = [c for _, c in bars]
+        gains = [max(xs[j] - xs[j - 1], 0) for j in range(1, len(xs))]
+        losses = [max(xs[j - 1] - xs[j], 0) for j in range(1, len(xs))]
+        ag = _tdiv(sum(gains[:RSI_N]) * _RSI_FP, RSI_N)
+        al = _tdiv(sum(losses[:RSI_N]) * _RSI_FP, RSI_N)
+        for i in range(RSI_N, len(xs)):
+            if i > RSI_N:
+                ag = _tdiv(ag * (RSI_N - 1) + gains[i - 1] * _RSI_FP, RSI_N)
+                al = _tdiv(al * (RSI_N - 1) + losses[i - 1] * _RSI_FP, RSI_N)
+            tot = ag + al
+            rsi = (
+                None
+                if tot == 0
+                else _tdiv(20000000 * ag + tot, 2 * tot) / 100000.0
+            )
+            expected[bars[i][0]] = rsi
+    got = {
+        r["minute_start"]: r["rsi"]
+        for r in queries()["q_ext_rsi"](spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    assert got == expected  # exact: integer state both sides
+
+
+def test_macd_matches_python_fixed_point_recurrence(spark):
+    """Python replay of the cents x 1e9 EMA machine must reproduce
+    q_ext_macd exactly (see RSI twin)."""
+    from collections import defaultdict
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]["close"]))
+
+    def q6(a):
+        return _tdiv(a + (50000 if a >= 0 else -50000), 100000) / 1000000.0
+
+    expected = {}
+    for day, bars in days.items():
+        e12 = e26 = bars[0][1] * 1_000_000_000
+        sig = 0
+        expected[bars[0][0]] = (0.0, 0.0, 0.0)
+        for m, c in bars[1:]:
+            x = c * 1_000_000_000
+            e12 = _tdiv(2 * x + 11 * e12, 13)
+            e26 = _tdiv(2 * x + 25 * e26, 27)
+            line = e12 - e26
+            sig = _tdiv(line + 4 * sig, 5)
+            expected[m] = (q6(line), q6(sig), q6(line - sig))
+    got = {
+        r["minute_start"]: (r["macd"], r["signal"], r["histogram"])
+        for r in queries()["q_ext_macd"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_bollinger_matches_python_moments(spark):
+    """Naive per-window Python mean/stddev over the cents series must
+    match the component-sum form within the 6-dp grid."""
+    import math
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        BOLL_K,
+        BOLL_N,
+    )
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]["close"]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_bollinger"](spark, SF).collect()
+    }
+    n_expected = 0
+    for day, bars in days.items():
+        for i in range(len(bars)):
+            w = [c for _, c in bars[max(0, i - BOLL_N + 1) : i + 1]]
+            if len(w) < 2:
+                continue
+            n_expected += 1
+            mu = sum(w) / len(w)
+            sd = math.sqrt(
+                sum((x - mu) ** 2 for x in w) / (len(w) - 1)
+            )
+            g = got[bars[i][0]]
+            assert g["n"] == len(w)
+            assert abs(g["sma"] - mu / 100.0) < 1e-6
+            assert abs(g["upper_band"] - (mu + BOLL_K * sd) / 100.0) < 1e-5
+            assert abs(g["lower_band"] - (mu - BOLL_K * sd) / 100.0) < 1e-5
+    assert len(got) == n_expected
+
+
+def test_obv_matches_python_prefix_sums(spark):
+    """OBV is an exact integer machine: Python prefix sums over signed
+    minute volumes must equal obv_u exactly."""
+    from collections import defaultdict
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_obv"](spark, SF).collect()
+    }
+    for day, bars in days.items():
+        obv = 0
+        prev = None
+        for m, c in bars:
+            d = 0 if prev is None else (c["close"] > prev) - (c["close"] < prev)
+            obv += d * c["vol"]
+            prev = c["close"]
+            assert got[m]["direction"] == d
+            assert got[m]["obv_u"] == obv
+    assert len(got) == sum(len(b) for b in days.values())
+
+
+def test_stochastic_atr_donchian_invariants(spark):
+    """Cross-indicator invariants on the shared candle layer:
+    %K in [0, 100] (or NULL), ATR >= the bar's own high-low range
+    divided by the window only when.. (ATR is a mean of TRs, each >=
+    that bar's high-low, so ATR >= 0 and true_range >= 0), Donchian
+    flags consistent with their channel."""
+    st = queries()["q_ext_stochastic"](spark, SF)
+    bad_k = st.filter(
+        F.col("pct_k").isNotNull()
+        & ((F.col("pct_k") < 0) | (F.col("pct_k") > 100))
+    )
+    assert bad_k.count() == 0
+
+    atr = queries()["q_ext_atr"](spark, SF)
+    assert atr.filter(
+        (F.col("true_range") < 0) | (F.col("atr") < 0)
+    ).count() == 0
+
+    don = queries()["q_ext_donchian"](spark, SF)
+    bad = don.filter(
+        (F.col("upper_ch") < F.col("lower_ch"))
+        | ((F.col("breakout_up") == 1) & (F.col("close") <= F.col("upper_ch")))
+        | ((F.col("breakout_down") == 1) & (F.col("close") >= F.col("lower_ch")))
+    )
+    assert bad.count() == 0
