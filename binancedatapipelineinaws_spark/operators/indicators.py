@@ -737,3 +737,216 @@ def q_ext_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "histogram"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# microstructure trio: order-flow imbalance, Roll spread, Amihud
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_flow_imbalance",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, f AS (
+  SELECT date_trunc('minute', "time") AS m,
+         CAST(sum(CASE WHEN maker = 0
+                       THEN CAST(round(quantity * 100000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS buy_u,
+         CAST(sum(CASE WHEN maker = 1
+                       THEN CAST(round(quantity * 100000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sell_u,
+         CAST(sum(CASE WHEN maker = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS buy_trades,
+         CAST(sum(CASE WHEN maker = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sell_trades
+  FROM btcusdt GROUP BY 1
+)
+SELECT m AS minute_start, buy_u, sell_u, buy_trades, sell_trades,
+       -- one closing double ratio over exact integers; +0.0
+       -- canonicalizes the signed zero of an all-sell minute
+       round(CAST(buy_u - sell_u AS DOUBLE)
+             / nullif(CAST(buy_u + sell_u AS DOUBLE), 0), 6) + 0.0
+         AS imbalance
+FROM f
+""",
+)
+def q_ext_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute order-flow imbalance from the aggressor side: the
+    reference's `m` flag (is_buyer_maker, main.py:57-59) marks the
+    passive side, so maker=0 rows are taker BUYS.  Exact 1e-5-unit
+    BIGINT volume sums per side, one uniform minute-bucket shuffle
+    (map-side combined), and a single closing ratio — the flow signal
+    VPIN-style toxicity metrics build on."""
+    prepare(spark)
+    btc = btcusdt(spark, sf_dir)
+    qty_u = F.round(F.col("quantity") * 100000, 0).cast("long")
+    is_buy = F.col("maker") == 0
+    f = btc.groupBy(
+        F.window("time", "1 minute").start.alias("minute_start")
+    ).agg(
+        F.sum(F.when(is_buy, qty_u).otherwise(F.lit(0))).alias("buy_u"),
+        F.sum(F.when(~is_buy, qty_u).otherwise(F.lit(0))).alias("sell_u"),
+        F.sum(F.when(is_buy, 1).otherwise(0)).cast("long").alias(
+            "buy_trades"
+        ),
+        F.sum(F.when(~is_buy, 1).otherwise(0)).cast("long").alias(
+            "sell_trades"
+        ),
+    )
+    num = (F.col("buy_u") - F.col("sell_u")).cast("double")
+    den = (F.col("buy_u") + F.col("sell_u")).cast("double")
+    return f.select(
+        "minute_start",
+        "buy_u",
+        "sell_u",
+        "buy_trades",
+        "sell_trades",
+        (F.round(num / F.when(den != 0, den), 6) + F.lit(0.0)).alias(
+            "imbalance"
+        ),
+    )
+
+
+@register(
+    "q_ext_roll_spread",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, d AS (
+  SELECT day, close_c - lag(close_c) OVER dw AS x,
+         lag(close_c) OVER dw - lag(close_c, 2) OVER dw AS y
+  FROM candles
+  WINDOW dw AS (PARTITION BY day ORDER BY m)
+), s AS (
+  -- exact BIGINT component sums over cents deltas (|d| bounded by the
+  -- day's price range; products <= ~3e9 x 1440 rows, inside int64)
+  SELECT day, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM d WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_pairs,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS autocov,
+       CASE WHEN (sxy - sx * sy / n) / (n - 1) < 0
+            THEN round(2 * sqrt(-((sxy - sx * sy / n) / (n - 1))) / 100.0, 6)
+       END AS roll_spread
+FROM s WHERE n > 1
+""",
+)
+def q_ext_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied effective spread per session day: 2*sqrt(-cov)
+    of adjacent close-to-close changes (Roll 1984 — bid-ask bounce
+    makes successive price changes negatively autocorrelated, and the
+    magnitude prices the spread).  Sample autocovariance from exact
+    BIGINT component sums over cents deltas; NULL spread when the
+    autocovariance is non-negative (trending day, no bounce signal) —
+    the standard convention.  Day emitted as TIMESTAMP per the
+    q_ext_drawdown dtype note."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    dw = Window.partitionBy("day").orderBy("m")
+    d = c.select(
+        "day",
+        (F.col("close_c") - F.lag("close_c").over(dw)).alias("x"),
+        (F.lag("close_c").over(dw) - F.lag("close_c", 2).over(dw)).alias(
+            "y"
+        ),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    s = d.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    ).filter(F.col("n") > 1)
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        F.col("day").cast("timestamp").alias("day"),
+        n.cast("long").alias("n_pairs"),
+        F.round(cov, 6).alias("autocov"),
+        F.when(cov < 0, F.round(2 * F.sqrt(-cov) / 100.0, 6)).alias(
+            "roll_spread"
+        ),
+    )
+
+
+@register(
+    "q_ext_amihud",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, dv AS (
+  -- exact decimal dollar volume per minute: DECIMAL(18,2) price x
+  -- DECIMAL(18,5) quantity products summed in decimal (int64 would
+  -- overflow at ~3e18 unit-products per day)
+  SELECT date_trunc('minute', "time") AS m,
+         sum(CAST(price AS DECIMAL(18,2)) * CAST(quantity AS DECIMAL(18,5)))
+           AS dollar_vol
+  FROM btcusdt GROUP BY 1
+), byday AS (
+  SELECT c.day,
+         min(c.m) AS first_m, max(c.m) AS last_m,
+         CAST(sum(dv.dollar_vol) AS DOUBLE) AS dollar_vol,
+         CAST(count(*) AS BIGINT) AS n_minutes
+  FROM candles c JOIN dv ON dv.m = c.m
+  GROUP BY c.day
+), oc AS (
+  SELECT b.day, b.dollar_vol, b.n_minutes,
+         fc.open_c AS open_c, lc.close_c AS close_c
+  FROM byday b
+  JOIN candles fc ON fc.m = b.first_m
+  JOIN candles lc ON lc.m = b.last_m
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_minutes,
+       round(dollar_vol, 2) AS dollar_vol,
+       round(abs(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE) - 1)
+             / nullif(dollar_vol, 0) * 1e9, 6) AS amihud_x1e9
+FROM oc
+""",
+)
+def q_ext_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per session day: |open-to-close return| per
+    dollar of volume (x1e9 for a readable scale) — the standard
+    price-impact proxy.  Dollar volume is summed in exact DECIMAL
+    (price x quantity products are exact 7-dp decimals; int64
+    fixed-point would overflow at day volume), the return comes from
+    the exact cents open/close, and the closing ratio is one shared
+    double tree.  Plan: candle aggregate reused, one extra
+    minute-bucket decimal aggregate, day rollup + two
+    first/last-minute self-joins on the tiny candle layer."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir).persist()
+    btc = btcusdt(spark, sf_dir)
+    from binancedatapipelineinaws_spark.operators._util import dec
+
+    dv = btc.groupBy(
+        F.window("time", "1 minute").start.alias("m")
+    ).agg(F.sum(dec("price", 2) * dec("quantity", 5)).alias("dollar_vol"))
+    byday = (
+        c.join(dv, "m")
+        .groupBy("day")
+        .agg(
+            F.min("m").alias("first_m"),
+            F.max("m").alias("last_m"),
+            F.sum("dollar_vol").cast("double").alias("dollar_vol"),
+            F.count("*").cast("long").alias("n_minutes"),
+        )
+    )
+    fc = c.select(F.col("m").alias("first_m"), F.col("open_c"))
+    lc = c.select(F.col("m").alias("last_m"), F.col("close_c"))
+    oc = byday.join(fc, "first_m").join(lc, "last_m")
+    ret = F.abs(
+        F.col("close_c").cast("double") / F.col("open_c").cast("double") - 1
+    )
+    dvol = F.col("dollar_vol")
+    return oc.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_minutes",
+        F.round(dvol, 2).alias("dollar_vol"),
+        F.round(ret / F.when(dvol != 0, dvol) * 1e9, 6).alias(
+            "amihud_x1e9"
+        ),
+    )
