@@ -2367,3 +2367,76 @@ def test_stochastic_atr_donchian_invariants(spark):
         | ((F.col("breakout_down") == 1) & (F.col("close") >= F.col("lower_ch")))
     )
     assert bad.count() == 0
+
+
+def test_flow_imbalance_partitions_candle_volume(spark):
+    """Per-minute buy+sell legs must partition the candle volume and
+    trade count exactly (integer equality), and the imbalance must lie
+    in [-1, 1]."""
+    fi = queries()["q_ext_flow_imbalance"](spark, SF)
+    candles = _candles_cents(spark, SF)
+    rows = fi.collect()
+    assert len(rows) == len(candles)
+    for r in rows:
+        c = candles[r["minute_start"]]
+        assert r["buy_u"] + r["sell_u"] == c["vol"]
+        assert r["imbalance"] is None or -1.0 <= r["imbalance"] <= 1.0
+
+
+def test_roll_spread_matches_python_cov(spark):
+    """Python replay of the per-day delta autocovariance (exact integer
+    component sums, then the same closing algebra) must match."""
+    from collections import defaultdict
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append(candles[m]["close"])
+    got = {
+        r["day"].date(): r
+        for r in queries()["q_ext_roll_spread"](spark, SF).collect()
+    }
+    for day, closes in days.items():
+        deltas = [b - a for a, b in zip(closes, closes[1:])]
+        pairs = list(zip(deltas[1:], deltas[:-1]))
+        if len(pairs) < 2:
+            assert day not in got
+            continue
+        n = len(pairs)
+        sx = float(sum(x for x, _ in pairs))
+        sy = float(sum(y for _, y in pairs))
+        sxy = float(sum(x * y for x, y in pairs))
+        cov = (sxy - sx * sy / n) / (n - 1)
+        g = got[day]
+        assert g["n_pairs"] == n
+        assert abs(g["autocov"] - round(cov, 6)) < 1e-9
+        if cov < 0:
+            assert abs(
+                g["roll_spread"] - round(2 * (-cov) ** 0.5 / 100.0, 6)
+            ) < 1e-9
+        else:
+            assert g["roll_spread"] is None
+
+
+def test_amihud_dollar_volume_exact_decimal(spark):
+    """Day dollar volume must equal the exact Decimal replay over the
+    canonical ticks, and the illiquidity ratio must be non-negative."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = btcusdt(spark, SF).collect()
+    dv = defaultdict(Decimal)
+    for r in rows:
+        day = r["time"].date()
+        dv[day] += Decimal(f"{r['price']:.2f}") * Decimal(
+            f"{r['quantity']:.5f}"
+        )
+    got = {
+        r["day"].date(): r
+        for r in queries()["q_ext_amihud"](spark, SF).collect()
+    }
+    assert set(got) == set(dv)
+    for day, vol in dv.items():
+        g = got[day]
+        assert abs(g["dollar_vol"] - round(float(vol), 2)) < 1e-6
+        assert g["amihud_x1e9"] is None or g["amihud_x1e9"] >= 0
