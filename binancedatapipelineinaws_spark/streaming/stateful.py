@@ -558,3 +558,87 @@ def holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# The streaming twin of the oracle-gated MACD batch fold (operators/
+# indicators.py:q_ext_macd): state per session day is the BIGINT
+# fixed-point (e12, e26, sig, n) machine — O(1), and EXACT: the batch
+# fold is integer arithmetic (cents x 1e9, truncating division), so an
+# in-order replay of this kernel equals the batch query bit-for-bit,
+# no rounding tolerance (tests/test_streaming.py), a strictly stronger
+# parity than the float Holt twin's 6-dp equality.
+
+MACD_STREAM_SCHEMA = (
+    "day date, n_bars long, macd double, signal double, histogram double"
+)
+MACD_STREAM_STATE_SCHEMA = "e12 long, e26 long, sig long, n long"
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division toward zero — Spark `div` / DuckDB
+    `//` semantics (Python's // floors, which differs on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def make_macd_fn():
+    def macd_fn(key, pdfs, state):
+        import pandas as pd
+
+        (day,) = key
+        if state.exists:
+            e12, e26, sig, n = state.get
+        else:
+            e12, e26, sig, n = 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # whole-batch sort (the 63ebea5 determinism discipline)
+            batch = pd.concat(chunks).sort_values("m")
+            for c in batch["close_c"]:
+                x = int(c) * 1_000_000_000
+                n += 1
+                if n == 1:
+                    e12 = e26 = x
+                    sig = 0
+                else:
+                    # identical integer machine to the batch fold
+                    e12 = _tdiv(2 * x + 11 * e12, 13)
+                    e26 = _tdiv(2 * x + 25 * e26, 27)
+                    sig = _tdiv((e12 - e26) + 4 * sig, 5)
+        state.update((e12, e26, sig, n))
+
+        def q6(a: int) -> float:
+            return _tdiv(a + (50000 if a >= 0 else -50000), 100000) / 1e6
+
+        line = e12 - e26
+        yield pd.DataFrame(
+            {
+                "day": [day],
+                "n_bars": [n],
+                "macd": [q6(line)],
+                "signal": [q6(sig)],
+                "histogram": [q6(line - sig)],
+            }
+        )
+
+    return macd_fn
+
+
+def macd_stream(candles: DataFrame) -> DataFrame:
+    """Candle stream (m timestamp, close_c cents) -> per-day MACD
+    snapshots (one row per day per micro-batch; the max-n_bars row per
+    day is the final state)."""
+    from pyspark.sql import functions as F
+
+    keyed = candles.select(
+        F.col("m").cast("timestamp").alias("m"),
+        F.col("m").cast("date").alias("day"),
+        F.col("close_c").cast("long").alias("close_c"),
+    )
+    return keyed.groupBy("day").applyInPandasWithState(
+        make_macd_fn(),
+        outputStructType=MACD_STREAM_SCHEMA,
+        stateStructType=MACD_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
