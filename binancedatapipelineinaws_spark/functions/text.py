@@ -1112,3 +1112,91 @@ def q_ext_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n_tokens")) - F.col("clnc") / F.col("n_tokens"), 6
         ).alias("entropy"),
     )
+
+
+# --- readability -------------------------------------------------------------
+
+# vowel-run syllable proxy: each maximal [aeiouy]+ run counts one
+# syllable — the standard dictionary-free heuristic; RE2 (DuckDB) and
+# Java regex (Spark) agree on this simple class
+_VOWEL_RUN_RE = "[aeiouy]+"
+_SENT_RE = "[.!?]+"
+
+
+@register(
+    "q_ext_readability",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+       CAST(greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+            AS BIGINT) AS sentences,
+       CAST(len(regexp_extract_all(text, '{_VOWEL_RUN_RE}')) AS BIGINT)
+         AS syllables,
+       round(206.835
+             - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(text, '{_SENT_RE}')),
+                                   1))
+             - 84.6 * (CAST(len(regexp_extract_all(text, '{_VOWEL_RUN_RE}'))
+                            AS DOUBLE)
+                       / len(string_split(text, ' '))), 4) AS flesch,
+       CASE
+         WHEN 206.835
+              - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                         / greatest(len(regexp_extract_all(text, '{_SENT_RE}')),
+                                    1))
+              - 84.6 * (CAST(len(regexp_extract_all(text, '{_VOWEL_RUN_RE}'))
+                             AS DOUBLE)
+                        / len(string_split(text, ' '))) >= 70 THEN 'easy'
+         WHEN 206.835
+              - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                         / greatest(len(regexp_extract_all(text, '{_SENT_RE}')),
+                                    1))
+              - 84.6 * (CAST(len(regexp_extract_all(text, '{_VOWEL_RUN_RE}'))
+                             AS DOUBLE)
+                        / len(string_split(text, ' '))) >= 50 THEN 'standard'
+         ELSE 'difficult'
+       END AS band
+FROM documents
+""",
+)
+def q_ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from dictionary-free counts:
+    single-space word tokens (the q_ext_token_count convention),
+    sentence terminators with the standard max(.,1) fallback for
+    unpunctuated text, and a vowel-run syllable proxy.  The score and
+    its band gate training-corpus curation the same way quality_score
+    does, on a readability axis.
+
+    Map-only projection — three regexp scans per row, no shuffle at
+    all; the band CASE re-derives from the same double tree in both
+    engines so a boundary can't flip.  100 TB: embarrassingly
+    parallel, cost is the regexp passes."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), 0)),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all("text", F.lit(_VOWEL_RUN_RE), 0)
+    ).cast("long")
+    flesch_raw = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+    band = (
+        F.when(flesch_raw >= 70, "easy")
+        .when(flesch_raw >= 50, "standard")
+        .otherwise("difficult")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        F.round(flesch_raw, 4).alias("flesch"),
+        band.alias("band"),
+    )

@@ -247,3 +247,86 @@ def q_ext_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.join(
         F.broadcast(c), view["o_custkey"] == c["c_custkey"]
     ).select("c_custkey", "c_name", "c_mktsegment", "n_orders", "revenue")
+
+
+# --- SCD type-2 history build ------------------------------------------------
+
+
+@register(
+    "q_ext_scd2",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM ordered
+), spans AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM versioned GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY version) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       n_events
+FROM spans
+""",
+)
+def q_ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from the append-only
+    event log: per user, collapse consecutive same-event_type runs
+    into versioned validity spans (valid_from inclusive, valid_to =
+    next span's start, NULL + is_current on the open span) — the
+    dimension-table build a warehouse runs over the reference's
+    append-only Aurora load (lambda_function.py:26-32) to answer
+    \"what was the state as of T\".
+
+    Plan: ONE shuffle on user_id serves the change-flag lag window,
+    the running version sum, the span aggregate, and the lead window
+    (all partitioned by the same key); the (ts, event_id) order is
+    total so run boundaries are engine-independent.  100 TB: uniform
+    user keys, span table is change-bounded (distinct runs), never
+    event-bounded."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    versioned = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("version"),
+    )
+    spans = versioned.groupBy(
+        "user_id", F.col("version").cast("long").alias("version"), "event_type"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return spans.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )
