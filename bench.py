@@ -91,6 +91,14 @@ HEADLINE = [
     "q_ext_holt_smoothing",
     "q_ext_cusum_drift",
     "q_ext_top_paths",
+    # round-8 batch 3: the indicator family over the candle layer —
+    # the fixed-point triple-EMA fold, the integer-moment band frame,
+    # the tick-level per-side flow shuffle, and the SCD2 span build
+    # (the biggest single-key window op in the registry)
+    "q_ext_macd",
+    "q_ext_bollinger",
+    "q_ext_flow_imbalance",
+    "q_ext_scd2",
 ]
 
 

@@ -2440,3 +2440,72 @@ def test_amihud_dollar_volume_exact_decimal(spark):
         g = got[day]
         assert abs(g["dollar_vol"] - round(float(vol), 2)) < 1e-6
         assert g["amihud_x1e9"] is None or g["amihud_x1e9"] >= 0
+
+
+def test_scd2_spans_partition_events_and_tile_time(spark):
+    """SCD2 invariants: span n_events sum to the event count per user,
+    versions are 1..K dense, spans tile the timeline (each valid_to
+    equals the next span's valid_from), exactly one open span per
+    user, and consecutive spans never share an event_type (else they
+    would be one run)."""
+    from collections import defaultdict
+
+    df = queries()["q_ext_scd2"](spark, SF)
+    rows = df.collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, spans in by_user.items():
+        spans.sort(key=lambda r: r["version"])
+        assert [s["version"] for s in spans] == list(
+            range(1, len(spans) + 1)
+        )
+        assert sum(s["n_events"] for s in spans) == ev_counts[uid]
+        assert sum(s["is_current"] for s in spans) == 1
+        assert spans[-1]["is_current"] == 1
+        for a, b in zip(spans, spans[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+            assert a["valid_from"] <= a["valid_to"]
+
+
+def test_readability_counts_match_python(spark):
+    """Python replay of the word/sentence/syllable counts and the
+    Flesch formula over the raw text."""
+    import re
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in queries()["q_ext_readability"](spark, SF).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = len(text.split(" "))
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syllables = len(re.findall(r"[aeiouy]+", text))
+        flesch = 206.835 - 1.015 * (words / sentences) - 84.6 * (
+            syllables / words
+        )
+        g = got[doc_id]
+        assert g["words"] == words
+        assert g["sentences"] == sentences
+        assert g["syllables"] == syllables
+        assert abs(g["flesch"] - round(flesch, 4)) < 1e-9
+        want_band = (
+            "easy"
+            if flesch >= 70
+            else "standard" if flesch >= 50 else "difficult"
+        )
+        assert g["band"] == want_band
