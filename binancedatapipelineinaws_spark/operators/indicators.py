@@ -950,3 +950,227 @@ def q_ext_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
             "amihud_x1e9"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# VPIN (volume-synchronized probability of informed trading)
+# ---------------------------------------------------------------------------
+
+VPIN_BUCKET_U = 50_000_000  # volume-clock bucket: 500 qty units x 1e5
+
+
+@register(
+    "q_ext_vpin",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + f"""
+, t AS (
+  SELECT CAST(CAST("time" AS DATE) AS TIMESTAMP) AS day,
+         CAST(round(quantity * 100000, 0) AS BIGINT) AS qty_u,
+         CASE WHEN maker = 0 THEN 1 ELSE 0 END AS is_buy,
+         sum(CAST(round(quantity * 100000, 0) AS BIGINT)) OVER (
+           PARTITION BY CAST("time" AS DATE) ORDER BY "time", bid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+  FROM btcusdt
+), b AS (
+  SELECT day, (cum_u - qty_u) // {VPIN_BUCKET_U} AS bucket,
+         CAST(sum(CASE WHEN is_buy = 1 THEN qty_u ELSE 0 END) AS BIGINT)
+           AS buy_u,
+         CAST(sum(CASE WHEN is_buy = 0 THEN qty_u ELSE 0 END) AS BIGINT)
+           AS sell_u
+  FROM t GROUP BY day, bucket
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(buy_u + sell_u) AS BIGINT) AS vol_u,
+       round(CAST(sum(abs(buy_u - sell_u)) AS DOUBLE)
+             / nullif(CAST(sum(buy_u + sell_u) AS DOUBLE), 0), 6) AS vpin
+FROM b GROUP BY day
+""",
+)
+def q_ext_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN per session day (Easley/Lopez de Prado/O'Hara): ticks are
+    re-bucketed on the VOLUME clock (each bucket = 500 qty of traded
+    volume, assigned by the exact BIGINT running volume at the trade's
+    start; trades are not split — the standard discretization), per
+    bucket the buy/sell legs come from the aggressor flag, and the
+    day's VPIN is the volume-weighted |buy - sell| fraction — all
+    integer sums until one closing division.
+
+    Scale note: the volume clock is a prefix sum, inherently
+    sequential WITHIN a day; at 100 TB/day the day window becomes a
+    two-phase scan prefix (per-split partial volumes + broadcast
+    offsets) — the operator's semantics don't change, only the
+    prefix-sum implementation.  Tick-level precedent: q_ext_twap's
+    hour-partitioned lead()."""
+    prepare(spark)
+    btc = btcusdt(spark, sf_dir)
+    day = F.col("time").cast("date")
+    qty_u = F.round(F.col("quantity") * 100000, 0).cast("long")
+    dw = (
+        Window.partitionBy(day)
+        .orderBy("time", "bid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = btc.select(
+        day.cast("timestamp").alias("day"),
+        qty_u.alias("qty_u"),
+        F.when(F.col("maker") == 0, 1).otherwise(0).alias("is_buy"),
+        F.sum(qty_u).over(dw).alias("cum_u"),
+    )
+    b = t.groupBy(
+        "day",
+        F.expr(f"(cum_u - qty_u) div {VPIN_BUCKET_U}").alias("bucket"),
+    ).agg(
+        F.sum(F.when(F.col("is_buy") == 1, F.col("qty_u")).otherwise(0))
+        .cast("long")
+        .alias("buy_u"),
+        F.sum(F.when(F.col("is_buy") == 0, F.col("qty_u")).otherwise(0))
+        .cast("long")
+        .alias("sell_u"),
+    )
+    tot = F.sum(F.col("buy_u") + F.col("sell_u")).cast("long")
+    return b.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        tot.alias("vol_u"),
+        F.round(
+            F.sum(F.abs(F.col("buy_u") - F.col("sell_u"))).cast("double")
+            / F.when(tot.cast("double") != 0, tot.cast("double")),
+            6,
+        ).alias("vpin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heikin-Ashi candles
+# ---------------------------------------------------------------------------
+
+_HA_FP = 1_000_000  # Heikin-Ashi state scale: cents x 1e6
+
+
+@register(
+    "q_ext_heikin_ashi",
+    oracle="WITH RECURSIVE "
+    + _CANDLES_CTE
+    + """
+, habars AS (
+  SELECT day,
+         list(open_c ORDER BY m) AS os, list(high_c ORDER BY m) AS hs,
+         list(low_c ORDER BY m) AS ls, list(close_c ORDER BY m) AS cs,
+         list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+), st AS (
+  -- BIGINT fixed-point (cents x 1e6): ha_close = (o+h+l+c)*FP//4
+  -- (exact: FP divisible by 4), ha_open recurrence = midpoint with
+  -- truncating halving — identical in both engines
+  SELECT day, CAST(1 AS BIGINT) AS i,
+         ((os[1] + cs[1]) * 1000000) // 2 AS ha_open,
+         ((os[1] + hs[1] + ls[1] + cs[1]) * 1000000) // 4 AS ha_close
+  FROM habars
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         (s.ha_open + s.ha_close) // 2,
+         ((b.os[s.i + 1] + b.hs[s.i + 1] + b.ls[s.i + 1] + b.cs[s.i + 1])
+          * 1000000) // 4
+  FROM st s JOIN habars b ON b.day = s.day
+  WHERE s.i < len(b.ms)
+)
+SELECT b.ms[s.i] AS minute_start,
+       CAST((s.ha_open + 50) // 100 AS DOUBLE) / 1000000.0 AS ha_open,
+       CAST((greatest(b.hs[s.i] * 1000000, s.ha_open, s.ha_close) + 50)
+            // 100 AS DOUBLE) / 1000000.0 AS ha_high,
+       CAST((least(b.ls[s.i] * 1000000, s.ha_open, s.ha_close) + 50)
+            // 100 AS DOUBLE) / 1000000.0 AS ha_low,
+       CAST((s.ha_close + 50) // 100 AS DOUBLE) / 1000000.0 AS ha_close
+FROM st s JOIN habars b ON b.day = s.day
+""",
+)
+def q_ext_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles per session day: ha_close =
+    (O+H+L+C)/4, ha_open = midpoint of the previous HA open/close
+    (seeded with the bar-1 O/C midpoint), ha_high/ha_low = extremes
+    against the raw bar.  The recurrence is the q_ext_macd BIGINT
+    fixed-point machine (cents x 1e6; /4 exact by scale choice, the
+    midpoint halves with truncating division identical in both
+    engines), outputs quantized half-up to the 6-dp dollar grid (all
+    state positive).  One fold per day / recursive CTE, <= 1440
+    steps."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    def _field(name):
+        # NOT a default-arg lambda: a 2-param lambda would make
+        # PySpark pass the array index as the second argument
+        return lambda s: s[name]
+
+    habars = c.groupBy("day").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("m", "open_c", "high_c", "low_c", "close_c")
+                    )
+                ),
+                _field(f),
+            ).alias(n)
+            for n, f in [
+                ("os", "open_c"),
+                ("hs", "high_c"),
+                ("ls", "low_c"),
+                ("cs", "close_c"),
+                ("ms", "m"),
+            ]
+        ]
+    )
+    fold = """
+aggregate(
+  CASE WHEN size(ms) >= 2 THEN sequence(2, size(ms))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct(
+    'ho', ((element_at(os, 1) + element_at(cs, 1)) * 1000000L) div 2,
+    'hc', ((element_at(os, 1) + element_at(hs, 1) + element_at(ls, 1)
+            + element_at(cs, 1)) * 1000000L) div 4,
+    'out', array(named_struct(
+      'ho', ((element_at(os, 1) + element_at(cs, 1)) * 1000000L) div 2,
+      'hc', ((element_at(os, 1) + element_at(hs, 1) + element_at(ls, 1)
+              + element_at(cs, 1)) * 1000000L) div 4))),
+  (acc, i) -> named_struct(
+    'ho', (acc.ho + acc.hc) div 2,
+    'hc', ((element_at(os, i) + element_at(hs, i) + element_at(ls, i)
+            + element_at(cs, i)) * 1000000L) div 4,
+    'out', concat(acc.out, array(named_struct(
+      'ho', (acc.ho + acc.hc) div 2,
+      'hc', ((element_at(os, i) + element_at(hs, i) + element_at(ls, i)
+              + element_at(cs, i)) * 1000000L) div 4))))
+).out
+"""
+    exploded = habars.select(
+        "ms", "hs", "ls", F.posexplode(F.expr(fold)).alias("pos", "s")
+    )
+    ho = F.col("s").getField("ho")
+    hc = F.col("s").getField("hc")
+    hi = F.element_at(F.col("hs"), F.col("pos") + 1) * F.lit(1000000).cast(
+        "long"
+    )
+    lo = F.element_at(F.col("ls"), F.col("pos") + 1) * F.lit(1000000).cast(
+        "long"
+    )
+
+    def gridq(v):
+        return (
+            F.expr(f"CAST((({v}) + 50L) div 100L AS DOUBLE)") / 1000000.0
+        )
+
+    qcols = exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + 1).alias("minute_start"),
+        ho.alias("_ho"),
+        hc.alias("_hc"),
+        F.greatest(hi, ho, hc).alias("_hh"),
+        F.least(lo, ho, hc).alias("_ll"),
+    )
+    return qcols.select(
+        "minute_start",
+        gridq("_ho").alias("ha_open"),
+        gridq("_hh").alias("ha_high"),
+        gridq("_ll").alias("ha_low"),
+        gridq("_hc").alias("ha_close"),
+    )
