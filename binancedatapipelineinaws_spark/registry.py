@@ -56,7 +56,11 @@ def _load_all() -> None:
         timeseries,
         windows,
     )
-    from binancedatapipelineinaws_spark.sources import maintenance, tsv  # noqa: F401
+    from binancedatapipelineinaws_spark.sources import (  # noqa: F401
+        jsonl,
+        maintenance,
+        tsv,
+    )
     from binancedatapipelineinaws_spark.functions import (  # noqa: F401
         clustering,
         corpus,
