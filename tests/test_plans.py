@@ -1109,3 +1109,28 @@ def test_recurrence_folds_are_generate_projections(spark):
         assert "ArrowEvalPython" not in plan, qid
         assert " Window [" not in plan, qid
         assert "Generate posexplode" in plan, qid
+
+
+def test_scd2_single_user_shuffle(spark):
+    # all four steps (lag flag, running version, span agg, lead) ride
+    # ONE user_id exchange; no Python nodes
+    plan = _plan(queries()["q_ext_scd2"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert exchanges[0].startswith("user_id")
+
+
+def test_vpin_integer_clock_no_python(spark):
+    plan = _plan(queries()["q_ext_vpin"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "partial_" in plan  # bucket + day aggregates map-side combined
+
+
+def test_heikin_ashi_fold_is_generate_projection(spark):
+    plan = _plan(queries()["q_ext_heikin_ashi"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert " Window [" not in plan
+    assert "Generate posexplode" in plan

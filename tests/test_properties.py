@@ -2509,3 +2509,106 @@ def test_readability_counts_match_python(spark):
             else "standard" if flesch >= 50 else "difficult"
         )
         assert g["band"] == want_band
+
+
+def test_vpin_matches_python_volume_clock(spark):
+    """Python replay of the exact volume clock: bucket by starting
+    cumulative volume, integer buy/sell legs, one closing ratio."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        VPIN_BUCKET_U,
+    )
+
+    rows = btcusdt(spark, SF).collect()
+    by_day = defaultdict(list)
+    for r in rows:
+        by_day[r["time"].date()].append(
+            (r["time"], r["bid"], round(r["quantity"] * 100000), r["maker"])
+        )
+    got = {
+        r["day"].date(): r
+        for r in queries()["q_ext_vpin"](spark, SF).collect()
+    }
+    assert set(got) == set(by_day)
+    for day, ticks in by_day.items():
+        ticks.sort(key=lambda t: (t[0], t[1]))
+        cum = 0
+        buckets = defaultdict(lambda: [0, 0])
+        for _, _, qty_u, maker in ticks:
+            b = buckets[cum // VPIN_BUCKET_U]
+            b[0 if maker == 0 else 1] += qty_u
+            cum += qty_u
+        n = len(buckets)
+        vol = sum(b + s for b, s in buckets.values())
+        sum_abs = sum(abs(b - s) for b, s in buckets.values())
+        g = got[day]
+        assert g["n_buckets"] == n
+        assert g["vol_u"] == vol
+        assert abs(g["vpin"] - round(sum_abs / vol, 6)) < 1e-9
+
+
+def test_heikin_ashi_matches_python_fixed_point(spark):
+    """Python replay of the cents x 1e6 Heikin-Ashi machine must match
+    exactly (integer state both sides)."""
+    from collections import defaultdict
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_heikin_ashi"](spark, SF).collect()
+    }
+
+    def q6(a):
+        return _tdiv(a + 50, 100) / 1e6
+
+    n_rows = 0
+    for day, bars in days.items():
+        ho = hc = None
+        for i, (m, c) in enumerate(bars):
+            o, h, l, cl = (
+                c["open"] * 1_000_000,
+                c["high"] * 1_000_000,
+                c["low"] * 1_000_000,
+                c["close"] * 1_000_000,
+            )
+            if i == 0:
+                ho = _tdiv(c["open"] * 1_000_000 + c["close"] * 1_000_000, 2)
+            else:
+                ho = _tdiv(ho + hc, 2)
+            hc = _tdiv(o + h + l + cl, 4)
+            g = got[m]
+            n_rows += 1
+            assert g["ha_open"] == q6(ho), m
+            assert g["ha_close"] == q6(hc), m
+            assert g["ha_high"] == q6(max(h, ho, hc)), m
+            assert g["ha_low"] == q6(min(l, ho, hc)), m
+    assert len(got) == n_rows
+
+
+def test_jsonl_quarantine_classes_partition_lines(spark):
+    """The three reason classes must partition the canonical row count
+    with counts matching the injection rules."""
+    from binancedatapipelineinaws_spark.sources.jsonl import (
+        JSONL_CHOP_MOD,
+        JSONL_TYPE_MOD,
+    )
+
+    base = btcusdt(spark, SF).collect()
+    want = {"malformed_json": 0, "bad_price_type": 0, "ok": 0}
+    for r in base:
+        if r["bid"] % JSONL_CHOP_MOD == 3:
+            want["malformed_json"] += 1
+        elif r["bid"] % JSONL_TYPE_MOD == 5:
+            want["bad_price_type"] += 1
+        else:
+            want["ok"] += 1
+    got = {
+        r["reason"]: r["n"]
+        for r in queries()["q_scan_jsonl_quarantine"](spark, SF).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
+    assert sum(got.values()) == len(base)
