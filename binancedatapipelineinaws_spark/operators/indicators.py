@@ -1174,3 +1174,84 @@ aggregate(
         gridq("_ll").alias("ha_low"),
         gridq("_hc").alias("ha_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anchored VWAP
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_anchored_vwap",
+    oracle="WITH "
+    + BTCUSDT_CTE
+    + """
+, mins AS (
+  SELECT date_trunc('minute', "time") AS m,
+         CAST(date_trunc('minute', "time") AS DATE) AS day,
+         sum(CAST(price AS DECIMAL(18,2)) * CAST(quantity AS DECIMAL(18,5)))
+           AS pv,
+         sum(CAST(quantity AS DECIMAL(18,5))) AS v,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY date_trunc('minute', "time")
+          ORDER BY "time" DESC, bid DESC) AS rn_d FROM btcusdt)
+  GROUP BY 1, 2
+), cum AS (
+  -- DECIMAL window sums: exact and order-independent, unlike double
+  -- segment trees vs frame folds
+  SELECT m, close,
+         sum(pv) OVER dw AS cum_pv, sum(v) OVER dw AS cum_v
+  FROM mins
+  WINDOW dw AS (PARTITION BY day ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT m AS minute_start,
+       round(CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE), 6) AS avwap,
+       round((close - CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE))
+             / (CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE)) * 10000,
+             4) + 0.0 AS dev_bps
+FROM cum
+""",
+)
+def q_ext_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP per session day: the cumulative price*volume /
+    volume ratio from the day's open, per minute, plus the close's
+    deviation in basis points — the institutional execution benchmark
+    (\"am I filling above or below the day's VWAP?\").
+
+    Exactness: per-minute pv/v are exact DECIMAL sums (the amihud
+    discipline — int64 fixed-point overflows at day-cumulative
+    price*qty), the day-cumulative window rides DECIMAL too
+    (order-independent), and both engines cast the SAME exact decimals
+    to double for the two closing divisions.  Plan: one minute-bucket
+    shuffle, day-partitioned running window on the calendar-bounded
+    minute layer."""
+    prepare(spark)
+    btc = btcusdt(spark, sf_dir)
+    from binancedatapipelineinaws_spark.operators._util import dec
+
+    key = F.struct(F.col("time"), F.col("bid"))
+    mins = btc.groupBy(
+        F.window("time", "1 minute").start.alias("m")
+    ).agg(
+        F.sum(dec("price", 2) * dec("quantity", 5)).alias("pv"),
+        F.sum(dec("quantity", 5)).alias("v"),
+        F.max_by("price", key).alias("close"),
+    ).withColumn("day", F.col("m").cast("date"))
+    dw = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_pv = F.sum("pv").over(dw).cast("double")
+    cum_v = F.sum("v").over(dw).cast("double")
+    avwap = cum_pv / cum_v
+    return mins.select(
+        F.col("m").alias("minute_start"),
+        F.round(avwap, 6).alias("avwap"),
+        (
+            F.round((F.col("close") - avwap) / avwap * 10000, 4)
+            + F.lit(0.0)
+        ).alias("dev_bps"),
+    )

@@ -359,3 +359,83 @@ def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.lit(n_dirs).cast("long").alias("n_partition_dirs"),
     )
+
+
+# --- ANALYZE-style column statistics ----------------------------------------
+
+# columns with engine-identical string forms (ints, chars, dates);
+# doubles are excluded on purpose — CAST(double AS VARCHAR) formats
+# differently across engines and stats consumers want typed min/max
+# anyway (this is the oracle-comparable projection of them)
+_STATS_COLS = ("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+
+
+@register(
+    "q_maint_analyze_stats",
+    oracle="""
+SELECT 'l_orderkey' AS column_name,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT),
+       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR),
+       CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR)
+FROM lineitem
+""",
+)
+def q_maint_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (NDV, null count, min/max)
+    for the CBO — what `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` materializes, as an oracle-comparable query.  ONE corpus
+    pass computes every column's aggregates side by side (count
+    distinct expands internally; no per-column rescans), then a stack()
+    unpivot emits one row per column.
+
+    100 TB: exact NDV is the expensive part (one Expand shuffle per
+    distinct column); production would swap approx_count_distinct
+    (HLL, 2% default error) for the same plan minus the expansion —
+    the documented exact/approx fork, same as q_agg_distinct."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    date_s = F.col("l_shipdate").cast("date").cast("string")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("ndv1"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("nn1"),
+        F.min("l_orderkey").cast("string").alias("mn1"),
+        F.max("l_orderkey").cast("string").alias("mx1"),
+        F.countDistinct("l_suppkey").alias("ndv2"),
+        F.sum(F.col("l_suppkey").isNull().cast("long")).alias("nn2"),
+        F.min("l_suppkey").cast("string").alias("mn2"),
+        F.max("l_suppkey").cast("string").alias("mx2"),
+        F.countDistinct("l_returnflag").alias("ndv3"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("nn3"),
+        F.min("l_returnflag").cast("string").alias("mn3"),
+        F.max("l_returnflag").cast("string").alias("mx3"),
+        F.countDistinct("l_shipdate").alias("ndv4"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("nn4"),
+        F.min(date_s).alias("mn4"),
+        F.max(date_s).alias("mx4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             'l_orderkey',  ndv1, coalesce(nn1, 0L), mn1, mx1,
+             'l_suppkey',   ndv2, coalesce(nn2, 0L), mn2, mx2,
+             'l_returnflag',ndv3, coalesce(nn3, 0L), mn3, mx3,
+             'l_shipdate',  ndv4, coalesce(nn4, 0L), mn4, mx4
+           ) AS (column_name, ndv, null_count, min_s, max_s)"""
+    )
