@@ -2612,3 +2612,59 @@ def test_jsonl_quarantine_classes_partition_lines(spark):
     }
     assert got == {k: v for k, v in want.items() if v > 0}
     assert sum(got.values()) == len(base)
+
+
+def test_anchored_vwap_matches_decimal_replay(spark):
+    """Python Decimal replay of the day-cumulative pv/v ratio; the
+    final row of each day must also equal the day's total VWAP."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = btcusdt(spark, SF).collect()
+    by_min = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in rows:
+        m = r["time"].replace(second=0, microsecond=0)
+        p = Decimal(f"{r['price']:.2f}")
+        q = Decimal(f"{r['quantity']:.5f}")
+        by_min[m][0] += p * q
+        by_min[m][1] += q
+    got = {
+        r["minute_start"]: r["avwap"]
+        for r in queries()["q_ext_anchored_vwap"](spark, SF).collect()
+    }
+    assert set(got) == set(by_min)
+    days = defaultdict(list)
+    for m in sorted(by_min):
+        days[m.date()].append(m)
+    for day, ms in days.items():
+        cpv, cv = Decimal(0), Decimal(0)
+        for m in ms:
+            cpv += by_min[m][0]
+            cv += by_min[m][1]
+            assert abs(got[m] - round(float(cpv) / float(cv), 6)) < 1e-9
+
+
+def test_analyze_stats_matches_direct_queries(spark):
+    """Each stats row must match an independently computed aggregate."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r["column_name"]: r
+        for r in queries()["q_maint_analyze_stats"](spark, SF).collect()
+    }
+    assert set(got) == {
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_shipdate",
+    }
+    for col in got:
+        want_ndv = li.select(col).distinct().count()
+        want_nulls = li.filter(F.col(col).isNull()).count()
+        assert got[col]["ndv"] == want_ndv, col
+        assert got[col]["null_count"] == want_nulls, col
+        c = (
+            F.col(col).cast("date") if col == "l_shipdate" else F.col(col)
+        )
+        mn, mx = li.agg(F.min(c), F.max(c)).first()
+        assert got[col]["min_s"] == str(mn), col
+        assert got[col]["max_s"] == str(mx), col
