@@ -1255,3 +1255,260 @@ def q_ext_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("dev_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCI (commodity channel index)
+# ---------------------------------------------------------------------------
+
+CCI_N = 20
+
+
+@register(
+    "q_ext_cci",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + f"""
+, tp AS (
+  SELECT m, day, high_c + low_c + close_c AS x  -- 3x typical price
+  FROM candles
+), w AS (
+  SELECT m, x,
+         count(*) OVER fr AS n,
+         CAST(sum(x) OVER fr AS BIGINT) AS sx,
+         list(x) OVER fr AS xs
+  FROM tp
+  WINDOW fr AS (PARTITION BY day ORDER BY m
+                ROWS BETWEEN {CCI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT m AS minute_start, CAST(n AS BIGINT) AS n,
+       -- cci = (tp - sma) / (0.015 * mad) with everything scaled by
+       -- n: numerator n*(n*x - Sx), denominator 0.015 * sum|n*xj - Sx|
+       -- — both integers, scale cancels, ONE closing division
+       round(CAST(n * (n * x - sx) AS DOUBLE)
+             / nullif(0.015 * CAST(list_sum(
+                 list_transform(xs, xj -> abs(n * xj - sx))) AS DOUBLE), 0),
+             5) + 0.0 AS cci
+FROM w WHERE n = {CCI_N}
+""",
+)
+def q_ext_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity channel index (20-bar) per session day: deviation of
+    the typical price from its SMA in units of 0.015x the mean
+    absolute deviation.  MAD over a sliding frame is NOT a plain
+    window sum (each row's deviations depend on that frame's own
+    mean), so the frame is collected (<= 20 values) and folded —
+    exactly, because cci scales as n*(n*x - Sx) over sum|n*xj - Sx|:
+    both integers (the typical price stays as the h+l+c cents sum,
+    never /3), with one closing double division.  NULL on a flat
+    frame; emitted only for full frames (the standard convention)."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    tp = c.select(
+        "m",
+        "day",
+        (F.col("high_c") + F.col("low_c") + F.col("close_c")).alias("x"),
+    )
+    fr = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rowsBetween(-(CCI_N - 1), 0)
+    )
+    n = F.count("*").over(fr)
+    sx = F.sum("x").over(fr)
+    xs = F.collect_list("x").over(fr)
+    w = tp.select(
+        "m",
+        "x",
+        n.cast("long").alias("n"),
+        sx.alias("sx"),
+        xs.alias("xs"),
+    ).filter(F.col("n") == CCI_N)
+    s_abs = F.expr("aggregate(xs, 0L, (a, xj) -> a + abs(n * xj - sx))")
+    num = (F.col("n") * (F.col("n") * F.col("x") - F.col("sx"))).cast(
+        "double"
+    )
+    den = F.lit(0.015) * s_abs.cast("double")
+    return w.select(
+        F.col("m").alias("minute_start"),
+        "n",
+        (F.round(num / F.when(den != 0, den), 5) + F.lit(0.0)).alias(
+            "cci"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DMI (directional movement: +DI / -DI / DX)
+# ---------------------------------------------------------------------------
+
+DMI_N = 14
+_DMI_FP = 100_000  # Wilder state scale: cents x 1e5
+
+
+@register(
+    "q_ext_dmi",
+    oracle="WITH RECURSIVE "
+    + _CANDLES_CTE
+    + f"""
+, dm AS (
+  SELECT day,
+         list(high_c ORDER BY m) AS hs, list(low_c ORDER BY m) AS ls,
+         list(close_c ORDER BY m) AS cs, list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+), eligible AS (
+  SELECT * FROM dm WHERE len(ms) >= {DMI_N + 1}
+), st AS (
+  -- BIGINT fixed-point Wilder averages (cents x 1e5) of +DM, -DM and
+  -- TR; seeds = simple means of the first {DMI_N} bar-2.. values.
+  -- +DM_j = up if up > dn AND up > 0 else 0 (up = h_j - h_j-1,
+  -- dn = l_j-1 - l_j); TR_j as in q_ext_atr.
+  SELECT day, CAST({DMI_N + 1} AS BIGINT) AS i,
+         (CAST(list_sum(list_transform(generate_series(2, {DMI_N + 1}),
+            j -> CASE WHEN hs[j] - hs[j-1] > ls[j-1] - ls[j]
+                       AND hs[j] - hs[j-1] > 0
+                      THEN hs[j] - hs[j-1] ELSE 0 END)) AS BIGINT)
+          * {_DMI_FP}) // {DMI_N} AS dmp,
+         (CAST(list_sum(list_transform(generate_series(2, {DMI_N + 1}),
+            j -> CASE WHEN ls[j-1] - ls[j] > hs[j] - hs[j-1]
+                       AND ls[j-1] - ls[j] > 0
+                      THEN ls[j-1] - ls[j] ELSE 0 END)) AS BIGINT)
+          * {_DMI_FP}) // {DMI_N} AS dmm,
+         (CAST(list_sum(list_transform(generate_series(2, {DMI_N + 1}),
+            j -> greatest(hs[j] - ls[j], abs(hs[j] - cs[j-1]),
+                          abs(ls[j] - cs[j-1])))) AS BIGINT)
+          * {_DMI_FP}) // {DMI_N} AS tr
+  FROM eligible
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         (s.dmp * {DMI_N - 1}
+          + (CASE WHEN e.hs[s.i+1] - e.hs[s.i] > e.ls[s.i] - e.ls[s.i+1]
+                   AND e.hs[s.i+1] - e.hs[s.i] > 0
+                  THEN e.hs[s.i+1] - e.hs[s.i] ELSE 0 END)
+            * {_DMI_FP}) // {DMI_N},
+         (s.dmm * {DMI_N - 1}
+          + (CASE WHEN e.ls[s.i] - e.ls[s.i+1] > e.hs[s.i+1] - e.hs[s.i]
+                   AND e.ls[s.i] - e.ls[s.i+1] > 0
+                  THEN e.ls[s.i] - e.ls[s.i+1] ELSE 0 END)
+            * {_DMI_FP}) // {DMI_N},
+         (s.tr * {DMI_N - 1}
+          + greatest(e.hs[s.i+1] - e.ls[s.i+1],
+                     abs(e.hs[s.i+1] - e.cs[s.i]),
+                     abs(e.ls[s.i+1] - e.cs[s.i])) * {_DMI_FP}) // {DMI_N}
+  FROM st s JOIN eligible e ON e.day = s.day
+  WHERE s.i < len(e.ms)
+)
+SELECT e.ms[s.i] AS minute_start,
+       -- half-up integer grids over the exact states (5 dp)
+       CAST((20000000 * s.dmp + s.tr) // nullif(2 * s.tr, 0) AS DOUBLE)
+         / 100000.0 AS di_plus,
+       CAST((20000000 * s.dmm + s.tr) // nullif(2 * s.tr, 0) AS DOUBLE)
+         / 100000.0 AS di_minus,
+       CAST((20000000 * abs(s.dmp - s.dmm) + (s.dmp + s.dmm))
+            // nullif(2 * (s.dmp + s.dmm), 0) AS DOUBLE)
+         / 100000.0 AS dx
+FROM st s JOIN eligible e ON e.day = s.day
+""",
+)
+def q_ext_dmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional movement (Wilder, 14-bar) per session day: +DI /
+    -DI measure trend direction as the Wilder-averaged up/down moves
+    over the averaged true range, DX = |+DI - -DI| / (+DI + -DI) — the
+    TR cancels, so DX comes straight off the integer +DM/-DM states.
+    All three recurrences are the q_ext_rsi BIGINT fixed-point machine
+    (avg-form Wilder smoothing, cents x 1e5); outputs quantize half-up
+    to 5 dp on the integer grid (DI as 100*dm/tr; NULL when TR or
+    DM+DM is zero).  Emitted from bar 15 on."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+
+    def _field(name):
+        return lambda s: s[name]
+
+    dm = c.groupBy("day").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("m", "high_c", "low_c", "close_c")
+                    )
+                ),
+                _field(f),
+            ).alias(n)
+            for n, f in [
+                ("hs", "high_c"),
+                ("ls", "low_c"),
+                ("cs", "close_c"),
+                ("ms", "m"),
+            ]
+        ]
+    )
+    elig = dm.filter(F.size("ms") >= DMI_N + 1)
+    pdm = (
+        "(CASE WHEN element_at(hs, {i}) - element_at(hs, {i} - 1)"
+        " > element_at(ls, {i} - 1) - element_at(ls, {i})"
+        " AND element_at(hs, {i}) - element_at(hs, {i} - 1) > 0"
+        " THEN element_at(hs, {i}) - element_at(hs, {i} - 1) ELSE 0L END)"
+    )
+    mdm = (
+        "(CASE WHEN element_at(ls, {i} - 1) - element_at(ls, {i})"
+        " > element_at(hs, {i}) - element_at(hs, {i} - 1)"
+        " AND element_at(ls, {i} - 1) - element_at(ls, {i}) > 0"
+        " THEN element_at(ls, {i} - 1) - element_at(ls, {i}) ELSE 0L END)"
+    )
+    trx = (
+        "greatest(element_at(hs, {i}) - element_at(ls, {i}),"
+        " abs(element_at(hs, {i}) - element_at(cs, {i} - 1)),"
+        " abs(element_at(ls, {i}) - element_at(cs, {i} - 1)))"
+    )
+
+    def seed(term):
+        return (
+            f"(aggregate(transform(sequence(2, {DMI_N + 1}),"
+            f" j -> {term.format(i='j')}), 0L, (a, x) -> a + x)"
+            f" * {_DMI_FP}L) div {DMI_N}"
+        )
+
+    def step(acc_field, term):
+        return (
+            f"((acc.{acc_field} * {DMI_N - 1}L + {term.format(i='i')}"
+            f" * {_DMI_FP}L) div {DMI_N})"
+        )
+
+    fold = f"""
+aggregate(
+  CASE WHEN size(ms) >= {DMI_N + 2} THEN sequence({DMI_N + 2}, size(ms))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct('dmp', {seed(pdm)}, 'dmm', {seed(mdm)}, 'tr', {seed(trx)},
+               'out', array(named_struct(
+                 'dmp', {seed(pdm)}, 'dmm', {seed(mdm)}, 'tr', {seed(trx)}))),
+  (acc, i) -> named_struct(
+    'dmp', {step('dmp', pdm)},
+    'dmm', {step('dmm', mdm)},
+    'tr', {step('tr', trx)},
+    'out', concat(acc.out, array(named_struct(
+      'dmp', {step('dmp', pdm)},
+      'dmm', {step('dmm', mdm)},
+      'tr', {step('tr', trx)})))
+  )
+).out
+"""
+    exploded = elig.select(
+        "ms", F.posexplode(F.expr(fold)).alias("pos", "s")
+    )
+
+    def grid5(num, den):
+        # (2e7*num + den) div (2*den), NULL-guarded, as 5-dp double
+        return F.expr(
+            f"CAST((20000000L * ({num}) + ({den}))"
+            f" div nullif(2L * ({den}), 0L) AS DOUBLE) / 100000.0D"
+        )
+
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + DMI_N + 1).alias(
+            "minute_start"
+        ),
+        grid5("s.dmp", "s.tr").alias("di_plus"),
+        grid5("s.dmm", "s.tr").alias("di_minus"),
+        grid5("abs(s.dmp - s.dmm)", "s.dmp + s.dmm").alias("dx"),
+    )
