@@ -96,6 +96,34 @@ def _candles_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _day_arrays(c: DataFrame, mapping: list[tuple[str, str]]) -> DataFrame:
+    """Collect each day's bars ONCE as an `array_sort`ed struct array
+    keyed by minute, then project the per-field arrays out of the
+    single sorted column.  The naive form (one
+    `array_sort(collect_list(...))` per extracted field) carries one
+    aggregation buffer per field through the shuffle and sorts the
+    day's array once per field — at 5 fields (Heikin-Ashi) that is 5x
+    the shuffled bytes and 5x the sort work for identical output.
+
+    `mapping` is [(alias, struct_field)]; the struct always leads with
+    the minute `m` so the sort key (m, fields...) is byte-identical to
+    the per-field form and results cannot move."""
+    fields = list(dict.fromkeys(["m"] + [f for _, f in mapping]))
+    agg = c.groupBy("day").agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("_bars")
+    )
+
+    def _field(name):
+        # NOT a default-arg lambda: transform() inspects arity, and a
+        # 2-param lambda would receive the array index as arg 2
+        return lambda s: s[name]
+
+    return agg.select(
+        "day",
+        *[F.transform("_bars", _field(f)).alias(a) for a, f in mapping],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bollinger bands
 # ---------------------------------------------------------------------------
@@ -595,16 +623,7 @@ def q_ext_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom and the 100 TB shape are in the block comment above."""
     prepare(spark)
     c = _candles_c(spark, sf_dir)
-    bars = c.groupBy("day").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
-            lambda s: s["close_c"],
-        ).alias("xs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
-            lambda s: s["m"],
-        ).alias("ms"),
-    )
+    bars = _day_arrays(c, [("xs", "close_c"), ("ms", "m")])
     elig = bars.filter(F.size("xs") >= RSI_N + 1)
     exploded = elig.select(
         "ms", F.posexplode(F.expr(_RSI_FOLD)).alias("pos", "rsi")
@@ -716,16 +735,7 @@ def q_ext_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape and overflow headroom (~$3M prices)."""
     prepare(spark)
     c = _candles_c(spark, sf_dir)
-    bars = c.groupBy("day").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
-            lambda s: s["close_c"],
-        ).alias("xs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "close_c"))),
-            lambda s: s["m"],
-        ).alias("ms"),
-    )
+    bars = _day_arrays(c, [("xs", "close_c"), ("ms", "m")])
     exploded = bars.select(
         "ms", F.posexplode(F.expr(_MACD_FOLD)).alias("pos", "s")
     )
@@ -1097,29 +1107,15 @@ def q_ext_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps."""
     prepare(spark)
     c = _candles_c(spark, sf_dir)
-    def _field(name):
-        # NOT a default-arg lambda: a 2-param lambda would make
-        # PySpark pass the array index as the second argument
-        return lambda s: s[name]
-
-    habars = c.groupBy("day").agg(
-        *[
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("m", "open_c", "high_c", "low_c", "close_c")
-                    )
-                ),
-                _field(f),
-            ).alias(n)
-            for n, f in [
-                ("os", "open_c"),
-                ("hs", "high_c"),
-                ("ls", "low_c"),
-                ("cs", "close_c"),
-                ("ms", "m"),
-            ]
-        ]
+    habars = _day_arrays(
+        c,
+        [
+            ("os", "open_c"),
+            ("hs", "high_c"),
+            ("ls", "low_c"),
+            ("cs", "close_c"),
+            ("ms", "m"),
+        ],
     )
     fold = """
 aggregate(
@@ -1421,27 +1417,9 @@ def q_ext_dmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     DM+DM is zero).  Emitted from bar 15 on."""
     prepare(spark)
     c = _candles_c(spark, sf_dir)
-
-    def _field(name):
-        return lambda s: s[name]
-
-    dm = c.groupBy("day").agg(
-        *[
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("m", "high_c", "low_c", "close_c")
-                    )
-                ),
-                _field(f),
-            ).alias(n)
-            for n, f in [
-                ("hs", "high_c"),
-                ("ls", "low_c"),
-                ("cs", "close_c"),
-                ("ms", "m"),
-            ]
-        ]
+    dm = _day_arrays(
+        c,
+        [("hs", "high_c"), ("ls", "low_c"), ("cs", "close_c"), ("ms", "m")],
     )
     elig = dm.filter(F.size("ms") >= DMI_N + 1)
     pdm = (
