@@ -99,6 +99,11 @@ HEADLINE = [
     "q_ext_bollinger",
     "q_ext_flow_imbalance",
     "q_ext_scd2",
+    # round-8 batch 4: the volume-clock bucketing (a data-dependent
+    # integer prefix-sum shuffle) and the decimal cumulative-ratio
+    # window over the candle layer
+    "q_ext_vpin",
+    "q_ext_anchored_vwap",
 ]
 
 
