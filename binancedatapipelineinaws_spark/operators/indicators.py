@@ -479,6 +479,116 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Money Flow Index
+# ---------------------------------------------------------------------------
+
+MFI_N = 14  # flow lookback (frame of classified deltas)
+
+
+@register(
+    "q_ext_mfi",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + f"""
+, d AS (
+  SELECT m, day, vol_u,
+         high_c + low_c + close_c AS tp3,
+         lag(high_c + low_c + close_c)
+           OVER (PARTITION BY day ORDER BY m) AS prev3
+  FROM candles
+), fl AS (
+  -- raw money flow = 3x typical price (cents) x volume (1e-5 units),
+  -- classified by the typical-price delta; flat deltas feed NEITHER
+  -- side (standard MFI).  HUGEINT keeps every product and window sum
+  -- exact at any volume.
+  SELECT m, day,
+         CASE WHEN prev3 IS NOT NULL THEN 1 ELSE 0 END AS has_prev,
+         CASE WHEN tp3 > prev3
+              THEN CAST(tp3 AS HUGEINT) * vol_u ELSE 0 END AS pos_f,
+         CASE WHEN tp3 < prev3
+              THEN CAST(tp3 AS HUGEINT) * vol_u ELSE 0 END AS neg_f
+  FROM d
+), w AS (
+  SELECT m, day,
+         sum(has_prev) OVER fr AS n,
+         sum(pos_f) OVER fr AS pf,
+         sum(neg_f) OVER fr AS nf
+  FROM fl
+  WINDOW fr AS (PARTITION BY day ORDER BY m
+                ROWS BETWEEN {MFI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT m AS minute_start,
+       -- half-up quantization of 100*pf/(pf+nf) on the 1e-5 grid,
+       -- then ONE exact final division (quotient <= 1e7 is
+       -- double-exact); NULL when all {MFI_N} deltas are flat
+       CAST((20000000 * pf + (pf + nf))
+            // nullif(2 * (pf + nf), 0) AS DOUBLE) / 100000.0 AS mfi
+FROM w WHERE n = {MFI_N}
+""",
+)
+def q_ext_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index(14) per session day: raw money flow = typical
+    price x volume per bar, classified positive/negative by the
+    typical-price delta vs the prior bar (flat deltas feed neither
+    side), MFI = 100 * posflow / (posflow + negflow) over the trailing
+    14-delta frame.  Arithmetic is EXACT end to end: typical price
+    stays as the integer 3x-sum of cents (never /3), flows are
+    integer products summed in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — order-independent window sums — and the ratio
+    quantizes half-up on the 1e-5 grid via truncating integral
+    division (`div` == `//`, both toward zero, operands nonnegative),
+    with one exact final double division.  NOT DuckDB decimal `//`,
+    which returns a fractional value (probed).  Emitted once the
+    frame holds 14 classified deltas (bar 15 of the day on); NULL on
+    an all-flat frame.  Overflow headroom: flow <= tp3(~3e8 at $1M) x
+    minute-volume(1e-5 units); a 14-bar sum stays far inside 38
+    digits at any real volume.  100 TB: one day-partitioned frame
+    over the calendar-bounded candle layer — (days x 1440) work
+    regardless of tick volume, the q_ext_bollinger shape."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    dw = Window.partitionBy("day").orderBy("m")
+    tp3 = F.col("high_c") + F.col("low_c") + F.col("close_c")
+    d = c.select("m", "day", "vol_u", tp3.alias("tp3")).withColumn(
+        "prev3", F.lag("tp3").over(dw)
+    )
+    flow = F.col("tp3").cast("decimal(38,0)") * F.col("vol_u")
+    zero = F.lit(0).cast("decimal(38,0)")
+    fl = d.select(
+        "m",
+        "day",
+        F.when(F.col("prev3").isNotNull(), 1).otherwise(0).alias(
+            "has_prev"
+        ),
+        F.when(F.col("tp3") > F.col("prev3"), flow)
+        .otherwise(zero)
+        .alias("pos_f"),
+        F.when(F.col("tp3") < F.col("prev3"), flow)
+        .otherwise(zero)
+        .alias("neg_f"),
+    )
+    fr = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rowsBetween(-(MFI_N - 1), 0)
+    )
+    w = fl.select(
+        "m",
+        F.sum("has_prev").over(fr).alias("n"),
+        F.sum("pos_f").over(fr).alias("pf"),
+        F.sum("neg_f").over(fr).alias("nf"),
+    )
+    mfi5 = F.expr(
+        "(CAST(20000000 AS DECIMAL(38,0)) * pf + (pf + nf))"
+        " div nullif(2 * (pf + nf), 0)"
+    )
+    return w.filter(F.col("n") == MFI_N).select(
+        F.col("m").alias("minute_start"),
+        (mfi5.cast("double") / 100000.0).alias("mfi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # recurrence pair: Wilder RSI and MACD
 # ---------------------------------------------------------------------------
 # Both are sequential recurrences over the day's close series — the

@@ -2668,3 +2668,53 @@ def test_analyze_stats_matches_direct_queries(spark):
         mn, mx = li.agg(F.min(c), F.max(c)).first()
         assert got[col]["min_s"] == str(mn), col
         assert got[col]["max_s"] == str(mx), col
+
+
+def test_mfi_matches_integer_replay(spark):
+    """MFI's decimal window sums and half-up grid quantization must
+    equal a from-scratch Python integer replay EXACTLY (every value
+    lands on the 1e-5 grid; no float tolerance)."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.indicators import MFI_N
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r["mfi"]
+        for r in queries()["q_ext_mfi"](spark, SF).collect()
+    }
+    n_expected = 0
+    for day, bars in days.items():
+        flows = []  # (pos, neg) per bar; None = no prior bar
+        prev = None
+        for m, c in bars:
+            tp3 = c["high"] + c["low"] + c["close"]
+            if prev is None:
+                flows.append(None)
+            else:
+                f = tp3 * c["vol"]
+                flows.append(
+                    (f if tp3 > prev else 0, f if tp3 < prev else 0)
+                )
+            prev = tp3
+            i = len(flows) - 1
+            w = [
+                fl
+                for fl in flows[max(0, i - MFI_N + 1) : i + 1]
+                if fl is not None
+            ]
+            if len(w) < MFI_N:
+                continue
+            n_expected += 1
+            pf = sum(p for p, _ in w)
+            nf = sum(n for _, n in w)
+            if pf + nf == 0:
+                assert got[m] is None
+            else:
+                # operands nonnegative: Python // == truncating div
+                mfi5 = (20000000 * pf + (pf + nf)) // (2 * (pf + nf))
+                assert got[m] == mfi5 / 100000.0, m
+    assert len(got) == n_expected
