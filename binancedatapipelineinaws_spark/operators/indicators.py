@@ -479,6 +479,88 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chaikin Accumulation/Distribution line
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_chaikin_ad",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, clv AS (
+  -- close-location value truncated toward zero on the 1e-6 grid
+  -- BEFORE the volume product: every downstream term is then an
+  -- exact integer in both engines.  Flat bars (H = L) contribute 0
+  -- (standard Chaikin convention).
+  SELECT m, day, vol_u,
+         CASE WHEN high_c = low_c THEN 0
+              ELSE CAST((2 * close_c - high_c - low_c) * 1000000
+                        AS BIGINT) // (high_c - low_c) END AS clv_q6
+  FROM candles
+), mf AS (
+  SELECT m, day, clv_q6, clv_q6 * vol_u AS mfv_q
+  FROM clv
+)
+SELECT m AS minute_start,
+       CAST(clv_q6 AS DOUBLE) / 1000000.0 AS clv,
+       -- mfv_q <= ~1e15 stays double-exact; the running ad_q can
+       -- exceed 2^53, so it is emitted as the exact BIGINT
+       CAST(mfv_q AS DOUBLE) / 100000000000.0 AS mfv,
+       CAST(sum(mfv_q) OVER (PARTITION BY day ORDER BY m
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ad_q
+FROM mf
+""",
+)
+def q_ext_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Accumulation/Distribution line per session day: CLV =
+    ((C-L) - (H-C)) / (H-L) locates the close inside the bar's range
+    (0 on a flat bar), money-flow volume = CLV x minute volume, A/D =
+    the day's running sum — the volume-flow complement of OBV (which
+    only signs the volume) and MFI (which ratios it over a frame).
+
+    Exactness: CLV quantizes FIRST, truncating toward zero on the
+    1e-6 grid ((2C-H-L)*1e6 div (H-L); numerator and denominator are
+    cents BIGINTs, |numerator*1e6| <= 3e14 at $1M prices), so mfv_q =
+    clv_q6 * vol_u and the running sum are exact integers with
+    order-independent addition.  mfv_q stays double-exact (<= ~1e15)
+    and is displayed in natural units; the cumulative ad_q can pass
+    2^53 (1440 bars x 1e15), so it is emitted as the exact BIGINT
+    (units: 1e-6 CLV x 1e-5 volume) rather than a lossy double.
+
+    100 TB: map-only CLV on the calendar-bounded candle layer + ONE
+    day-partitioned running-sum window — (days x 1440) work
+    regardless of tick volume; at institutional volumes mfv_q swaps
+    to DECIMAL(38,0) like q_ext_mfi, same plan."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    rng = F.col("high_c") - F.col("low_c")
+    clv_q6 = F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "(2 * close_c - high_c - low_c) * 1000000L"
+            " div (high_c - low_c)"
+        )
+    )
+    d = c.select(
+        "m",
+        "day",
+        clv_q6.alias("clv_q6"),
+        (clv_q6 * F.col("vol_u")).alias("mfv_q"),
+    )
+    run = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        F.col("m").alias("minute_start"),
+        (F.col("clv_q6").cast("double") / 1000000.0).alias("clv"),
+        (F.col("mfv_q").cast("double") / 100000000000.0).alias("mfv"),
+        F.sum("mfv_q").over(run).cast("long").alias("ad_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Money Flow Index
 # ---------------------------------------------------------------------------
 

@@ -2718,3 +2718,46 @@ def test_mfi_matches_integer_replay(spark):
                 mfi5 = (20000000 * pf + (pf + nf)) // (2 * (pf + nf))
                 assert got[m] == mfi5 / 100000.0, m
     assert len(got) == n_expected
+
+
+def test_chaikin_ad_matches_integer_replay(spark):
+    """Chaikin A/D's quantize-first CLV and integer running sum must
+    equal a from-scratch Python replay exactly (truncation toward
+    zero on negative CLVs included)."""
+    from collections import defaultdict
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_chaikin_ad"](spark, SF).collect()
+    }
+
+    def tdiv(a, b):
+        # truncation toward zero, matching Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    saw_negative = False
+    for day, bars in days.items():
+        ad = 0
+        for m, c in bars:
+            rng = c["high"] - c["low"]
+            clv_q6 = (
+                0
+                if rng == 0
+                else tdiv(
+                    (2 * c["close"] - c["high"] - c["low"]) * 1000000, rng
+                )
+            )
+            saw_negative = saw_negative or clv_q6 < 0
+            mfv_q = clv_q6 * c["vol"]
+            ad += mfv_q
+            g = got[m]
+            assert g["clv"] == clv_q6 / 1000000.0, m
+            assert g["mfv"] == mfv_q / 100000000000.0, m
+            assert g["ad_q"] == ad, m
+    assert saw_negative  # the truncation-direction branch was exercised
+    assert len(got) == sum(len(b) for b in days.values())
