@@ -479,6 +479,106 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ichimoku cloud
+# ---------------------------------------------------------------------------
+
+ICHI_T = 9  # tenkan (conversion) lookback
+ICHI_K = 26  # kijun (base) lookback; also the displacement
+ICHI_S = 52  # senkou span B lookback
+
+
+@register(
+    "q_ext_ichimoku",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + f"""
+, w AS (
+  -- each line is a (HH+LL) integer midline sum at 2x cents scale:
+  -- exact frames, NULL until the lookback is full
+  SELECT m, day, close_c,
+         CASE WHEN count(*) OVER f9 = {ICHI_T}
+              THEN max(high_c) OVER f9 + min(low_c) OVER f9 END AS t2,
+         CASE WHEN count(*) OVER f26 = {ICHI_K}
+              THEN max(high_c) OVER f26 + min(low_c) OVER f26 END AS k2,
+         CASE WHEN count(*) OVER f52 = {ICHI_S}
+              THEN max(high_c) OVER f52 + min(low_c) OVER f52 END AS s2
+  FROM candles
+  WINDOW f9 AS (PARTITION BY day ORDER BY m
+                ROWS BETWEEN {ICHI_T - 1} PRECEDING AND CURRENT ROW),
+         f26 AS (PARTITION BY day ORDER BY m
+                 ROWS BETWEEN {ICHI_K - 1} PRECEDING AND CURRENT ROW),
+         f52 AS (PARTITION BY day ORDER BY m
+                 ROWS BETWEEN {ICHI_S - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT m AS minute_start,
+       -- single IEEE divisions by exactly-representable constants:
+       -- deterministic cross-engine, no rounding step needed
+       CAST(t2 AS DOUBLE) / 200.0 AS tenkan,
+       CAST(k2 AS DOUBLE) / 200.0 AS kijun,
+       CAST(lag(t2 + k2, {ICHI_K}) OVER dw AS DOUBLE) / 400.0
+         AS senkou_a,
+       CAST(lag(s2, {ICHI_K}) OVER dw AS DOUBLE) / 200.0 AS senkou_b,
+       CAST(lead(close_c, {ICHI_K}) OVER dw AS DOUBLE) / 100.0
+         AS chikou
+FROM w
+WINDOW dw AS (PARTITION BY day ORDER BY m)
+""",
+)
+def q_ext_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud per session day: tenkan/kijun = midpoints of the
+    9- and 26-bar high-low ranges, senkou span A/B = the cloud lines
+    displaced 26 bars FORWARD (so the value plotted at bar t comes
+    from bar t-26 — a lag), chikou = the close displaced 26 bars
+    BACKWARD (a lead, NULL in the day's last 26 bars).  Every line is
+    carried as an integer (HH+LL) sum at 2x (or 4x for span A) cents
+    scale — exact frame max/min algebra — with NULL until the
+    lookback fills, and ONE final IEEE division by an
+    exactly-representable constant (200/400/100): deterministic
+    cross-engine without any rounding step.  All three frames, both
+    lags, and the lead share the single day exchange.  100 TB: the
+    q_ext_bollinger shape — (days x 1440) frame work on the
+    calendar-bounded candle layer, parallel across days."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+
+    def mid2(n: int):
+        f = (
+            Window.partitionBy("day")
+            .orderBy("m")
+            .rowsBetween(-(n - 1), 0)
+        )
+        return F.when(
+            F.count("*").over(f) == n,
+            F.max("high_c").over(f) + F.min("low_c").over(f),
+        )
+
+    w = c.select(
+        "m",
+        "day",
+        "close_c",
+        mid2(ICHI_T).alias("t2"),
+        mid2(ICHI_K).alias("k2"),
+        mid2(ICHI_S).alias("s2"),
+    )
+    dw = Window.partitionBy("day").orderBy("m")
+    return w.select(
+        F.col("m").alias("minute_start"),
+        (F.col("t2").cast("double") / 200.0).alias("tenkan"),
+        (F.col("k2").cast("double") / 200.0).alias("kijun"),
+        (
+            F.lag(F.col("t2") + F.col("k2"), ICHI_K).over(dw).cast("double")
+            / 400.0
+        ).alias("senkou_a"),
+        (F.lag("s2", ICHI_K).over(dw).cast("double") / 200.0).alias(
+            "senkou_b"
+        ),
+        (F.lead("close_c", ICHI_K).over(dw).cast("double") / 100.0).alias(
+            "chikou"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chaikin Accumulation/Distribution line
 # ---------------------------------------------------------------------------
 

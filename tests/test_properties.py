@@ -2761,3 +2761,59 @@ def test_chaikin_ad_matches_integer_replay(spark):
             assert g["ad_q"] == ad, m
     assert saw_negative  # the truncation-direction branch was exercised
     assert len(got) == sum(len(b) for b in days.values())
+
+
+def test_ichimoku_matches_integer_replay(spark):
+    """Ichimoku's frame midlines and +/-26-bar displacements must
+    equal a from-scratch Python integer replay exactly (single IEEE
+    divisions by exact constants — no tolerance)."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        ICHI_K,
+        ICHI_S,
+        ICHI_T,
+    )
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_ichimoku"](spark, SF).collect()
+    }
+
+    def mid2(bars, i, n):
+        if i + 1 < n:
+            return None
+        w = bars[i - n + 1 : i + 1]
+        return max(c["high"] for _, c in w) + min(c["low"] for _, c in w)
+
+    for day, bars in days.items():
+        for i, (m, c) in enumerate(bars):
+            t2, k2 = mid2(bars, i, ICHI_T), mid2(bars, i, ICHI_K)
+            g = got[m]
+            assert g["tenkan"] == (None if t2 is None else t2 / 200.0), m
+            assert g["kijun"] == (None if k2 is None else k2 / 200.0), m
+            j = i - ICHI_K
+            if j < 0:
+                assert g["senkou_a"] is None and g["senkou_b"] is None
+            else:
+                ta, ka = mid2(bars, j, ICHI_T), mid2(bars, j, ICHI_K)
+                sa = (
+                    None
+                    if ta is None or ka is None
+                    else (ta + ka) / 400.0
+                )
+                s2 = mid2(bars, j, ICHI_S)
+                assert g["senkou_a"] == sa, m
+                assert g["senkou_b"] == (
+                    None if s2 is None else s2 / 200.0
+                ), m
+            fwd = i + ICHI_K
+            want_ch = (
+                bars[fwd][1]["close"] / 100.0 if fwd < len(bars) else None
+            )
+            assert g["chikou"] == want_ch, m
+    assert len(got) == sum(len(b) for b in days.values())
