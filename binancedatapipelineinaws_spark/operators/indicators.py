@@ -479,6 +479,145 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Keltner channels
+# ---------------------------------------------------------------------------
+
+KC_MID_N = 20  # midline EMA lookback (alpha = 2/21)
+KC_ATR_N = 10  # true-range EMA lookback (alpha = 2/11)
+KC_MULT = 2  # band half-width in ATRs
+_KC_FP = 1_000_000_000  # state scale: cents x 1e9 (midline at 3x cents)
+
+# Spark-SQL fragments.  The midline EMA runs on the 3x-cents typical
+# price (H+L+C, never /3 — the division commutes to the display step),
+# the band EMA on the cents true range; both are rational-coefficient
+# integer machines like MACD (2/21 -> (2x + 19e) div 21, 2/11 ->
+# (2x + 9e) div 11).
+_KC_TP3 = (
+    "(element_at(hs, i) + element_at(ls, i) + element_at(cs, i))"
+    " * 1000000000L"
+)
+_KC_TR = (
+    "greatest(element_at(hs, i) - element_at(ls, i),"
+    " abs(element_at(hs, i) - element_at(cs, i - 1)),"
+    " abs(element_at(ls, i) - element_at(cs, i - 1))) * 1000000000L"
+)
+_KC_NEW_MID = f"((2L * {_KC_TP3} + 19L * acc.mid) div 21)"
+_KC_NEW_ATR = f"((2L * {_KC_TR} + 9L * acc.atr) div 11)"
+
+_KC_SEED_MID = (
+    "(element_at(hs, 1) + element_at(ls, 1) + element_at(cs, 1))"
+    " * 1000000000L"
+)
+_KC_SEED_ATR = "(element_at(hs, 1) - element_at(ls, 1)) * 1000000000L"
+
+_KC_FOLD = f"""
+aggregate(
+  CASE WHEN size(ms) >= 2 THEN sequence(2, size(ms))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct('mid', {_KC_SEED_MID},
+               'atr', {_KC_SEED_ATR},
+               'out', array(named_struct('mid', {_KC_SEED_MID},
+                                         'atr', {_KC_SEED_ATR}))),
+  (acc, i) -> named_struct(
+    'mid', {_KC_NEW_MID},
+    'atr', {_KC_NEW_ATR},
+    'out', concat(acc.out,
+                  array(named_struct('mid', {_KC_NEW_MID},
+                                     'atr', {_KC_NEW_ATR})))
+  )
+).out
+"""
+
+
+def _q6_3x(a: str) -> str:
+    """Half-away-from-zero quantization of a (3x cents) x 1e9
+    fixed-point value to the 6-dp dollar grid (1e-6 $ = 3e5 fp units),
+    entirely in integers, one exact final division (quotient <= ~3e11
+    is double-exact).  The 3x scale is the never-divided typical-price
+    sum; DIVOP is `div` (Spark) / `//` (DuckDB), both truncating."""
+    return (
+        f"CAST((({a}) + (CASE WHEN ({a}) >= 0 THEN 150000"
+        f" ELSE -150000 END)) DIVOP 300000 AS DOUBLE) / 1000000.0"
+    )
+
+
+@register(
+    "q_ext_keltner",
+    oracle="WITH RECURSIVE "
+    + _CANDLES_CTE
+    + f"""
+, kbars AS (
+  SELECT day, list(high_c ORDER BY m) AS hs, list(low_c ORDER BY m) AS ls,
+         list(close_c ORDER BY m) AS cs, list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+), st AS (
+  -- two BIGINT fixed-point EMAs: midline on the 3x-cents typical
+  -- price (alpha 2/21), band width on the cents true range (alpha
+  -- 2/11) — the MACD integer machine (identical double trees flip
+  -- under FMA contraction; integers cannot).  Seeds: bar 1's typical
+  -- price and its high-low range (the bar-1 TR convention).
+  SELECT day, CAST(1 AS BIGINT) AS i,
+         (hs[1] + ls[1] + cs[1]) * 1000000000 AS mid,
+         (hs[1] - ls[1]) * 1000000000 AS atr
+  FROM kbars
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         (2 * ((b.hs[s.i + 1] + b.ls[s.i + 1] + b.cs[s.i + 1])
+               * 1000000000) + 19 * s.mid) // 21,
+         (2 * (greatest(b.hs[s.i + 1] - b.ls[s.i + 1],
+                        abs(b.hs[s.i + 1] - b.cs[s.i]),
+                        abs(b.ls[s.i + 1] - b.cs[s.i]))
+               * 1000000000) + 9 * s.atr) // 11
+  FROM st s JOIN kbars b ON b.day = s.day
+  WHERE s.i < len(b.ms)
+)
+SELECT b.ms[s.i] AS minute_start,
+       {_q6_3x("s.mid").replace("DIVOP", "//")} AS middle,
+       {_q6_3x(f"s.mid + {3 * KC_MULT} * s.atr").replace("DIVOP", "//")}
+         AS upper_band,
+       {_q6_3x(f"s.mid - {3 * KC_MULT} * s.atr").replace("DIVOP", "//")}
+         AS lower_band
+FROM st s JOIN kbars b ON b.day = s.day
+""",
+)
+def q_ext_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels per session day: midline = EMA(20) of the
+    typical price (H+L+C)/3, bands = midline +/- 2 x EMA(10) of the
+    true range.  Both recurrences run as BIGINT fixed-point integer
+    machines (cents x 1e9; the typical price stays as the 3x sum —
+    the /3 commutes through the linear EMA to the display step, where
+    the band offset scales by 3x2 to match).  Coefficients are exact
+    rationals (2/21, 2/11) -> integer mul-add + truncating division
+    (`div` == `//`), so the state is bit-identical across engines by
+    construction; outputs quantize half-away-from-zero on the 6-dp
+    dollar grid (one exact final division).  Emits every bar from bar
+    1 (seeds: bar 1's typical price; TR_1 = high-low).  Overflow
+    headroom: 19 x tp3 x 1e9 caps at ~$1M prices.  100 TB: O(1) state
+    per day, (days x 1440) fold work regardless of tick volume — the
+    q_ext_macd shape."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    bars = _day_arrays(
+        c,
+        [("hs", "high_c"), ("ls", "low_c"), ("cs", "close_c"), ("ms", "m")],
+    )
+    exploded = bars.select(
+        "ms", F.posexplode(F.expr(_KC_FOLD)).alias("pos", "s")
+    )
+    off = 3 * KC_MULT
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + 1).alias("minute_start"),
+        F.expr(_q6_3x("s.mid").replace("DIVOP", "div")).alias("middle"),
+        F.expr(
+            _q6_3x(f"s.mid + {off} * s.atr").replace("DIVOP", "div")
+        ).alias("upper_band"),
+        F.expr(
+            _q6_3x(f"s.mid - {off} * s.atr").replace("DIVOP", "div")
+        ).alias("lower_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ichimoku cloud
 # ---------------------------------------------------------------------------
 

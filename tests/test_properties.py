@@ -2817,3 +2817,51 @@ def test_ichimoku_matches_integer_replay(spark):
             )
             assert g["chikou"] == want_ch, m
     assert len(got) == sum(len(b) for b in days.values())
+
+
+def test_keltner_matches_integer_replay(spark):
+    """Keltner's two fixed-point EMA machines must equal a from-scratch
+    Python integer replay exactly, including the half-away-from-zero
+    grid quantization (truncating div == Python tdiv on nonneg)."""
+    from collections import defaultdict
+
+    FP = 1_000_000_000
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_keltner"](spark, SF).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def q3(s):
+        return tdiv(s + (150000 if s >= 0 else -150000), 300000) / 1e6
+
+    for day, bars in days.items():
+        mid = atr = None
+        prev_close = None
+        for m, c in bars:
+            tp3 = c["high"] + c["low"] + c["close"]
+            if mid is None:
+                mid = tp3 * FP
+                atr = (c["high"] - c["low"]) * FP
+            else:
+                tr = max(
+                    c["high"] - c["low"],
+                    abs(c["high"] - prev_close),
+                    abs(c["low"] - prev_close),
+                )
+                mid = tdiv(2 * tp3 * FP + 19 * mid, 21)
+                atr = tdiv(2 * tr * FP + 9 * atr, 11)
+            prev_close = c["close"]
+            g = got[m]
+            assert g["middle"] == q3(mid), m
+            assert g["upper_band"] == q3(mid + 6 * atr), m
+            assert g["lower_band"] == q3(mid - 6 * atr), m
+    assert len(got) == sum(len(b) for b in days.values())
