@@ -478,6 +478,203 @@ def q_ext_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6(a: str) -> str:
+    """Half-away-from-zero quantization of a cents x 1e9 fixed-point
+    value to the 6-dp dollar grid (1e-6 $ = 1e5 fp units), entirely in
+    integers, then ONE exact final division (quotient <= ~1e9 is
+    double-exact).  Same text works in Spark SQL and DuckDB modulo the
+    div operator, handled by the caller."""
+    return (
+        f"CAST((({a}) + (CASE WHEN ({a}) >= 0 THEN 50000 ELSE -50000 END))"
+        f" DIVOP 100000 AS DOUBLE) / 1000000.0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parabolic SAR
+# ---------------------------------------------------------------------------
+
+_SAR_FP = 1_000_000_000  # SAR state scale: cents x 1e9
+# af = k/50 for k in 1..10 (0.02 steps, 0.2 cap) -> the update
+# sar' = sar + af*(ep - sar) = ((50-k)*sar + k*ep*FP) div 50 is an
+# exact integer machine like MACD/Keltner.
+
+# ONE step template instantiated for BOTH engines (placeholders:
+# {H}/{L} = current bar's high/low (cents), {LP}/{HP} = prior bar's,
+# {LPP}/{HPP} = two bars back (clamped to bar 1), {T}/{SAR}/{EP}/{K} =
+# the pre-step state, {DIV} = the truncating integral div operator).
+# Semantics (standard Wilder, documented in the query docstring):
+#   raw  = ((50-k)*sar + k*ep*FP) div 50
+#   clamp: uptrend SAR may not exceed the prior two lows (mirror for
+#          downtrend with the prior two highs)
+#   flip when the current bar penetrates the clamped SAR; the new SAR
+#   is the prior trend's EP, af resets (k=1), EP restarts at the
+#   penetrating extreme; otherwise EP/af ratchet on a new extreme.
+_SAR_RAW = "(((50 - {K}) * {SAR} + {K} * ({EP} * 1000000000)) {DIV} 50)"
+_SAR_CLAMP = (
+    f"(CASE WHEN {{T}} = 1"
+    f" THEN least({_SAR_RAW}, {{LP}} * 1000000000, {{LPP}} * 1000000000)"
+    f" ELSE greatest({_SAR_RAW}, {{HP}} * 1000000000,"
+    f" {{HPP}} * 1000000000) END)"
+)
+_SAR_FLIP = (
+    f"(CASE WHEN {{T}} = 1 THEN {{L}} * 1000000000 < {_SAR_CLAMP}"
+    f" ELSE {{H}} * 1000000000 > {_SAR_CLAMP} END)"
+)
+_SAR_NEW_T = f"(CASE WHEN {_SAR_FLIP} THEN -{{T}} ELSE {{T}} END)"
+_SAR_NEW_SAR = (
+    f"(CASE WHEN {_SAR_FLIP} THEN {{EP}} * 1000000000"
+    f" ELSE {_SAR_CLAMP} END)"
+)
+_SAR_NEW_EP = (
+    f"(CASE WHEN {_SAR_FLIP} THEN (CASE WHEN {{T}} = 1 THEN {{L}}"
+    f" ELSE {{H}} END)"
+    f" WHEN {{T}} = 1 THEN greatest({{EP}}, {{H}})"
+    f" ELSE least({{EP}}, {{L}}) END)"
+)
+_SAR_NEW_K = (
+    f"(CASE WHEN {_SAR_FLIP} THEN 1"
+    f" WHEN {{T}} = 1 AND {{H}} > {{EP}} THEN least({{K}} + 1, 10)"
+    f" WHEN {{T}} = -1 AND {{L}} < {{EP}} THEN least({{K}} + 1, 10)"
+    f" ELSE {{K}} END)"
+)
+
+
+def _sar_step(field_tmpl: str, subs: dict) -> str:
+    return field_tmpl.format(**subs)
+
+
+_SAR_SPARK_SUBS = dict(
+    H="element_at(hs, i)",
+    L="element_at(ls, i)",
+    HP="element_at(hs, i - 1)",
+    LP="element_at(ls, i - 1)",
+    HPP="element_at(hs, greatest(i - 2, 1))",
+    LPP="element_at(ls, greatest(i - 2, 1))",
+    T="acc.t",
+    SAR="acc.sar",
+    EP="acc.ep",
+    K="acc.k",
+    DIV="div",
+)
+_SAR_DUCK_SUBS = dict(
+    H="b.hs[s.i + 1]",
+    L="b.ls[s.i + 1]",
+    HP="b.hs[s.i]",
+    LP="b.ls[s.i]",
+    HPP="b.hs[greatest(s.i - 1, 1)]",
+    LPP="b.ls[greatest(s.i - 1, 1)]",
+    T="s.t",
+    SAR="s.sar",
+    EP="s.ep",
+    K="s.k",
+    DIV="//",
+)
+
+_SAR_FOLD = f"""
+aggregate(
+  CASE WHEN size(ms) >= 2 THEN sequence(2, size(ms))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct(
+    't', CASE WHEN size(ms) >= 2
+               AND element_at(cs, 2) >= element_at(cs, 1)
+              THEN 1 ELSE -1 END,
+    'sar', CAST(CASE WHEN size(ms) >= 2
+                      AND element_at(cs, 2) >= element_at(cs, 1)
+                     THEN element_at(ls, 1) * 1000000000L
+                     ELSE element_at(hs, 1) * 1000000000L END AS BIGINT),
+    'ep', CASE WHEN size(ms) >= 2
+                AND element_at(cs, 2) >= element_at(cs, 1)
+               THEN element_at(hs, 1) ELSE element_at(ls, 1) END,
+    'k', 1,
+    'out', CAST(array() AS ARRAY<STRUCT<t: INT, sar: BIGINT>>)),
+  (acc, i) -> named_struct(
+    't', {_sar_step(_SAR_NEW_T, _SAR_SPARK_SUBS)},
+    'sar', {_sar_step(_SAR_NEW_SAR, _SAR_SPARK_SUBS)},
+    'ep', {_sar_step(_SAR_NEW_EP, _SAR_SPARK_SUBS)},
+    'k', {_sar_step(_SAR_NEW_K, _SAR_SPARK_SUBS)},
+    'out', concat(acc.out, array(named_struct(
+      't', {_sar_step(_SAR_NEW_T, _SAR_SPARK_SUBS)},
+      'sar', {_sar_step(_SAR_NEW_SAR, _SAR_SPARK_SUBS)})))
+  )
+).out
+"""
+
+
+@register(
+    "q_ext_parabolic_sar",
+    oracle="WITH RECURSIVE "
+    + _CANDLES_CTE
+    + f"""
+, kbars AS (
+  SELECT day, list(high_c ORDER BY m) AS hs, list(low_c ORDER BY m) AS ls,
+         list(close_c ORDER BY m) AS cs, list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+), eligible AS (
+  SELECT * FROM kbars WHERE len(ms) >= 2
+), st AS (
+  -- the full 4-field SAR state advances per bar; the recursive CTE's
+  -- SELECT has snapshot semantics (list_reduce struct lambdas update
+  -- in place — probed r8 — so only the CTE form matches Spark's
+  -- fold).  State: trend, SAR (cents x 1e9), EP (cents), af step k.
+  SELECT day, CAST(1 AS BIGINT) AS i,
+         CASE WHEN cs[2] >= cs[1] THEN 1 ELSE -1 END AS t,
+         CAST(CASE WHEN cs[2] >= cs[1]
+                   THEN ls[1] * 1000000000
+                   ELSE hs[1] * 1000000000 END AS BIGINT) AS sar,
+         CASE WHEN cs[2] >= cs[1] THEN hs[1] ELSE ls[1] END AS ep,
+         1 AS k
+  FROM eligible
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         {_sar_step(_SAR_NEW_T, _SAR_DUCK_SUBS)},
+         {_sar_step(_SAR_NEW_SAR, _SAR_DUCK_SUBS)},
+         {_sar_step(_SAR_NEW_EP, _SAR_DUCK_SUBS)},
+         {_sar_step(_SAR_NEW_K, _SAR_DUCK_SUBS)}
+  FROM st s JOIN eligible b ON b.day = s.day
+  WHERE s.i < len(b.ms)
+)
+-- row i=1 is the seed (pre-step state) and is not emitted; rows
+-- i >= 2 carry the post-step state for bar i
+SELECT b.ms[s.i] AS minute_start,
+       s.t AS trend,
+       {_q6("s.sar").replace("DIVOP", "//")} AS sar
+FROM st s JOIN eligible b ON b.day = s.day
+WHERE s.i >= 2
+""",
+)
+def q_ext_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parabolic SAR per session day — the conditional-reset state
+    machine: SAR accelerates toward the extreme point by af = k/50
+    (0.02 steps, 0.2 cap), is clamped by the prior two bars' extremes,
+    and FLIPS trend when the current bar penetrates it (the prior EP
+    becomes the new SAR, af resets, EP restarts at the penetrating
+    extreme).  af being an exact rational makes the whole 4-field
+    state (trend, sar, ep, k) a BIGINT integer machine — one fold /
+    one recursive CTE per day, bit-identical across engines; BOTH
+    engine texts are instantiated from the SAME step template, so the
+    semantics cannot drift.  Seed: trend from the first two closes,
+    SAR at bar 1's opposite extreme, EP at its trend extreme; emitted
+    from bar 2.  Output: post-step SAR and trend per bar, quantized
+    half-away-from-zero on the 6-dp dollar grid.  Overflow: 50 x sar
+    caps at ~$2M prices.  100 TB: O(1) state per day, (days x 1440)
+    fold work — the q_ext_macd shape."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    bars = _day_arrays(
+        c,
+        [("hs", "high_c"), ("ls", "low_c"), ("cs", "close_c"), ("ms", "m")],
+    ).filter(F.size("ms") >= 2)
+    exploded = bars.select(
+        "ms", F.posexplode(F.expr(_SAR_FOLD)).alias("pos", "s")
+    )
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + 2).alias("minute_start"),
+        F.col("s.t").alias("trend"),
+        F.expr(_q6("s.sar").replace("DIVOP", "div")).alias("sar"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Keltner channels
 # ---------------------------------------------------------------------------
@@ -1099,18 +1296,6 @@ aggregate(
   )
 ).out
 """
-
-
-def _q6(a: str) -> str:
-    """Half-away-from-zero quantization of a cents x 1e9 fixed-point
-    value to the 6-dp dollar grid (1e-6 $ = 1e5 fp units), entirely in
-    integers, then ONE exact final division (quotient <= ~1e9 is
-    double-exact).  Same text works in Spark SQL and DuckDB modulo the
-    div operator, handled by the caller."""
-    return (
-        f"CAST((({a}) + (CASE WHEN ({a}) >= 0 THEN 50000 ELSE -50000 END))"
-        f" DIVOP 100000 AS DOUBLE) / 1000000.0"
-    )
 
 
 @register(

@@ -2865,3 +2865,76 @@ def test_keltner_matches_integer_replay(spark):
             assert g["upper_band"] == q3(mid + 6 * atr), m
             assert g["lower_band"] == q3(mid - 6 * atr), m
     assert len(got) == sum(len(b) for b in days.values())
+
+
+def test_parabolic_sar_matches_integer_replay(spark):
+    """The 4-field SAR state machine (accelerating pursuit, two-bar
+    clamp, trend flip with af reset) must equal a from-scratch Python
+    integer replay exactly, and the corpus must exercise both flip
+    directions and the af cap."""
+    from collections import defaultdict
+
+    FP = 1_000_000_000
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_parabolic_sar"](spark, SF).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def q6(s):
+        return tdiv(s + (50000 if s >= 0 else -50000), 100000) / 1e6
+
+    flips = set()
+    max_k = 1
+    n_expected = 0
+    for day, bars in days.items():
+        if len(bars) < 2:
+            continue
+        hs = [c["high"] for _, c in bars]
+        ls = [c["low"] for _, c in bars]
+        cs = [c["close"] for _, c in bars]
+        t = 1 if cs[1] >= cs[0] else -1
+        sar = (ls[0] if t == 1 else hs[0]) * FP
+        ep = hs[0] if t == 1 else ls[0]
+        k = 1
+        for i in range(1, len(bars)):  # 0-based bar i (= bar i+1)
+            raw = tdiv((50 - k) * sar + k * ep * FP, 50)
+            lpp = ls[max(i - 2, 0)]
+            hpp = hs[max(i - 2, 0)]
+            if t == 1:
+                clamped = min(raw, ls[i - 1] * FP, lpp * FP)
+                flip = ls[i] * FP < clamped
+            else:
+                clamped = max(raw, hs[i - 1] * FP, hpp * FP)
+                flip = hs[i] * FP > clamped
+            if flip:
+                flips.add(t)
+                sar = ep * FP
+                ep = ls[i] if t == 1 else hs[i]
+                t, k = -t, 1
+            else:
+                if t == 1:
+                    if hs[i] > ep:
+                        k = min(k + 1, 10)
+                    ep = max(ep, hs[i])
+                else:
+                    if ls[i] < ep:
+                        k = min(k + 1, 10)
+                    ep = min(ep, ls[i])
+                max_k = max(max_k, k)
+                sar = clamped
+            n_expected += 1
+            g = got[bars[i][0]]
+            assert g["trend"] == t, bars[i][0]
+            assert g["sar"] == q6(sar), bars[i][0]
+    assert flips == {1, -1}  # both flip directions exercised
+    assert max_k >= 3  # the acceleration ratchet was exercised
+    assert len(got) == n_expected
