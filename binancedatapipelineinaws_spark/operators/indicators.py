@@ -676,6 +676,177 @@ def q_ext_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Supertrend
+# ---------------------------------------------------------------------------
+
+ST_N = 10  # Wilder ATR lookback (recurrence (9*atr + tr*FP) div 10)
+ST_MULT = 3  # band half-width in ATRs
+
+# State (all BIGINT): atr = cents x 1e9; fub/flb = final upper/lower
+# bands at 2x cents x 1e9 (the (H+L) midpoint is carried as the
+# never-halved sum, so basic band = (H+L)*FP +/- 2*3*atr); t = trend.
+# Conditional carry: a band only moves toward the price unless the
+# prior close already broke it; trend flips when the close crosses
+# the carried band.  ONE step template -> both engines.
+_ST_TR = (
+    "greatest({H} - {L}, abs({H} - {CP}), abs({L} - {CP}))"
+)
+_ST_NEW_ATR = f"((9 * {{ATR}} + ({_ST_TR}) * 1000000000) {{DIV}} 10)"
+_ST_BUB = f"(({{H}} + {{L}}) * 1000000000 + {2 * ST_MULT} * {_ST_NEW_ATR})"
+_ST_BLB = f"(({{H}} + {{L}}) * 1000000000 - {2 * ST_MULT} * {_ST_NEW_ATR})"
+_ST_NEW_FUB = (
+    f"(CASE WHEN {_ST_BUB} < {{FUB}}"
+    f" OR {{CP}} * 2000000000 > {{FUB}}"
+    f" THEN {_ST_BUB} ELSE {{FUB}} END)"
+)
+_ST_NEW_FLB = (
+    f"(CASE WHEN {_ST_BLB} > {{FLB}}"
+    f" OR {{CP}} * 2000000000 < {{FLB}}"
+    f" THEN {_ST_BLB} ELSE {{FLB}} END)"
+)
+_ST_NEW_T = (
+    f"(CASE WHEN {{C}} * 2000000000 > {_ST_NEW_FUB} THEN 1"
+    f" WHEN {{C}} * 2000000000 < {_ST_NEW_FLB} THEN -1"
+    f" ELSE {{T}} END)"
+)
+
+_ST_SPARK_SUBS = dict(
+    H="element_at(hs, i)",
+    L="element_at(ls, i)",
+    C="element_at(cs, i)",
+    CP="element_at(cs, i - 1)",
+    ATR="acc.atr",
+    FUB="acc.fub",
+    FLB="acc.flb",
+    T="acc.t",
+    DIV="div",
+)
+_ST_DUCK_SUBS = dict(
+    H="b.hs[s.i + 1]",
+    L="b.ls[s.i + 1]",
+    C="b.cs[s.i + 1]",
+    CP="b.cs[s.i]",
+    ATR="s.atr",
+    FUB="s.fub",
+    FLB="s.flb",
+    T="s.t",
+    DIV="//",
+)
+
+_ST_FOLD = f"""
+aggregate(
+  CASE WHEN size(ms) >= 2 THEN sequence(2, size(ms))
+       ELSE CAST(array() AS ARRAY<INT>) END,
+  named_struct(
+    'atr', (element_at(hs, 1) - element_at(ls, 1)) * 1000000000L,
+    'fub', (element_at(hs, 1) + element_at(ls, 1)) * 1000000000L
+           + {2 * ST_MULT}L * ((element_at(hs, 1) - element_at(ls, 1))
+                               * 1000000000L),
+    'flb', (element_at(hs, 1) + element_at(ls, 1)) * 1000000000L
+           - {2 * ST_MULT}L * ((element_at(hs, 1) - element_at(ls, 1))
+                               * 1000000000L),
+    't', 1,
+    'out', CAST(array() AS
+                ARRAY<STRUCT<t: INT, fub: BIGINT, flb: BIGINT>>)),
+  (acc, i) -> named_struct(
+    'atr', {_ST_NEW_ATR.format(**_ST_SPARK_SUBS)},
+    'fub', {_ST_NEW_FUB.format(**_ST_SPARK_SUBS)},
+    'flb', {_ST_NEW_FLB.format(**_ST_SPARK_SUBS)},
+    't', {_ST_NEW_T.format(**_ST_SPARK_SUBS)},
+    'out', concat(acc.out, array(named_struct(
+      't', {_ST_NEW_T.format(**_ST_SPARK_SUBS)},
+      'fub', {_ST_NEW_FUB.format(**_ST_SPARK_SUBS)},
+      'flb', {_ST_NEW_FLB.format(**_ST_SPARK_SUBS)})))
+  )
+).out
+"""
+
+
+def _q6_2x(a: str) -> str:
+    """Half-away-from-zero quantization of a (2x cents) x 1e9
+    fixed-point value to the 6-dp dollar grid (1e-6 $ = 2e5 fp
+    units); one exact final division."""
+    return (
+        f"CAST((({a}) + (CASE WHEN ({a}) >= 0 THEN 100000"
+        f" ELSE -100000 END)) DIVOP 200000 AS DOUBLE) / 1000000.0"
+    )
+
+
+@register(
+    "q_ext_supertrend",
+    oracle="WITH RECURSIVE "
+    + _CANDLES_CTE
+    + f"""
+, kbars AS (
+  SELECT day, list(high_c ORDER BY m) AS hs, list(low_c ORDER BY m) AS ls,
+         list(close_c ORDER BY m) AS cs, list(m ORDER BY m) AS ms
+  FROM candles GROUP BY day
+), eligible AS (
+  SELECT * FROM kbars WHERE len(ms) >= 2
+), st AS (
+  -- 4-field integer state: Wilder ATR(10) (cents x 1e9), carried
+  -- upper/lower bands (2x cents x 1e9 — (H+L) never halved), trend.
+  -- Seed = bar 1 (TR_1 = high-low, bands at bar 1's basic bands,
+  -- trend up); emitted from bar 2.
+  SELECT day, CAST(1 AS BIGINT) AS i,
+         (hs[1] - ls[1]) * 1000000000 AS atr,
+         (hs[1] + ls[1]) * 1000000000
+           + {2 * ST_MULT} * ((hs[1] - ls[1]) * 1000000000) AS fub,
+         (hs[1] + ls[1]) * 1000000000
+           - {2 * ST_MULT} * ((hs[1] - ls[1]) * 1000000000) AS flb,
+         1 AS t
+  FROM eligible
+  UNION ALL
+  SELECT s.day, s.i + 1,
+         {_ST_NEW_ATR.format(**_ST_DUCK_SUBS)},
+         {_ST_NEW_FUB.format(**_ST_DUCK_SUBS)},
+         {_ST_NEW_FLB.format(**_ST_DUCK_SUBS)},
+         {_ST_NEW_T.format(**_ST_DUCK_SUBS)}
+  FROM st s JOIN eligible b ON b.day = s.day
+  WHERE s.i < len(b.ms)
+)
+SELECT b.ms[s.i] AS minute_start,
+       s.t AS trend,
+       -- the supertrend line rides the band the price is above/below
+       {_q6_2x("CASE WHEN s.t = 1 THEN s.flb ELSE s.fub END").replace(
+           "DIVOP", "//"
+       )} AS supertrend
+FROM st s JOIN eligible b ON b.day = s.day
+WHERE s.i >= 2
+""",
+)
+def q_ext_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend(10, 3) per session day — the conditional-carry band
+    machine: basic bands = (H+L)/2 +/- 3 x Wilder ATR(10), the FINAL
+    band only moves toward the price (carries otherwise) unless the
+    prior close already broke it, and the trend flips when the close
+    crosses the carried band; the plotted line rides the band on the
+    trend's side.  All four state fields are exact BIGINTs (ATR at
+    cents x 1e9 via the rational Wilder recurrence; bands at 2x cents
+    x 1e9 — the (H+L) sum is never halved, the /2 commutes to the
+    display quantizer), and BOTH engine texts are instantiated from
+    ONE step template, so carry/flip semantics cannot drift.  Output
+    quantizes half-away-from-zero on the 6-dp dollar grid.  Overflow:
+    the 6xATR band term caps at ~$1.5M prices.  100 TB: O(1) state
+    per day, (days x 1440) fold work — the q_ext_macd shape."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    bars = _day_arrays(
+        c,
+        [("hs", "high_c"), ("ls", "low_c"), ("cs", "close_c"), ("ms", "m")],
+    ).filter(F.size("ms") >= 2)
+    exploded = bars.select(
+        "ms", F.posexplode(F.expr(_ST_FOLD)).alias("pos", "s")
+    )
+    line = "CASE WHEN s.t = 1 THEN s.flb ELSE s.fub END"
+    return exploded.select(
+        F.element_at(F.col("ms"), F.col("pos") + 2).alias("minute_start"),
+        F.col("s.t").alias("trend"),
+        F.expr(_q6_2x(line).replace("DIVOP", "div")).alias("supertrend"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keltner channels
 # ---------------------------------------------------------------------------
 

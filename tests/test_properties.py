@@ -2938,3 +2938,69 @@ def test_parabolic_sar_matches_integer_replay(spark):
     assert flips == {1, -1}  # both flip directions exercised
     assert max_k >= 3  # the acceleration ratchet was exercised
     assert len(got) == n_expected
+
+
+def test_supertrend_matches_integer_replay(spark):
+    """Supertrend's conditional band carry, ATR recurrence, and trend
+    flips must equal a from-scratch Python integer replay exactly;
+    the corpus must exercise both flip directions and band carries."""
+    from collections import defaultdict
+
+    FP = 1_000_000_000
+
+    candles = _candles_cents(spark, SF)
+    days = defaultdict(list)
+    for m in sorted(candles):
+        days[m.date()].append((m, candles[m]))
+    got = {
+        r["minute_start"]: r
+        for r in queries()["q_ext_supertrend"](spark, SF).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def q2(s):
+        return tdiv(s + (100000 if s >= 0 else -100000), 200000) / 1e6
+
+    trends = set()
+    carried = False
+    n_expected = 0
+    for day, bars in days.items():
+        if len(bars) < 2:
+            continue
+        hs = [c["high"] for _, c in bars]
+        ls = [c["low"] for _, c in bars]
+        cs = [c["close"] for _, c in bars]
+        atr = (hs[0] - ls[0]) * FP
+        fub = (hs[0] + ls[0]) * FP + 6 * atr
+        flb = (hs[0] + ls[0]) * FP - 6 * atr
+        t = 1
+        for i in range(1, len(bars)):
+            tr = max(
+                hs[i] - ls[i], abs(hs[i] - cs[i - 1]), abs(ls[i] - cs[i - 1])
+            )
+            atr = tdiv(9 * atr + tr * FP, 10)
+            bub = (hs[i] + ls[i]) * FP + 6 * atr
+            blb = (hs[i] + ls[i]) * FP - 6 * atr
+            if bub < fub or cs[i - 1] * 2 * FP > fub:
+                fub = bub
+            else:
+                carried = True
+            if blb > flb or cs[i - 1] * 2 * FP < flb:
+                flb = blb
+            else:
+                carried = True
+            if cs[i] * 2 * FP > fub:
+                t = 1
+            elif cs[i] * 2 * FP < flb:
+                t = -1
+            trends.add(t)
+            n_expected += 1
+            g = got[bars[i][0]]
+            assert g["trend"] == t, bars[i][0]
+            assert g["supertrend"] == q2(flb if t == 1 else fub), bars[i][0]
+    assert trends == {1, -1}  # both trend states reached
+    assert carried  # the band-carry branch was exercised
+    assert len(got) == n_expected
