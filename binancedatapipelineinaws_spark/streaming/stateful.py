@@ -642,3 +642,115 @@ def macd_stream(candles: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# The streaming twin of the oracle-gated Parabolic SAR batch fold
+# (operators/indicators.py:q_ext_parabolic_sar): the full conditional-
+# reset machine — accelerating pursuit, two-prior-bar clamp, trend
+# flips with af reset — as O(1) BIGINT state per session day.  Like
+# macd_stream, the state is pure integer arithmetic, so an in-order
+# replay equals the batch query BIT-EXACTLY (tests/test_streaming.py);
+# the prior two bars' extremes ride along in the state, which is what
+# lets a conditional-reset recurrence stream with O(1) memory at all.
+
+SAR_STREAM_SCHEMA = "day date, n_bars long, trend int, sar double"
+SAR_STREAM_STATE_SCHEMA = (
+    "t long, sar long, ep long, k long, n long,"
+    " hp long, lp long, hpp long, lpp long, c1 long"
+)
+
+_SAR_STREAM_FP = 1_000_000_000
+
+
+def make_sar_fn():
+    def sar_fn(key, pdfs, state):
+        import pandas as pd
+
+        FP = _SAR_STREAM_FP
+        (day,) = key
+        if state.exists:
+            t, sar, ep, k, n, hp, lp, hpp, lpp, c1 = state.get
+        else:
+            t, sar, ep, k, n, hp, lp, hpp, lpp, c1 = (
+                0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+            )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("m")
+            for h, l, c in zip(
+                batch["high_c"], batch["low_c"], batch["close_c"]
+            ):
+                h, l, c = int(h), int(l), int(c)
+                n += 1
+                if n == 1:
+                    hp = hpp = h
+                    lp = lpp = l
+                    c1 = c
+                    continue
+                if n == 2:
+                    # seed from the first two closes (batch semantics)
+                    t = 1 if c >= c1 else -1
+                    sar = (lp if t == 1 else hp) * FP
+                    ep = hp if t == 1 else lp
+                    k = 1
+                # one step of the batch machine (identical integers)
+                raw = _tdiv((50 - k) * sar + k * ep * FP, 50)
+                if t == 1:
+                    clamped = min(raw, lp * FP, lpp * FP)
+                    flip = l * FP < clamped
+                else:
+                    clamped = max(raw, hp * FP, hpp * FP)
+                    flip = h * FP > clamped
+                if flip:
+                    sar = ep * FP
+                    ep = l if t == 1 else h
+                    t, k = -t, 1
+                else:
+                    if t == 1:
+                        if h > ep:
+                            k = min(k + 1, 10)
+                        ep = max(ep, h)
+                    else:
+                        if l < ep:
+                            k = min(k + 1, 10)
+                        ep = min(ep, l)
+                    sar = clamped
+                hpp, lpp = hp, lp
+                hp, lp = h, l
+        state.update((t, sar, ep, k, n, hp, lp, hpp, lpp, c1))
+
+        def q6(a: int) -> float:
+            return _tdiv(a + (50000 if a >= 0 else -50000), 100000) / 1e6
+
+        yield pd.DataFrame(
+            {
+                "day": [day],
+                "n_bars": [n],
+                "trend": [int(t)],
+                "sar": [q6(sar)],
+            }
+        )
+
+    return sar_fn
+
+
+def sar_stream(candles: DataFrame) -> DataFrame:
+    """Candle stream (m timestamp, high_c/low_c/close_c cents) ->
+    per-day Parabolic SAR snapshots (one row per day per micro-batch;
+    the max-n_bars row per day is the final state)."""
+    from pyspark.sql import functions as F
+
+    keyed = candles.select(
+        F.col("m").cast("timestamp").alias("m"),
+        F.col("m").cast("date").alias("day"),
+        F.col("high_c").cast("long").alias("high_c"),
+        F.col("low_c").cast("long").alias("low_c"),
+        F.col("close_c").cast("long").alias("close_c"),
+    )
+    return keyed.groupBy("day").applyInPandasWithState(
+        make_sar_fn(),
+        outputStructType=SAR_STREAM_SCHEMA,
+        stateStructType=SAR_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
