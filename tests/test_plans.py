@@ -1100,10 +1100,17 @@ def test_indicator_windows_day_partitioned_and_jvm_only(spark):
 
 
 def test_recurrence_folds_are_generate_projections(spark):
-    # RSI/MACD run the fold inside a project over the day-grouped
-    # arrays and explode the result: no Window nodes, no Python, one
-    # aggregate for the bars collect
-    for qid in ["q_ext_rsi", "q_ext_macd"]:
+    # RSI/MACD (and the r8-close machines: Keltner's twin EMAs, the
+    # SAR and Supertrend conditional-reset states) run the fold inside
+    # a project over the day-grouped arrays and explode the result: no
+    # Window nodes, no Python, one aggregate for the bars collect
+    for qid in [
+        "q_ext_rsi",
+        "q_ext_macd",
+        "q_ext_keltner",
+        "q_ext_parabolic_sar",
+        "q_ext_supertrend",
+    ]:
         plan = _plan(queries()[qid](spark, SF))
         assert "BatchEvalPython" not in plan, qid
         assert "ArrowEvalPython" not in plan, qid
