@@ -754,3 +754,92 @@ def sar_stream(candles: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# The streaming twin of the oracle-gated Supertrend batch fold
+# (operators/indicators.py:q_ext_supertrend): Wilder ATR recurrence +
+# conditional band carry + trend flip as O(1) BIGINT state per day.
+# Bit-exact vs the batch fold, like macd_stream / sar_stream; only the
+# prior close rides along (the carry rule references it, not the prior
+# extremes).
+
+ST_STREAM_SCHEMA = "day date, n_bars long, trend int, supertrend double"
+ST_STREAM_STATE_SCHEMA = (
+    "atr long, fub long, flb long, t long, n long, cp long"
+)
+
+
+def make_supertrend_fn():
+    def st_fn(key, pdfs, state):
+        import pandas as pd
+
+        FP = 1_000_000_000
+        (day,) = key
+        if state.exists:
+            atr, fub, flb, t, n, cp = state.get
+        else:
+            atr, fub, flb, t, n, cp = 0, 0, 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("m")
+            for h, l, c in zip(
+                batch["high_c"], batch["low_c"], batch["close_c"]
+            ):
+                h, l, c = int(h), int(l), int(c)
+                n += 1
+                if n == 1:
+                    atr = (h - l) * FP
+                    fub = (h + l) * FP + 6 * atr
+                    flb = (h + l) * FP - 6 * atr
+                    t = 1
+                    cp = c
+                    continue
+                tr = max(h - l, abs(h - cp), abs(l - cp))
+                atr = _tdiv(9 * atr + tr * FP, 10)
+                bub = (h + l) * FP + 6 * atr
+                blb = (h + l) * FP - 6 * atr
+                if bub < fub or cp * 2 * FP > fub:
+                    fub = bub
+                if blb > flb or cp * 2 * FP < flb:
+                    flb = blb
+                if c * 2 * FP > fub:
+                    t = 1
+                elif c * 2 * FP < flb:
+                    t = -1
+                cp = c
+        state.update((atr, fub, flb, t, n, cp))
+
+        def q2(a: int) -> float:
+            return _tdiv(a + (100000 if a >= 0 else -100000), 200000) / 1e6
+
+        yield pd.DataFrame(
+            {
+                "day": [day],
+                "n_bars": [n],
+                "trend": [int(t)],
+                "supertrend": [q2(flb if t == 1 else fub)],
+            }
+        )
+
+    return st_fn
+
+
+def supertrend_stream(candles: DataFrame) -> DataFrame:
+    """Candle stream (m, high_c/low_c/close_c cents) -> per-day
+    Supertrend snapshots (max-n_bars row per day = final state)."""
+    from pyspark.sql import functions as F
+
+    keyed = candles.select(
+        F.col("m").cast("timestamp").alias("m"),
+        F.col("m").cast("date").alias("day"),
+        F.col("high_c").cast("long").alias("high_c"),
+        F.col("low_c").cast("long").alias("low_c"),
+        F.col("close_c").cast("long").alias("close_c"),
+    )
+    return keyed.groupBy("day").applyInPandasWithState(
+        make_supertrend_fn(),
+        outputStructType=ST_STREAM_SCHEMA,
+        stateStructType=ST_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1488,3 +1488,67 @@ def test_streaming_sar_matches_batch_exactly(spark, tmp_path):
     assert final.count() == want.count()
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
+
+
+def test_streaming_supertrend_matches_batch_exactly(spark, tmp_path):
+    """The O(1)-state streaming Supertrend kernel replayed over
+    time-sliced candle files must equal the oracle-gated batch fold
+    (q_ext_supertrend) EXACTLY — conditional band carry included."""
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        _candles_c,
+    )
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        supertrend_stream,
+    )
+
+    import pyspark.sql.window as W
+
+    src = str(tmp_path / "candles_sliced")
+    candles = _candles_c(spark, SF).select(
+        "m", "high_c", "low_c", "close_c"
+    )
+    w = W.Window.orderBy("m")
+    n = candles.count()
+    sliced = candles.withColumn("rn", F.row_number().over(w))
+    for i in range(3):
+        sliced.filter(
+            (F.col("rn") > i * n // 3) & (F.col("rn") <= (i + 1) * n // 3)
+        ).drop("rn").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "st_out")
+    q = (
+        supertrend_stream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    snaps = spark.read.parquet(out)
+    wmax = W.Window.partitionBy("day")
+    final = (
+        snaps.withColumn("n_max", F.max("n_bars").over(wmax))
+        .filter(F.col("n_bars") == F.col("n_max"))
+        .select("day", "trend", "supertrend")
+    )
+    batch = queries()["q_ext_supertrend"](spark, SF)
+    wday = W.Window.partitionBy(F.col("minute_start").cast("date"))
+    want = (
+        batch.withColumn("m_max", F.max("minute_start").over(wday))
+        .filter(F.col("minute_start") == F.col("m_max"))
+        .select(
+            F.col("minute_start").cast("date").alias("day"),
+            "trend",
+            "supertrend",
+        )
+    )
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
