@@ -62,6 +62,73 @@ def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sub_exists",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_quantity >= 48 AND l_discount >= 0.08)
+ORDER BY s_suppkey
+""",
+)
+def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a compound inner predicate — Catalyst
+    decorrelates it to a left-semi join on l_suppkey with the filters
+    pushed below the join, so the fact side is pruned before the
+    shuffle."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_suppkey = s_suppkey AND l_quantity >= 48
+            AND l_discount >= 0.08)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "q_sub_not_in_null",
+    oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE p_partkey NOT IN (
+  SELECT CASE WHEN l_returnflag = 'R' THEN l_partkey END
+  FROM lineitem WHERE l_partkey = p.p_partkey AND l_quantity >= 48)
+ORDER BY p_partkey
+""",
+)
+def q_sub_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a correlated subquery whose list can contain
+    NULL — the ANSI three-valued-logic trap, exercised deliberately
+    (inner filter l_quantity >= 48 keeps all three outcome classes
+    populated at sf0.01: 357 / 777 / 866): parts with no qualifying
+    line survive (empty list -> TRUE), parts with a qualifying
+    returned ('R') line are rejected by a real match, and parts with
+    qualifying-but-never-returned lines are ALSO rejected because
+    their list is all-NULL and `x <> NULL` is UNKNOWN — the
+    pure-NULL-semantics outcome a plain anti-join rewrite would get
+    wrong.
+    Spark compiles this to its null-aware anti join; DuckDB implements
+    the same ANSI semantics (probed: `x NOT IN (SELECT NULL)` is
+    empty), so the gate pins the three-valued behavior itself."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part p
+        WHERE p_partkey NOT IN (
+          SELECT CASE WHEN l_returnflag = 'R' THEN l_partkey END
+          FROM lineitem WHERE l_partkey = p.p_partkey
+            AND l_quantity >= 48)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
     "q_sub_correlated_scalar",
     oracle="""
 SELECT c_custkey,
