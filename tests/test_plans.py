@@ -1141,3 +1141,12 @@ def test_heikin_ashi_fold_is_generate_projection(spark):
     assert "BatchEvalPython" not in plan
     assert " Window [" not in plan
     assert "Generate posexplode" in plan
+
+
+def test_not_in_null_uses_null_aware_anti_join(spark):
+    # the ANSI NOT IN must compile to the null-aware anti join (the
+    # OR-isnull equality), not a plain anti join — a plain rewrite
+    # would wrongly keep the all-NULL-list rows
+    plan = _plan(queries()["q_sub_not_in_null"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "isnull" in plan
