@@ -3004,3 +3004,117 @@ def test_supertrend_matches_integer_replay(spark):
     assert trends == {1, -1}  # both trend states reached
     assert carried  # the band-carry branch was exercised
     assert len(got) == n_expected
+
+
+def test_parabolic_sar_fold_on_adversarial_days(spark):
+    """Run the exact engine fold (_SAR_FOLD) over crafted + seeded-
+    random synthetic days — flat days, two-bar days, monotone runs,
+    alternating whipsaws, tied extremes — and compare every step
+    against the Python replay.  One Spark call for all days."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        _SAR_FOLD,
+    )
+
+    FP = 1_000_000_000
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def q6(s):
+        return tdiv(s + (50000 if s >= 0 else -50000), 100000) / 1e6
+
+    def replay(hs, ls, cs):
+        t = 1 if cs[1] >= cs[0] else -1
+        sar = (ls[0] if t == 1 else hs[0]) * FP
+        ep = hs[0] if t == 1 else ls[0]
+        k = 1
+        out = []
+        for i in range(1, len(hs)):
+            raw = tdiv((50 - k) * sar + k * ep * FP, 50)
+            lpp, hpp = ls[max(i - 2, 0)], hs[max(i - 2, 0)]
+            if t == 1:
+                clamped = min(raw, ls[i - 1] * FP, lpp * FP)
+                flip = ls[i] * FP < clamped
+            else:
+                clamped = max(raw, hs[i - 1] * FP, hpp * FP)
+                flip = hs[i] * FP > clamped
+            if flip:
+                sar = ep * FP
+                ep = ls[i] if t == 1 else hs[i]
+                t, k = -t, 1
+            else:
+                if t == 1:
+                    if hs[i] > ep:
+                        k = min(k + 1, 10)
+                    ep = max(ep, hs[i])
+                else:
+                    if ls[i] < ep:
+                        k = min(k + 1, 10)
+                    ep = min(ep, ls[i])
+                sar = clamped
+            out.append((t, q6(sar)))
+        return out
+
+    rng = random.Random(20260815)
+    days = []
+    # crafted edges
+    days.append([(100, 100, 100)] * 5)  # dead-flat day
+    days.append([(105, 95, 100), (106, 96, 97)])  # two bars, down seed
+    days.append([(100 + i, 90 + i, 95 + i) for i in range(40)])  # up run
+    days.append([(200 - i, 190 - i, 195 - i) for i in range(40)])  # down
+    days.append(
+        [(110, 90, 100 + (7 if i % 2 else -7)) for i in range(30)]
+    )  # whipsaw with tied extremes
+    # seeded random walks with occasional flat bars
+    for _ in range(40):
+        n = rng.randint(2, 60)
+        c = rng.randint(90, 110)
+        bars = []
+        for _ in range(n):
+            c += rng.randint(-6, 6)
+            if rng.random() < 0.15:
+                bars.append((c, c, c))  # flat bar
+            else:
+                h = c + rng.randint(0, 5)
+                l = c - rng.randint(0, 5)
+                bars.append((h, l, c))
+        days.append(bars)
+
+    rows = [
+        (
+            i,
+            [b[0] for b in bars],
+            [b[1] for b in bars],
+            [b[2] for b in bars],
+            list(range(len(bars))),
+        )
+        for i, bars in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows, "day_id long, hs array<long>, ls array<long>,"
+        " cs array<long>, ms array<long>"
+    )
+    got_rows = (
+        df.select(
+            "day_id", F.posexplode(F.expr(_SAR_FOLD)).alias("pos", "s")
+        )
+        .select("day_id", "pos", "s.t", "s.sar")
+        .collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["day_id"], {})[r["pos"]] = (r["t"], q6(r["sar"]))
+    for i, bars in enumerate(days):
+        hs = [b[0] for b in bars]
+        ls = [b[1] for b in bars]
+        cs = [b[2] for b in bars]
+        want = replay(hs, ls, cs)
+        steps = got.get(i, {})
+        assert len(steps) == len(want), i
+        for pos, exp in enumerate(want):
+            assert steps[pos] == exp, (i, pos, steps[pos], exp)
