@@ -469,7 +469,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     groupBy — the driver only checks the converged-yet flag.  At 100 TB
     the pair graph is tiny relative to the corpus (it only contains
     near-duplicates), and diameters of near-dup clusters are small, so
-    the loop runs 2-4 rounds in practice."""
+    the loop runs 2-4 rounds in practice.
+
+    Each round's labels are truncated with an EAGER localCheckpoint
+    (not just persist): without lineage truncation the label plan
+    grows by one join+groupBy per round, so an N-round run carries an
+    O(N)-deep unrolled tree into every downstream optimization pass
+    (the pre-fix static plan for q_ext_dedup_clusters printed 1902
+    exchange nodes), and a deep component (diameter > ~30) would blow
+    planning time long before execution cost mattered.  The
+    materialization is not extra work — the convergence check already
+    ran a job per round.  On a cluster with executor loss, swap for a
+    reliable `checkpoint()` directory; same plan shape."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -482,7 +493,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -504,7 +515,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "cluster_id", F.coalesce("neighbor_label", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
