@@ -18,8 +18,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1"
+# override with SPARK_GRAFT_SCALE_DIR to price against another corpus
+# (e.g. .bench_sf10, the 100-replica build) — the printed ratio is
+# then wall(that corpus)/wall(sf0.1)
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_sf1",
+    ),
 )
 
 # the r6 bench's five most expensive queries + the quadratic-sensitive

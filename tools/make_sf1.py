@@ -39,7 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-N_REPLICAS = 10
+# 10 replicas ~= sf1.  SPARK_GRAFT_SF1_REPLICAS=100 builds the ~sf10
+# corpus used for the 100x pricing drill (same tagging/noise scheme —
+# word tags and the frac-sin hash are unique per replica at any count).
+N_REPLICAS = int(os.environ.get("SPARK_GRAFT_SF1_REPLICAS", "10"))
 
 
 def _stride(df: DataFrame, col: str) -> int:
