@@ -56,7 +56,13 @@ _CANDLES_CTE = (
          row_number() OVER (PARTITION BY m ORDER BY "time" DESC, bid DESC)
            AS rn_d
   FROM pticks
-), candles AS (
+), candles AS MATERIALIZED (
+  -- MATERIALIZED is an evaluation hint only (no semantic change) but
+  -- load-bearing for the recursive oracles: without it DuckDB 1.0
+  -- re-evaluates the whole tick->candle chain on EVERY recursion
+  -- step, so a 1440-step fold oracle re-scanned the raw trades ~1440
+  -- times — 15+ min per query at the 100x corpus vs 6 s materialized
+  -- (probed on q_ext_rsi, r8).
   SELECT m, CAST(m AS DATE) AS day,
          max(CASE WHEN rn_a = 1 THEN price_c END) AS open_c,
          max(price_c) AS high_c,
