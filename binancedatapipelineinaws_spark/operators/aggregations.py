@@ -240,14 +240,25 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land within max({APPROX_DISTINCT_REL_GATE:.0%} relative,
     {APPROX_DISTINCT_ABS_GATE:g} absolute) of the exact count — an
     out-of-envelope sketch breaks the gate hash.  (Converted from a
-    rows-only check per VERDICT r7 item 2; the exact counts ride the
-    same single aggregate, which is the gate's cost, not the 100 TB
-    plan's — production keeps only the sketch column.)"""
+    rows-only check per VERDICT r7 item 2; the exact counts are
+    gate-only cost — production keeps only the sketch column.)
+
+    The exact and approx aggregates run as SEPARATE passes joined on
+    the 3-row group key: mixing count_distinct with
+    approx_count_distinct in ONE aggregate makes Catalyst's
+    RewriteDistinctAggregates carry the non-distinct HLL buffer
+    (2^12 registers at rsd=0.02) through the per-(group, value)
+    partial aggregate — ~200k live 4 KB sketch buffers at sf0.1 —
+    measured 2.94 s fused vs 0.97 s split (r8).  Split, the approx
+    pass keeps one sketch per group (3) and the exact pass is a plain
+    Expand distinct with no sketch state."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_suppkey").alias("exact_supps"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct(
             "l_partkey", rsd=APPROX_DISTINCT_RSD
         ).alias("approx_parts"),
@@ -255,6 +266,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey", rsd=APPROX_DISTINCT_RSD
         ).alias("approx_supps"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
 
     def within(approx: str, exact: str):
         bound = F.greatest(

@@ -274,10 +274,18 @@ def q_ext_hll_union_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     production sketch-table refresh + rollup."""
     prepare(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    direct = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_exact"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d"),
+    # exact and sketch run as separate passes joined on the bounded
+    # group key: fused, RewriteDistinctAggregates drags the HLL buffer
+    # through the per-(type, user) partial aggregate (one live sketch
+    # per distinct user instead of per type) — same pathology as
+    # q_agg_approx_distinct, measured 0.68 s fused vs 0.51 s split.
+    exact_cd = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
     )
+    direct_sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d")
+    )
+    direct = exact_cd.join(F.broadcast(direct_sk), "event_type")
     shards = ev.groupBy(
         "event_type", (F.col("user_id") % HLL_EVAL_SHARDS).alias("shard")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
