@@ -718,3 +718,52 @@ def q_ext_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * exp_fp * (F.col("n_orders") - F.col("n_true_matches"))
         ).alias("fp_rate_within_bound"),
     )
+
+
+BITMAP_CHUNK_BITS = 64
+
+
+@register(
+    "q_ext_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_distinct_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_ext_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via 64-bit bitmap chunks — the scale path
+    between count_distinct (exact, but shuffles every (group, value)
+    pair through an Expand) and approx_count_distinct (bounded state,
+    approximate).  For dense integer id spaces the bitmap is exact AND
+    partial-aggregable with bounded state: map side ORs each id into a
+    64-bit word keyed by (group, id >> 6), so the shuffle carries at
+    most id_range/64 longs per group — a 64x row reduction with
+    perfect combiner locality (the id is the bit, so duplicate ids
+    combine to the SAME word map-side).  The reduce is a plain
+    bit_count sum.  This is the roaring-bitmap pattern expressed in
+    two partial-aggregated groupBys; the oracle is the naive exact
+    count_distinct — identical values by construction.
+
+    100 TB: state is id_range/64 words per group regardless of row
+    count; for sparse id spaces swap the chunk key to a hash bucket
+    (losing exactness) or use HLL (q_agg_approx_distinct)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    chunk = (F.col("l_partkey") / BITMAP_CHUNK_BITS).cast("long").alias("chunk")
+    # SQL form: the Python F.shiftleft only takes a literal shift
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(l_partkey % {BITMAP_CHUNK_BITS} AS INT))"
+    )
+    words = li.groupBy("l_returnflag", chunk).agg(
+        F.bit_or(bit).alias("word"), F.count("*").alias("n_part")
+    )
+    return (
+        words.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.bit_count("word")).alias("n_distinct_parts"),
+            F.sum("n_part").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1043,3 +1043,241 @@ def q_ext_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "q_ext_regr",
+    oracle="""
+WITH m AS (
+  -- EXACT integer moments in HUGEINT (prices are 2-dp -> x100
+  -- integers, quantities integer-valued): order-independent sums, no
+  -- decimal-width scale-reduction hazard (everything is scale 0).
+  -- Widths at sf1: syy <= (1.05e7)^2 x 6e6 = 7e20, n*syy <= 4e27 --
+  -- far inside HUGEINT (1.7e38) / Spark DECIMAL(38,0).
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(l_quantity AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sy,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(l_quantity AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS syy,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       -- one IEEE division per output (plus one multiply for r2):
+       -- numerators/denominators are exact integers cast to double,
+       -- so both engines divide the SAME doubles -- bit-identical
+       -- results with no rounding step and no FMA-contractible
+       -- multiply-add chain.  Slope/intercept are in cents per unit
+       -- (scale-invariant r2 unaffected).
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope_cents,
+       CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+         / nullif(CAST(n * (n * sxx - sx * sx) AS DOUBLE), 0)
+         AS intercept_cents,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+          / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
+       * (CAST(n * sxy - sx * sy AS DOUBLE)
+          / nullif(CAST(n * syy - sy * sy AS DOUBLE), 0)) AS r2
+FROM m ORDER BY l_returnflag
+""",
+)
+def q_ext_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (regr_slope /
+    regr_intercept / regr_r2) per group, price-on-quantity over
+    lineitem — computed from EXACT integer moments rather than the
+    built-in float aggregates, whose partial-merge order makes them
+    engine- and partitioning-dependent.
+
+    Plan: ONE partial-aggregated pass collecting six scale-0 DECIMAL
+    moments (n, Sx, Sy, Sxx, Syy, Sxy over x100-scaled prices), then
+    constant per-group scalar algebra.  Every numerator/denominator is
+    an exact integer; each output is a single IEEE division (r2 adds
+    one multiply of two quotients — nothing FMA-contractible), so both
+    engines emit bit-identical doubles with NO rounding step.  The
+    intercept uses the single-division form
+    (Sy*Dx - N*Sx) / (n*Dx) instead of (Sy - slope*Sx)/n, which would
+    round twice and admit fused-multiply-add divergence.  100 TB: the
+    moments partial-combine map-side to 6 numbers per group — the same
+    cost as any sum; group count bounds the shuffle."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    d_x = n * sxx - sx * sx
+    d_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    def dbl(c):
+        return c.cast("double")
+    def div(a, b):
+        return dbl(a) / F.when(dbl(b) != 0, dbl(b))
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        div(num, d_x).alias("slope_cents"),
+        div(sy * d_x - num * sx, n * d_x).alias("intercept_cents"),
+        (div(num, d_x) * div(num, d_y)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_ext_mode_disc",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, qty, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c
+)
+SELECT l_returnflag,
+       -- deterministic mode: highest count, smallest value on ties
+       (SELECT qty FROM ranked r2 WHERE r2.l_returnflag = r.l_returnflag
+        ORDER BY cnt DESC, qty ASC LIMIT 1) AS mode_qty,
+       max(cnt) AS mode_count,
+       -- percentile_disc(0.5): smallest value whose cumulative count
+       -- reaches half the total -- 2*cum >= tot is pure integer
+       -- arithmetic, no float rank anywhere
+       min(CASE WHEN 2 * cum >= tot THEN qty END) AS median_disc_qty
+FROM ranked r
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_ext_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode and discrete median (percentile_disc 0.5)
+    per group.  Built-in `mode()` has unspecified tie-breaks in both
+    engines, so this pins the full order (count DESC, value ASC); the
+    discrete median takes the smallest value whose cumulative count
+    reaches half the total — `2*cum >= tot` in pure integer
+    arithmetic, so no float rank boundary can flip between engines.
+
+    Plan: one (group, value) partial-aggregated count — the shuffle is
+    bounded by distinct (flag, qty) pairs (150 cells here, domain-
+    not corpus-sized) — then windows over that TINY aggregate, never
+    over raw rows; a 1-struct max_by picks the mode without a second
+    shuffle.  100 TB: identical — value-domain cells, not rows."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = c.select(
+        "l_returnflag",
+        "qty",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            # max over (cnt, -qty) == count DESC then qty ASC
+            F.max(F.struct(F.col("cnt"), (-F.col("qty")).alias("nq"))).alias(
+                "best"
+            ),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("qty"))
+            ).alias("median_disc_qty"),
+        )
+        .select(
+            "l_returnflag",
+            (-F.col("best.nq")).alias("mode_qty"),
+            F.col("best.cnt").alias("mode_count"),
+            "median_disc_qty",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_ext_weighted_median",
+    oracle="""
+WITH pc AS (
+  -- collapse to distinct prices first: the cumulative is then over a
+  -- value-DOMAIN table and the running sum needs no tie-break at all
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, price, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pc
+)
+SELECT l_returnflag,
+       CAST(tw AS BIGINT) AS total_qty,
+       -- weighted median: smallest price where cumulative weight
+       -- reaches half the total -- 2*cw >= tw in exact integers
+       min(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median_price
+FROM cum
+GROUP BY l_returnflag, tw
+ORDER BY l_returnflag
+""",
+)
+def q_ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median price per group — the robust complement
+    of VWAP (q_agg_vwap): the price at which half the QUANTITY traded
+    below.  The boundary test `2*cum_weight >= total_weight` is exact
+    integer arithmetic (quantities are integers), so the picked
+    element is engine-independent; the output price is a stored value,
+    never an interpolation.
+
+    Plan: (group, price) partial-aggregated weight collapse first —
+    the running sum then walks the price DOMAIN (distinct prices), not
+    raw rows, and needs no tie-break; one window pass over that
+    aggregate, then a group-bounded min.  100 TB: the domain table is
+    what shuffles; raw rows only feed the first partial aggregate."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = pc.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag", "tw")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))
+            ).alias("weighted_median_price")
+        )
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_qty"),
+            "weighted_median_price",
+        )
+        .orderBy("l_returnflag")
+    )

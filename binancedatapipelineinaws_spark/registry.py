@@ -111,7 +111,16 @@ _FORCE_FIRST: tuple[str, ...] = (
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
 # when a round's 50-slot window is already full.
-_DEFER: tuple[str, ...] = ()
+_DEFER: tuple[str, ...] = (
+    # r8 resume batch: regression aggregates, deterministic
+    # mode/percentile_disc, weighted median, bitmap exact-distinct —
+    # registered after the round's 39 earlier never-verified queries,
+    # which keep window priority.
+    "q_ext_regr",
+    "q_ext_mode_disc",
+    "q_ext_weighted_median",
+    "q_ext_bitmap_distinct",
+)
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
 # truthful; safe to displace from the window.

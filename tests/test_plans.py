@@ -1150,3 +1150,38 @@ def test_not_in_null_uses_null_aware_anti_join(spark):
     plan = _plan(queries()["q_sub_not_in_null"](spark, SF))
     assert "LeftAnti" in plan
     assert "isnull" in plan
+
+
+def test_regr_single_pass_partial_moments(spark):
+    # r8 resume: the six regression moments ride ONE aggregate with
+    # map-side combine — no join, no window, no second shuffle
+    plan = _plan(queries()["q_ext_regr"](spark, SF))
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # one exchange for the group-by (plus AQE reads), never more
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bitmap_distinct_no_expand(spark):
+    # the whole point vs count_distinct: no Expand node, duplicates
+    # combine map-side into (group, chunk) words
+    plan = _plan(queries()["q_ext_bitmap_distinct"](spark, SF))
+    assert "Expand" not in plan
+    assert "partial_" in plan
+
+
+def test_mode_disc_windows_over_domain_aggregate(spark):
+    # windows must run over the (group, value) aggregate, not raw rows:
+    # the aggregate appears below the window in the plan tree
+    plan = _plan(queries()["q_ext_mode_disc"](spark, SF))
+    assert "Window" in plan
+    win_below = plan.split("Window")[-1]
+    assert "HashAggregate" in win_below, "window is not over the domain aggregate"
+
+
+def test_weighted_median_windows_over_domain_aggregate(spark):
+    plan = _plan(queries()["q_ext_weighted_median"](spark, SF))
+    assert "Window" in plan
+    win_below = plan.split("Window")[-1]
+    assert "HashAggregate" in win_below, "window is not over the domain aggregate"
