@@ -120,6 +120,7 @@ _DEFER: tuple[str, ...] = (
     "q_ext_mode_disc",
     "q_ext_weighted_median",
     "q_ext_bitmap_distinct",
+    "q_scan_orc",
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain

@@ -293,3 +293,40 @@ def read_jdbc_table(
             .option("numPartitions", str(num_partitions))
         )
     return reader.jdbc(url, table, properties=properties or {})
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: parquet lineitem -> ORC files -> schema-preserved
+    scan -> aggregate.  Spark's second columnar format, exercised the
+    same way as the TSV round trip — the oracle describes the LOGICAL
+    table (from the original parquet), so any loss in the ORC
+    write/read (types, timestamps, nulls) breaks the gate.  The
+    read-back scan keeps pushdown/pruning (ORC carries min/max strides
+    like parquet; the filter lands in PushedFilters the same way).
+    100 TB: format choice changes the scan layer only — every plan in
+    the registry runs identically over an ORC lake."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _tmp_path("lineitem_orc", sf_dir)
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("sum_price_cents"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
