@@ -3118,3 +3118,91 @@ def test_parabolic_sar_fold_on_adversarial_days(spark):
         assert len(steps) == len(want), i
         for pos, exp in enumerate(want):
             assert steps[pos] == exp, (i, pos, steps[pos], exp)
+
+
+def test_regr_matches_numpy_polyfit(spark):
+    """q_ext_regr's exact-moment slope/intercept/r2 vs numpy's float
+    least squares on the same rows (r8 resume batch)."""
+    import numpy as np
+
+    rows = queries()["q_ext_regr"](spark, SF).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        g = li[li.l_returnflag == r.l_returnflag]
+        x = g.l_quantity.to_numpy(dtype=float)
+        y = np.round(g.l_extendedprice.to_numpy(dtype=float) * 100)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope_cents - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(r.intercept_cents - intercept) <= 1e-6 * max(
+            1.0, abs(intercept)
+        )
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - corr * corr) <= 1e-9
+        assert r.n_rows == len(g)
+
+
+def test_mode_disc_invariants(spark):
+    """Mode is the most frequent value (smallest on ties); the discrete
+    median is a stored value with cumulative count >= half on both
+    sides."""
+    rows = queries()["q_ext_mode_disc"](spark, SF).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity")
+        .toPandas()
+    )
+    for r in rows:
+        qty = li[li.l_returnflag == r.l_returnflag].l_quantity.astype(int)
+        counts = qty.value_counts()
+        top = counts.max()
+        assert r.mode_count == top
+        assert r.mode_qty == min(v for v, c in counts.items() if c == top)
+        n = len(qty)
+        assert (qty <= r.median_disc_qty).sum() * 2 >= n
+        assert (qty >= r.median_disc_qty).sum() * 2 >= n
+        assert r.median_disc_qty in set(qty)
+
+
+def test_weighted_median_invariants(spark):
+    """The weighted median is a stored price with >= half the total
+    quantity on each side."""
+    rows = queries()["q_ext_weighted_median"](spark, SF).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        g = li[li.l_returnflag == r.l_returnflag]
+        w = g.l_quantity.astype(int)
+        tot = w.sum()
+        assert r.total_qty == tot
+        below = w[g.l_extendedprice <= r.weighted_median_price].sum()
+        above = w[g.l_extendedprice >= r.weighted_median_price].sum()
+        assert 2 * below >= tot
+        assert 2 * above >= tot
+        assert (g.l_extendedprice == r.weighted_median_price).any()
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap path is EXACT: equals count_distinct on the same
+    scan for every group."""
+    bm = {
+        r.l_returnflag: (r.n_distinct_parts, r.n_rows)
+        for r in queries()["q_ext_bitmap_distinct"](spark, SF).collect()
+    }
+    naive = {
+        r.l_returnflag: (r.nd, r.n)
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert bm == naive
