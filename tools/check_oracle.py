@@ -126,12 +126,26 @@ def main():
     from binancedatapipelineinaws_spark.registry import all_specs
     from binancedatapipelineinaws_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    threads = 1
+    if "--threads" in args:
+        i = args.index("--threads")
+        threads = max(1, int(args[i + 1]))
+        del args[i : i + 2]
+    only = set(args)
     specs = all_specs()
     if only:
         specs = {k: v for k, v in specs.items() if k in only}
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    # Serial mode replicates the driver exactly; --threads N overlaps
+    # independent queries on the shared SparkContext (concurrent actions
+    # are a supported Spark pattern; each worker gets its own DuckDB
+    # cursor).  Sweep speedup is ~Nx on the long latency-bound tail —
+    # the sf10 sweep is hours serial, tens of minutes at 4-6 threads.
+    master_cores = min(32, 8 * threads)
+    spark = get_spark(
+        "oracle-check", master=f"local[{master_cores}]", shuffle_partitions=8
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -140,33 +154,71 @@ def main():
             + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
         )
 
-    n_ok = n_fail = n_skip = 0
-    for name in sorted(specs):
+    def check(name):
         rung = APPROX_RECALL_ABOVE.get(name)
-        if rung is not None and _corpus_rows(con, rung[0]) > rung[1]:
-            print(
-                f"{name:28s} SKIP           corpus {rung[0]} exceeds "
-                f"exact-path rung ({rung[1]} rows): Spark uses "
-                "approx-recall candidates, oracle is exact — compare "
-                "not meaningful at this size"
-            )
-            n_skip += 1
-            continue
+        cur = con.cursor()
         try:
-            status, nrows, msg = run_one(spark, con, name, specs[name], verbose=True)
-        except Exception as e:  # noqa: BLE001
-            status, nrows, msg = "ERROR", -1, f"{type(e).__name__}: {str(e)[:300]}"
-        tag = {"OK": "ok", "ROWS_ONLY": "ok(rows-only)"}.get(status, status)
-        print(f"{name:28s} {tag:14s} rows={nrows}" + (f"  {msg}" if msg else ""))
-        if status in ("OK", "ROWS_ONLY"):
-            n_ok += 1
-        else:
-            n_fail += 1
+            if rung is not None and _corpus_rows(cur, rung[0]) > rung[1]:
+                return (
+                    name,
+                    "SKIP",
+                    -1,
+                    f"corpus {rung[0]} exceeds exact-path rung "
+                    f"({rung[1]} rows): Spark uses approx-recall "
+                    "candidates, oracle is exact — compare not "
+                    "meaningful at this size",
+                )
+            try:
+                status, nrows, msg = run_one(
+                    spark, cur, name, specs[name], verbose=(threads == 1)
+                )
+            except Exception as e:  # noqa: BLE001
+                status, nrows, msg = (
+                    "ERROR",
+                    -1,
+                    f"{type(e).__name__}: {str(e)[:300]}",
+                )
+            return (name, status, nrows, msg)
+        finally:
+            cur.close()
+
+    names = sorted(specs)
+    if threads == 1:
+        results = []
+        for name in names:
+            res = check(name)
+            _print_result(res)
+            results.append(res)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            futs = {pool.submit(check, n): n for n in names}
+            done = {}
+            from concurrent.futures import as_completed
+
+            for fut in as_completed(futs):
+                res = fut.result()
+                _print_result(res)
+                done[res[0]] = res
+        results = [done[n] for n in names]
+
+    n_ok = sum(1 for r in results if r[1] in ("OK", "ROWS_ONLY"))
+    n_skip = sum(1 for r in results if r[1] == "SKIP")
+    n_fail = len(results) - n_ok - n_skip
     print(
         f"\n{n_ok} ok, {n_fail} failing"
         + (f", {n_skip} skipped (approx-recall rung)" if n_skip else "")
     )
     sys.exit(1 if n_fail else 0)
+
+
+def _print_result(res):
+    name, status, nrows, msg = res
+    tag = {"OK": "ok", "ROWS_ONLY": "ok(rows-only)", "SKIP": "SKIP"}.get(
+        status, status
+    )
+    print(f"{name:28s} {tag:14s} rows={nrows}" + (f"  {msg}" if msg else ""))
 
 
 if __name__ == "__main__":
