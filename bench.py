@@ -104,6 +104,13 @@ HEADLINE = [
     # window over the candle layer
     "q_ext_vpin",
     "q_ext_anchored_vwap",
+    # round-8 resume batch: exact-moment regression aggregates, the
+    # domain-table weighted median, the bitmap exact-distinct rung,
+    # and the ORC round trip (write + scan timed together)
+    "q_ext_regr",
+    "q_ext_weighted_median",
+    "q_ext_bitmap_distinct",
+    "q_scan_orc",
 ]
 
 
