@@ -32,8 +32,14 @@ from binancedatapipelineinaws_spark.tables import load_table
     "q_ext_gapfill",
     oracle="""
 WITH agg AS (
+  -- EXACT average: values are an exact 2-dp grid, so sum cents as
+  -- BIGINT (order-independent) and divide ONCE — both engines round
+  -- the SAME double.  round(avg(value), 6) flipped 41/3600 rows at
+  -- the sf10 drill: 100 replicas per bucket made float-sum averages
+  -- land an ulp either side of dyadic .xxxxxx5 boundaries.
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         round(avg(value), 6) AS avg_value
+         round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)), 6) AS avg_value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
@@ -69,9 +75,20 @@ def q_ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without persist Spark re-executes the full scan+aggregate lineage
     # per branch (no ReusedExchange across aggregated subtrees), which
     # at 100 TB means scanning events twice for one query.
+    # exact average over the 2-dp value grid (see the oracle comment):
+    # BIGINT cent sum, one IEEE division, then the 6-dp round of a
+    # bit-identical double
     agg = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / (100.0 * F.count("*")),
+                6,
+            ).alias("avg_value")
+        )
         .persist()
     )
     bounds = agg.groupBy("event_type").agg(

@@ -107,6 +107,11 @@ _FORCE_FIRST: tuple[str, ...] = (
     # both NULL when n=1 (sample moments undefined); oracle changed
     # (CASE WHEN n > 1), fresh row needed.
     "q_agg_stddev_var",
+    # r8 sf10 drill: round(avg(value), 6) flipped 41/3600 rows at 100x
+    # (float-sum averages an ulp either side of dyadic boundaries);
+    # now an exact BIGINT cent sum + one IEEE division. Oracle changed,
+    # fresh row needed.
+    "q_ext_gapfill",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
