@@ -1189,10 +1189,19 @@ def q_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ext_norm_outliers",
-    oracle=f"""
+    oracle="""
 WITH norms AS (
+  -- EXACT integer norm^2 on a 1e-6 component grid: the float dot
+  -- differed by an ulp between the engines' list folds (FMA
+  -- contraction) and one perturbed sf10 vector sat exactly on a 9-dp
+  -- round boundary.  Quantized components square and sum exactly
+  -- (|c| <= ~5e5, 64 dims -> << int64), so sqrt sees identical
+  -- doubles.  Widths: c^2 <= 2.5e11 x 64 = 1.6e13.
   SELECT vec_id,
-         CAST(round(sqrt({duck_dot("embedding", "embedding")}), 9)
+         CAST(round(sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)))
+              AS DOUBLE)) / 1000000.0, 9)
               AS DECIMAL(18,9)) AS nrm
   FROM embeddings
 ),
@@ -1219,16 +1228,27 @@ def q_ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     far above — the 30-second sanity check before any cosine-based
     operator (a degenerate norm poisons every similarity it touches).
 
-    Plan: map-only sequential-fold norms (the engine's deterministic
-    dot), rounded to 9 dp and summed as exact decimals so mean/std are
-    partial-agg-schedule independent; the 1-row stats table attaches by
-    broadcast — corpus-sized work is one projection + one combinable
-    aggregate."""
+    Plan: map-only EXACT-integer norms (components quantized to a
+    1e-6 grid, squared and summed in int64 — both engines sqrt the
+    identical double; the float fold differed by an FMA ulp at the
+    sf10 drill), rounded to 9 dp and summed as exact decimals so
+    mean/std are partial-agg-schedule independent; the 1-row stats
+    table attaches by broadcast — corpus-sized work is one projection
+    + one combinable aggregate."""
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    qcomp = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000, 0).cast("long"),
+    )
+    norm2 = F.aggregate(
+        qcomp,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c * c,
+    )
     norms = emb.select(
         "vec_id",
-        F.round(norm(F.col("embedding")), 9)
+        F.round(F.sqrt(norm2.cast("double")) / 1000000.0, 9)
         .cast("decimal(18,9)")
         .alias("nrm"),
     )

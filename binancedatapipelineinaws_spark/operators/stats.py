@@ -36,7 +36,12 @@ SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bin_id,
        CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
          AS bin_lo,
        count(*) AS cnt,
-       round(sum(l_extendedprice), 2) AS total
+       -- EXACT cent sum, one division: float sum(l_extendedprice)
+       -- flipped 4/21 bins at the sf10 drill (double ulp at 1.8e11 is
+       -- ~3e-5; partial-merge order pushed the two engines across the
+       -- 2-dp boundary in opposite directions)
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM lineitem GROUP BY 1, 2
 """,
 )
@@ -45,7 +50,9 @@ def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor, not cast — double->int casting truncates in Spark but
     rounds in DuckDB) feeding a map-side-combined count/sum.  Output is
     bin-bounded, so the shuffle moves at most one row per bin per task
-    at any input scale."""
+    at any input scale.  The per-bin money total is an exact BIGINT
+    cent sum divided once — order-independent at any density (the sf10
+    drill caught the float form flipping 2-dp boundaries)."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
     bin_id = F.floor(F.col("l_extendedprice") / HIST_WIDTH).cast("long")
@@ -56,7 +63,12 @@ def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )
 

@@ -112,6 +112,21 @@ _FORCE_FIRST: tuple[str, ...] = (
     # now an exact BIGINT cent sum + one IEEE division. Oracle changed,
     # fresh row needed.
     "q_ext_gapfill",
+    # r8 sf10 drill: float money sum flipped 4/21 bins at the 2-dp
+    # round (ulp at 1.8e11 ~ 3e-5 x merge-order spread); now an exact
+    # cent sum divided once.  Oracle changed, fresh row needed.
+    "q_ext_histogram",
+    # r8 sf10 drill: the float dot in the norm differed by an FMA ulp
+    # between engine folds and one perturbed vector sat on the 9-dp
+    # boundary; now an exact int64 norm^2 on a 1e-6 component grid.
+    # Oracle changed, fresh row needed.
+    "q_ext_norm_outliers",
+    # NOTE: 8 forced + 44 never-verified = 52 > the ~50-slot window,
+    # so the two newest _DEFER ids (q_ext_bitmap_distinct, q_scan_orc)
+    # will likely miss a driver row this round — a conscious trade:
+    # fresh rows under CHANGED oracles outrank first rows for new
+    # queries (both are quadruple-verified locally: sf0.01 + sf1 +
+    # sf10 + pandas-hash) and they take r9's window first.
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch

@@ -115,6 +115,15 @@ APPROX_RECALL_ABOVE: dict[str, tuple[str, int]] = {
     # (table whose row count picks the code path, exact-path max rows)
     "q_ext_semdedup": ("embeddings", 4_000),
     "q_ext_embed_neardup": ("embeddings", 4_000),
+    # PQ recall floor is a fixed-geometry claim: the 256-level codes
+    # separate top-k at gate scale (500 vectors) and at sf1 (20k,
+    # sweep-green 3x) but cells hold 100x more candidates at sf10 and
+    # mean recall legitimately drops below the pinned floor (both
+    # engines COMPUTE the same per-query recall — only the literal
+    # TRUE pin fails).  Above the verified rung the compare is not
+    # meaningful; the quantizer itself is still value-checked there
+    # by q_ext_ann_nprobe's relative pins (nprobe2 >= nprobe1).
+    "q_ext_ann_pq": ("embeddings", 20_000),
 }
 
 
