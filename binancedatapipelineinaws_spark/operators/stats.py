@@ -1224,6 +1224,9 @@ def q_ext_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_BUCKET_CENTS = 10_000  # $100 buckets over the price range
+
+
 @register(
     "q_ext_weighted_median",
     oracle="""
@@ -1253,42 +1256,89 @@ def q_ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-weighted median price per group — the robust complement
     of VWAP (q_agg_vwap): the price at which half the QUANTITY traded
     below.  The boundary test `2*cum_weight >= total_weight` is exact
-    integer arithmetic (quantities are integers), so the picked
-    element is engine-independent; the output price is a stored value,
-    never an interpolation.
+    integer arithmetic (quantities are integers, prices 2-dp cents),
+    so the picked element is engine-independent; the output price is a
+    stored value, never an interpolation.
 
-    Plan: (group, price) partial-aggregated weight collapse first —
-    the running sum then walks the price DOMAIN (distinct prices), not
-    raw rows, and needs no tie-break; one window pass over that
-    aggregate, then a group-bounded min.  100 TB: the domain table is
-    what shuffles; raw rows only feed the first partial aggregate."""
+    Plan (two-phase bucketed selection — prices are NEAR-UNIQUE, 583k
+    distinct in 600k rows at sf0.1, so a per-group running sum over
+    (group, price) is a corpus-sized 3-partition sort, the single-
+    reducer shape that dies at 100 TB; measured 2.5 s vs 0.9 s here):
+    phase 1 is a ~1000-bucket partial-aggregated weight histogram and
+    a window over THAT (domain-sized) to find each group's target
+    bucket + the cumulative weight before it; phase 2 re-scans with
+    the broadcast 3-row target, aggregates (group, price) INSIDE the
+    one target bucket (~corpus/1000 rows), and a tiny window picks the
+    exact element.  Identical result to the direct definition — the
+    oracle IS the direct definition."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    pc = li.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    bucket = F.floor(cents / WM_BUCKET_CENTS).cast("long")
+    w = F.col("l_quantity").cast("long")
+
+    bstats = li.select(
+        F.col("l_returnflag").alias("flag"),
+        bucket.alias("bucket"),
+        w.alias("w"),
+    ).groupBy("flag", "bucket").agg(F.sum("w").alias("bw"))
     w_cum = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    target = (
+        bstats.select(
+            "flag",
+            "bucket",
+            "bw",
+            F.sum("bw").over(w_cum).alias("cum"),
+            F.sum("bw").over(w_tot).alias("tot"),
+        )
+        # exactly one row per group: the bucket where the cumulative
+        # weight crosses half the total
+        .filter(
+            (2 * F.col("cum") >= F.col("tot"))
+            & (2 * (F.col("cum") - F.col("bw")) < F.col("tot"))
+        )
+        .select(
+            "flag",
+            "bucket",
+            (F.col("cum") - F.col("bw")).alias("cum_before"),
+            "tot",
+        )
+    )
+
+    in_bucket = li.join(
+        F.broadcast(target),
+        (F.col("l_returnflag") == F.col("flag"))
+        & (bucket == F.col("bucket")),
+    )
+    pc = in_bucket.groupBy(
+        "flag", "tot", "cum_before", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(w).alias("pw"))
+    w_cum_p = (
+        Window.partitionBy("flag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    cum = pc.select(
-        "l_returnflag",
-        "price",
-        F.sum("w").over(w_cum).alias("cw"),
-        F.sum("w").over(w_tot).alias("tw"),
-    )
     return (
-        cum.groupBy("l_returnflag", "tw")
+        pc.select(
+            "flag",
+            "tot",
+            "price",
+            (F.col("cum_before") + F.sum("pw").over(w_cum_p)).alias("cw"),
+        )
+        .groupBy("flag", "tot")
         .agg(
             F.min(
-                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))
+                F.when(2 * F.col("cw") >= F.col("tot"), F.col("price"))
             ).alias("weighted_median_price")
         )
         .select(
-            "l_returnflag",
-            F.col("tw").alias("total_qty"),
+            F.col("flag").alias("l_returnflag"),
+            F.col("tot").alias("total_qty"),
             "weighted_median_price",
         )
         .orderBy("l_returnflag")
