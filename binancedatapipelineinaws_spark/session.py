@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # static conf (fixed at context creation): the oracle gate
+        # collects FULL results by design, and at sf10 a 10M-row window
+        # query serializes >1 GiB of task results — the 1g default
+        # aborted q_win_rolling_corr's 60M-row compare.  On a real
+        # cluster this bounds driver-side collects the same way.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_MAX_RESULT", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
