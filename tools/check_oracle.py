@@ -58,6 +58,120 @@ def normalize(rows, cols):
     return out
 
 
+def _fast_normalize_pair(s_col, o_col):
+    """Jointly normalize one (spark, oracle) pandas column pair to
+    int64 numpy arrays whose BITWISE equality implies value equality
+    under the classic repr() compare.  Returns None when the dtype
+    pair is outside the supported set (strings, dates-as-objects,
+    decimals, nullable extension arrays) — caller falls back to the
+    classic path."""
+    import numpy as np
+    import pandas as pd
+
+    def norm(s, want_float):
+        dt = s.dtype
+        if dt == object:
+            return None
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            a = s.astype("datetime64[us]").to_numpy()
+            if pd.isna(a).any():
+                return None
+            return a.view("int64")
+        if pd.api.types.is_bool_dtype(dt):
+            if str(dt) != "bool":  # nullable "boolean" extension dtype
+                return None
+            return s.to_numpy(dtype="int64")
+        if pd.api.types.is_integer_dtype(dt):
+            if str(dt)[0].isupper():  # nullable extension dtype
+                return None
+            a = s.to_numpy(dtype="int64")
+            if want_float:
+                f = a.astype("float64")
+                if not (f.astype("int64") == a).all():
+                    return None  # beyond 2^53 — float cast is lossy
+                # canonical NaN handling below applies to true floats
+                return f.view("int64")
+            return a
+        if pd.api.types.is_float_dtype(dt):
+            a = s.to_numpy(dtype="float64").copy()
+            a[np.isnan(a)] = np.nan  # canonicalize NaN payloads
+            return a.view("int64")
+        return None
+
+    s_float = pd.api.types.is_float_dtype(s_col.dtype)
+    o_float = pd.api.types.is_float_dtype(o_col.dtype)
+    want_float = s_float or o_float
+    a, b = norm(s_col, want_float), norm(o_col, want_float)
+    if a is None or b is None:
+        return None
+    return a, b
+
+
+def fast_compare(spdf, oddf):
+    """Vectorized order-insensitive compare of two pandas frames.
+    Returns True (equal), False (bitwise mismatch after
+    normalization), or None (unsupported dtypes — use the classic
+    repr path).  Equality returned here implies classic-path
+    equality; a False from here is re-adjudicated by the caller for
+    frames small enough to re-run classically."""
+    import numpy as np
+
+    cols = sorted(spdf.columns)
+    s_arrs, o_arrs = [], []
+    for c in cols:
+        pair = _fast_normalize_pair(spdf[c], oddf[c])
+        if pair is None:
+            return None
+        s_arrs.append(pair[0])
+        o_arrs.append(pair[1])
+    s_idx = np.lexsort(tuple(reversed(s_arrs)))
+    o_idx = np.lexsort(tuple(reversed(o_arrs)))
+    return all(
+        (sa[s_idx] == oa[o_idx]).all() for sa, oa in zip(s_arrs, o_arrs)
+    )
+
+
+# Above this row count a fast-path False verdict is reported directly
+# (the classic re-adjudication would take hours); below it the classic
+# path re-runs to produce diff samples.
+FAST_FAIL_READJUDICATE_MAX = 5_000_000
+
+
+def run_one_fast(spark, con, name, spec):
+    """Arrow/vectorized variant of run_one for big-corpus sweeps.
+    Returns None when the classic path must decide (no oracle,
+    complex/unsupported dtypes, or a sub-threshold mismatch)."""
+    sdf = spec.fn(spark, SF_DIR)
+    if spec.oracle is None or any(
+        f.dataType.typeName() in ("array", "map", "struct")
+        for f in sdf.schema.fields
+    ):
+        return None
+    spdf = sdf.toPandas()
+    ores = con.execute(spec.oracle)
+    oddf = ores.df()
+    problems = []
+    if len(spdf) != len(oddf):
+        problems.append(f"rowcount spark={len(spdf)} oracle={len(oddf)}")
+    if sorted(spdf.columns) != sorted(oddf.columns):
+        problems.append(
+            f"cols spark={sorted(spdf.columns)} oracle={sorted(oddf.columns)}"
+        )
+    if problems:
+        return ("FAIL", len(spdf), "; ".join(problems))
+    eq = fast_compare(spdf, oddf)
+    if eq is True:
+        return ("OK", len(spdf), None)
+    if eq is False and len(spdf) > FAST_FAIL_READJUDICATE_MAX:
+        return (
+            "FAIL",
+            len(spdf),
+            "values differ (bitwise, fast path; corpus too large for "
+            "sample extraction — re-run the query solo)",
+        )
+    return None  # classic path decides (and prints samples)
+
+
 def run_one(spark, con, name, spec, verbose=False):
     sdf = spec.fn(spark, SF_DIR)
     # Driver-compat guard: the driver canonicalizes with pandas
@@ -141,6 +255,9 @@ def main():
         i = args.index("--threads")
         threads = max(1, int(args[i + 1]))
         del args[i : i + 2]
+    fast = "--fast-compare" in args
+    if fast:
+        args.remove("--fast-compare")
     only = set(args)
     specs = all_specs()
     if only:
@@ -178,9 +295,18 @@ def main():
                     "meaningful at this size",
                 )
             try:
-                status, nrows, msg = run_one(
-                    spark, cur, name, specs[name], verbose=(threads == 1)
-                )
+                res = None
+                if fast:
+                    # vectorized Arrow path; a None result (no oracle,
+                    # unsupported dtypes, or a sub-threshold mismatch)
+                    # falls through to the authoritative classic path
+                    res = run_one_fast(spark, cur, name, specs[name])
+                if res is not None:
+                    status, nrows, msg = res
+                else:
+                    status, nrows, msg = run_one(
+                        spark, cur, name, specs[name], verbose=(threads == 1)
+                    )
             except Exception as e:  # noqa: BLE001
                 status, nrows, msg = (
                     "ERROR",
