@@ -94,69 +94,24 @@ def _load_all() -> None:
 # ahead of even never-verified queries so the ~50-query window can
 # never squeeze them out.
 _FORCE_FIRST: tuple[str, ...] = (
-    # r8 (VERDICT r7 item 2): the four formerly rows-only sketch /
-    # engine-native queries converted to envelope-pinned TRUE oracles
-    # via the q_ext_hll_union_error pattern — every prior driver row
-    # was a weaker no_oracle run, so the first hash-verified row is
-    # the round's top prize.
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentiles",
-    "q_fn_hash_native",
-    "q_fn_json_struct",
-    # r8 (ADVICE r7): singleton-group guard — std_qty/var_qty are now
-    # both NULL when n=1 (sample moments undefined); oracle changed
-    # (CASE WHEN n > 1), fresh row needed.
-    "q_agg_stddev_var",
-    # r8 sf10 drill: round(avg(value), 6) flipped 41/3600 rows at 100x
-    # (float-sum averages an ulp either side of dyadic boundaries);
-    # now an exact BIGINT cent sum + one IEEE division. Oracle changed,
-    # fresh row needed.
-    "q_ext_gapfill",
-    # r8 sf10 drill: float money sum flipped 4/21 bins at the 2-dp
-    # round (ulp at 1.8e11 ~ 3e-5 x merge-order spread); now an exact
-    # cent sum divided once.  Oracle changed, fresh row needed.
-    "q_ext_histogram",
-    # r8 sf10 drill: the float dot in the norm differed by an FMA ulp
-    # between engine folds and one perturbed vector sat on the 9-dp
-    # boundary; now an exact int64 norm^2 on a 1e-6 component grid.
-    # Oracle changed, fresh row needed.
-    "q_ext_norm_outliers",
-    # NOTE: 8 forced + 44 never-verified = 52 > the ~50-slot window,
-    # so the two newest _DEFER ids (q_ext_bitmap_distinct, q_scan_orc)
-    # will likely miss a driver row this round — a conscious trade:
-    # fresh rows under CHANGED oracles outrank first rows for new
-    # queries (both are quadruple-verified locally: sf0.01 + sf1 +
-    # sf10 + pandas-hash) and they take r9's window first.
+    # r9: empty — every r8 oracle-change re-verify landed a clean row
+    # in CORRECTNESS_r08 (50/50 green).  This round's window is spent
+    # entirely on the verification backlog: the two never-checked ids
+    # (q_ext_bitmap_distinct, q_scan_orc) and the oldest green rows
+    # (the 44 r1/r2-vintage joins / scalar fns / pipeline ops), per
+    # VERDICT r8 item 1.
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
 # when a round's 50-slot window is already full.
 _DEFER: tuple[str, ...] = (
-    # r8 resume batch: regression aggregates, deterministic
-    # mode/percentile_disc, weighted median, bitmap exact-distinct —
-    # registered after the round's 39 earlier never-verified queries,
-    # which keep window priority.
-    "q_ext_regr",
-    "q_ext_mode_disc",
-    "q_ext_weighted_median",
-    "q_ext_bitmap_distinct",
-    "q_scan_orc",
+    # r9: new ids registered this round — queued behind the two
+    # never-checked r8 ids so those take the first unverified slots.
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
 # truthful; safe to displace from the window.
-_PRIORITY: tuple[str, ...] = (
-    # r8: assign_cells made map-only (1-row broadcast centroid array +
-    # argmin fold instead of crossJoin + per-vec_id row_number window;
-    # VERDICT r7 item 3).  Values bit-identical — the fold replays the
-    # window's (desc sim, asc label) tie-break — locally re-verified
-    # via tools/check_oracle + check_pandas_hash; plan pinned by
-    # tests/test_plans.py::test_assign_cells_corpus_side_is_map_only.
-    "q_ext_ann_ivf",
-    "q_ext_semdedup",
-    "q_ext_ann_pq",
-    "q_ext_ann_nprobe",
-)
+_PRIORITY: tuple[str, ...] = ()
 
 
 def _verified_rounds(repo_root: Optional[str] = None) -> dict[str, int]:
