@@ -1,12 +1,15 @@
 """Multimodal-column plumbing — BASELINE.json north-star.
 
 Images/audio/video are opaque `binary` columns with typed metadata.
-The decode libraries aren't in this container, so the *decode kernels*
-are stubs (`NotImplementedError` behind an import-try, plus a
-deterministic fake used in tests), but the Spark-side plumbing is real
-and oracle-checked: binary casting, Arrow-batched `mapInPandas` with an
-explicit output schema, per-batch vectorized work, frame-offset
-explosion.
+Lossless raster decode is REAL and dependency-free: `png_decode`
+(stdlib zlib inflate + full five-filter unfiltering, r9) and
+`bmp_decode` (24-bit BI_RGB) run inside Arrow-batched kernels;
+entropy-coded formats (JPEG/video/audio) raise ValueError — they need
+a codec library this container doesn't ship, and that is a codec
+limitation, not missing plumbing.  The Spark-side plumbing is real and
+oracle-checked throughout: binary casting, Arrow-batched `mapInPandas`
+with an explicit output schema, per-batch vectorized work,
+frame-offset explosion.
 
 At 100 TB this is the pattern that matters: blobs stay columnar in
 parquet, the decode UDF is Arrow-batched (no per-row Python), and
@@ -168,6 +171,17 @@ def make_extract_meta_kernel():
 extract_meta_batches = make_extract_meta_kernel()
 
 
+def _frame_seq(n_frames):
+    """[0, n_frames) as an array column, EMPTY when n_frames == 0.
+    A bare F.sequence(0, n_frames - 1) on a zero-length blob yields the
+    DESCENDING [0, -1] (Spark's sequence auto-steps downward), emitting
+    two spurious frame rows where the oracle's range(0) is empty
+    (ADVICE r8)."""
+    return F.when(
+        n_frames > 0, F.sequence(F.lit(0).cast("long"), n_frames - 1)
+    ).otherwise(F.array().cast("array<long>"))
+
+
 @register(
     "q_ext_multimodal_meta",
     oracle="""
@@ -235,7 +249,7 @@ def q_ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.length("text").cast("long").alias("n_bytes"),
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+            F.explode(_frame_seq(n_frames)).alias("frame_idx"),
         )
         .select(
             "doc_id",
@@ -305,7 +319,7 @@ def q_ext_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(_frame_seq(n_frames)).alias("frame_idx"),
         F.length("text").cast("long").alias("blob_bytes"),
     ).select(
         F.md5(

@@ -157,11 +157,21 @@ def _recv_exact(conn: WSConn, n: int) -> bytes:
     return out
 
 
+# Upper bound on a single frame AND an assembled fragmented message.
+# The server declares the length before the payload arrives; without a
+# cap a misbehaving peer can declare 2^63 bytes and OOM the spool
+# daemon while _recv_exact buffers it (ADVICE r8).  Binance trade
+# messages are ~300 bytes; 16 MiB is orders of magnitude of headroom.
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+
+
 def recv_messages(conn: WSConn) -> Iterator[tuple[int, bytes]]:
     """Yield complete (opcode, payload) MESSAGES from server frames:
     reassembles fragmentation (§5.4), answers ping with pong (§5.5.2-3),
     stops cleanly on close (§5.5.1).  Server frames must be unmasked
-    (§5.1); a masked server frame is a protocol error."""
+    (§5.1); a masked server frame is a protocol error.  Frames over
+    MAX_FRAME_BYTES and malformed control frames (fragmented, or
+    payload > 125 bytes — §5.5) are protocol errors too."""
     frag_opcode: Optional[int] = None
     frag_payload = b""
     while True:
@@ -179,6 +189,19 @@ def recv_messages(conn: WSConn) -> Iterator[tuple[int, bytes]]:
             (n,) = struct.unpack(">Q", _recv_exact(conn, 8))
         if masked:
             raise ConnectionError("masked server frame (RFC 6455 §5.1)")
+        if opcode in (OP_CLOSE, OP_PING, OP_PONG):
+            if not fin:
+                raise ConnectionError(
+                    "fragmented control frame (RFC 6455 §5.5)"
+                )
+            if n > 125:
+                raise ConnectionError(
+                    f"control frame payload {n} > 125 (RFC 6455 §5.5)"
+                )
+        if n > MAX_FRAME_BYTES or len(frag_payload) + n > MAX_FRAME_BYTES:
+            raise ConnectionError(
+                f"frame/message of {n} bytes exceeds MAX_FRAME_BYTES"
+            )
         payload = _recv_exact(conn, n) if n else b""
         if opcode == OP_CLOSE:
             return

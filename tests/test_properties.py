@@ -1096,6 +1096,29 @@ def test_multimodal_meta_reports_real_dims_through_spark(spark):
     assert out[4]["content_md5"] == h
 
 
+def test_frame_seq_empty_blob_emits_no_rows(spark):
+    # ADVICE r8: F.sequence(0, n_frames - 1) on a zero-length blob
+    # auto-steps DOWN to [0, -1] and emits two phantom frame rows
+    # (frame_idx=-1, negative n_bytes) where the oracle's range(0) is
+    # empty.  _frame_seq must yield an empty array for n_frames == 0
+    # and the plain ascending sequence otherwise.
+    from binancedatapipelineinaws_spark.functions.multimodal import (
+        _frame_seq,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x" * 256), (3, "y" * 300)], "doc_id long, text string"
+    )
+    n_frames = F.ceil(F.length("text") / 256.0).cast("long")
+    out = (
+        df.select("doc_id", F.explode(_frame_seq(n_frames)).alias("fi"))
+        .orderBy("doc_id", "fi")
+        .collect()
+    )
+    assert [(r["doc_id"], r["fi"]) for r in out] == [(2, 0), (3, 0), (3, 1)]
+
+
 # --- value bounds for the four rows-only queries (the driver gate can
 # only count their rows; these are the only value checks they can get) --
 

@@ -375,3 +375,39 @@ def test_frame_codec_roundtrip_all_length_forms():
     finally:
         a.close()
         b.close()
+
+
+def test_recv_rejects_oversized_and_malformed_control_frames():
+    """ADVICE r8 hardening: a declared frame length above
+    MAX_FRAME_BYTES must raise before any payload is buffered, and
+    control frames that are fragmented or carry > 125 bytes are
+    protocol errors (RFC 6455 §5.5)."""
+    import pytest
+
+    def run(wire):
+        a, b = socket.socketpair()
+        try:
+            a.sendall(wire)
+            conn = ws.WSConn(b)
+            with pytest.raises(ConnectionError):
+                list(ws.recv_messages(conn))
+        finally:
+            a.close()
+            b.close()
+
+    # 64-bit length header declaring 2^40 bytes, no payload sent: the
+    # reader must reject on the declared length, not block buffering
+    run(b"\x82\x7f" + struct.pack(">Q", 1 << 40))
+    # fragmented ping (FIN=0 control frame)
+    run(bytes([0x00 | ws.OP_PING, 2]) + b"ab")
+    # ping with a 16-bit extended length of 300 (> 125)
+    run(bytes([0x80 | ws.OP_PING, 126]) + struct.pack(">H", 300) + b"x" * 300)
+    # fragmented message whose reassembly would exceed the cap: a small
+    # first fragment, then a continuation DECLARING cap-50 bytes (each
+    # frame under the per-frame cap, sum over it) — must raise on the
+    # declared length with no continuation payload on the wire
+    run(
+        _server_frame(ws.OP_BINARY, b"x" * 100, fin=False)
+        + bytes([ws.OP_CONT, 127])
+        + struct.pack(">Q", ws.MAX_FRAME_BYTES - 50)
+    )

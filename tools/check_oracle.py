@@ -68,7 +68,7 @@ def _fast_normalize_pair(s_col, o_col):
     import numpy as np
     import pandas as pd
 
-    def norm(s, want_float):
+    def norm(s):
         dt = s.dtype
         if dt == object:
             return None
@@ -84,36 +84,37 @@ def _fast_normalize_pair(s_col, o_col):
         if pd.api.types.is_integer_dtype(dt):
             if str(dt)[0].isupper():  # nullable extension dtype
                 return None
-            a = s.to_numpy(dtype="int64")
-            if want_float:
-                f = a.astype("float64")
-                if not (f.astype("int64") == a).all():
-                    return None  # beyond 2^53 — float cast is lossy
-                # canonical NaN handling below applies to true floats
-                return f.view("int64")
-            return a
+            return s.to_numpy(dtype="int64")
         if pd.api.types.is_float_dtype(dt):
             a = s.to_numpy(dtype="float64").copy()
             a[np.isnan(a)] = np.nan  # canonicalize NaN payloads
             return a.view("int64")
         return None
 
+    # A mixed int/float pair is a dtype mismatch the classic path
+    # would FAIL on (repr '5' vs '5.0') even when values coincide
+    # numerically — defer to classic instead of casting int to float,
+    # so fast-path OK never masks a Spark/oracle column-type drift.
     s_float = pd.api.types.is_float_dtype(s_col.dtype)
     o_float = pd.api.types.is_float_dtype(o_col.dtype)
-    want_float = s_float or o_float
-    a, b = norm(s_col, want_float), norm(o_col, want_float)
+    if s_float != o_float:
+        return None
+    a, b = norm(s_col), norm(o_col)
     if a is None or b is None:
         return None
     return a, b
 
 
-def fast_compare(spdf, oddf):
+def fast_compare(spdf, oddf, samples_out=None):
     """Vectorized order-insensitive compare of two pandas frames.
     Returns True (equal), False (bitwise mismatch after
     normalization), or None (unsupported dtypes — use the classic
     repr path).  Equality returned here implies classic-path
     equality; a False from here is re-adjudicated by the caller for
-    frames small enough to re-run classically."""
+    frames small enough to re-run classically.  On False, up to 3
+    mismatching (column, spark_raw, oracle_raw) samples are appended
+    to samples_out when provided (for sweeps too large to
+    re-adjudicate classically)."""
     import numpy as np
 
     cols = sorted(spdf.columns)
@@ -126,9 +127,18 @@ def fast_compare(spdf, oddf):
         o_arrs.append(pair[1])
     s_idx = np.lexsort(tuple(reversed(s_arrs)))
     o_idx = np.lexsort(tuple(reversed(o_arrs)))
-    return all(
-        (sa[s_idx] == oa[o_idx]).all() for sa, oa in zip(s_arrs, o_arrs)
-    )
+    equal = True
+    for c, sa, oa in zip(cols, s_arrs, o_arrs):
+        neq = sa[s_idx] != oa[o_idx]
+        if neq.any():
+            equal = False
+            if samples_out is not None and len(samples_out) < 3:
+                for pos in np.flatnonzero(neq)[:3 - len(samples_out)]:
+                    samples_out.append(
+                        f"{c}: spark={spdf[c].iloc[s_idx[pos]]!r} "
+                        f"oracle={oddf[c].iloc[o_idx[pos]]!r}"
+                    )
+    return equal
 
 
 # Above this row count a fast-path False verdict is reported directly
@@ -159,15 +169,16 @@ def run_one_fast(spark, con, name, spec):
         )
     if problems:
         return ("FAIL", len(spdf), "; ".join(problems))
-    eq = fast_compare(spdf, oddf)
+    samples = []
+    eq = fast_compare(spdf, oddf, samples_out=samples)
     if eq is True:
         return ("OK", len(spdf), None)
     if eq is False and len(spdf) > FAST_FAIL_READJUDICATE_MAX:
         return (
             "FAIL",
             len(spdf),
-            "values differ (bitwise, fast path; corpus too large for "
-            "sample extraction — re-run the query solo)",
+            "values differ (bitwise, fast path; too large for classic "
+            "re-adjudication); " + " | ".join(samples),
         )
     return None  # classic path decides (and prints samples)
 
@@ -206,13 +217,20 @@ def run_one(spark, con, name, spec, verbose=False):
         ns, no = normalize(srows, scols), normalize(orows, ocols)
         if ns != no:
             ndiff = sum(1 for a, b in zip(ns, no) if a != b)
-            problems.append(f"values differ ({ndiff}/{len(ns)} rows)")
+            # Carry the first few diff samples in the returned msg so
+            # threaded sweeps (where stdout interleaves) still yield
+            # actionable output without a solo re-run (ADVICE r8).
+            samples = []
+            for a, b in zip(ns, no):
+                if a != b and len(samples) < 3:
+                    samples.append(f"spark={a} oracle={b}")
+            problems.append(
+                f"values differ ({ndiff}/{len(ns)} rows); "
+                + " | ".join(samples)
+            )
             if verbose:
-                shown = 0
-                for a, b in zip(ns, no):
-                    if a != b and shown < 5:
-                        print(f"    spark : {a}\n    oracle: {b}")
-                        shown += 1
+                for s in samples:
+                    print(f"    {s}")
     if problems:
         return ("FAIL", len(srows), "; ".join(problems))
     return ("OK", len(srows), None)
