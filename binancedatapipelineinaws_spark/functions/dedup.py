@@ -944,17 +944,34 @@ BAND_SWEEP = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with bands*rows = 16
 
 
 def _duck_band_sweep_oracle() -> str:
-    per_config = []
+    """Per config: band keys unnested doc-wise, candidate pairs by an
+    EQUI-join on (band, key), then the signature rows join back for
+    the agreement stats — the same shape as the Spark plan.  The r8
+    form (sig x sig ON doc_id < doc_id WHERE OR-of-band-matches) was a
+    full O(n^2) nested-loop filter that DuckDB recomputed per config
+    (>70 min at sf10 while Spark took 18.8 s); this one is bounded by
+    the banded candidate volume.  sig is wrapped AS MATERIALIZED so
+    the shingle+minhash pipeline evaluates once across all configs."""
+    per_keys, per_config = [], []
     for bands, rows in BAND_SWEEP:
-        keys = []
-        for b in range(bands):
-            comps = " || ':' || ".join(
-                f"CAST(a.h{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows)
+        branches = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, ("
+            + " || ':' || ".join(
+                f"CAST(h{j} AS VARCHAR)"
+                for j in range(b * rows, (b + 1) * rows)
             )
-            bcomps = " || ':' || ".join(
-                f"CAST(b.h{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows)
-            )
-            keys.append(f"({comps}) = ({bcomps})")
+            + ") AS bk FROM sigm"
+            for b in range(bands)
+        )
+        per_keys.append(
+            f"""
+keys_{bands}x{rows} AS MATERIALIZED ({branches}),
+pairs_{bands}x{rows} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys_{bands}x{rows} a JOIN keys_{bands}x{rows} b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)"""
+        )
         agree = " + ".join(
             f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
             for j in range(N_HASHES)
@@ -966,8 +983,9 @@ SELECT {bands} AS bands, {rows} AS "rows",
        CAST(sum(CASE WHEN ({agree}) >= {N_HASHES // 2} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_est_ge_half,
        round(avg(({agree}) / {float(N_HASHES)}), 6) AS mean_est_jaccard
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE {" OR ".join(keys)}
+FROM pairs_{bands}x{rows} p
+JOIN sigm a ON a.doc_id = p.doc_a
+JOIN sigm b ON b.doc_id = p.doc_b
 """
         )
     return (
@@ -975,6 +993,8 @@ WHERE {" OR ".join(keys)}
         + DUCK_SHINGLES_CTE
         + ","
         + _duck_sig_cte()
+        + ", sigm AS MATERIALIZED (SELECT * FROM sig),"
+        + ",".join(per_keys)
         + " UNION ALL ".join(per_config)
     )
 

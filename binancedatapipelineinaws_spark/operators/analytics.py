@@ -1148,13 +1148,16 @@ def q_ext_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ext_basket_lift",
     oracle=f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
+  -- MATERIALIZED: referenced 4x (n, item, both self-join sides);
+  -- DuckDB 1.x inlines plain CTEs per use, which at sf10 turned this
+  -- oracle into a >70-min recompute (r8 sweep) while Spark took 32 s
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), n AS (
   SELECT count(DISTINCT l_orderkey) AS n_baskets FROM op
-), item AS (
+), item AS MATERIALIZED (
   SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          count(*) AS c_ab
   FROM op a JOIN op b

@@ -35,20 +35,26 @@ PR_ITERS = 3  # fixed unrolled power iterations (the gate's horizon)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 PR_MINSUP = 2  # co-purchase support floor bounding the edge list
 
+# Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.x inlines
+# plain CTEs per use, so `und` (the quadratic-looking self-join) would
+# be recomputed for each of edges' two branches and `edges` once per
+# unrolled iteration — the >68 GB temp-disk spill the r8 sf10 sweep
+# hit.  Materialization bounds the oracle at one evaluation each;
+# results are identical.
 _PR_EDGES_CTE = f"""
-op AS (
+op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), und AS (
+), und AS MATERIALIZED (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING count(*) >= {PR_MINSUP}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT part_a AS src, part_b AS dst FROM und
   UNION ALL
   SELECT part_b AS src, part_a AS dst FROM und
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS part, count(*) AS deg FROM edges GROUP BY src
 ), n AS (
   SELECT count(*) AS n_nodes FROM deg
@@ -189,15 +195,16 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _PR_EDGES_CTE
     + """
-, oriented AS (
+, oriented AS MATERIALIZED (
   -- dv carried so wedges can be canonicalized by the SAME total
-  -- order, making the closing probe a single equi-join
+  -- order, making the closing probe a single equi-join; MATERIALIZED
+  -- because it feeds both wedge sides plus the closing probe (3 uses)
   SELECT e.src AS u, e.dst AS v, dv.deg AS dv
   FROM edges e
   JOIN deg du ON du.part = e.src
   JOIN deg dv ON dv.part = e.dst
   WHERE (du.deg, e.src) < (dv.deg, e.dst)
-), wedges AS (
+), wedges AS MATERIALIZED (
   SELECT CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS x,
          CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS y
   FROM oriented a JOIN oriented b
