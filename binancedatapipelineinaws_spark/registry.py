@@ -107,6 +107,9 @@ _FORCE_FIRST: tuple[str, ...] = (
 _DEFER: tuple[str, ...] = (
     # r9: new ids registered this round — queued behind the two
     # never-checked r8 ids so those take the first unverified slots.
+    # Window math: 2 never-checked + new ids below + the 44 r1/r2
+    # green rows must stay <= ~50 so the backlog fully drains.
+    "q_ext_multimodal_pixels",
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain

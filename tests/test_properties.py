@@ -1096,6 +1096,65 @@ def test_multimodal_meta_reports_real_dims_through_spark(spark):
     assert out[4]["content_md5"] == h
 
 
+def test_png_codec_roundtrip_all_filters_and_channels():
+    # random images across channel counts and odd sizes; the encoder
+    # cycles filters 0-4 per scanline, so >= 5-row images exercise
+    # every unfilter branch (Sub/Up/Average/Paeth included)
+    import random
+
+    from binancedatapipelineinaws_spark.functions.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = random.Random(99)
+    for ch in (1, 3, 4):
+        for w, h in ((1, 1), (16, 7), (3, 12), (40, 5)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            got = png_decode(png_encode(px, w, h, channels=ch))
+            assert got[:3] == (w, h, ch)
+            assert bytes(got[3]) == px
+    # constant and gradient images (filter edge cases: zero deltas,
+    # monotone rows where Average/Paeth predictions saturate)
+    for px in (bytes(48 * 5), bytes(i % 256 for i in range(48 * 5))):
+        assert bytes(png_decode(png_encode(px, 16, 5))[3]) == px
+
+
+def test_decode_image_dispatch_and_bmp():
+    import struct
+
+    from binancedatapipelineinaws_spark.functions.multimodal import (
+        bmp_decode,
+        decode_image,
+    )
+
+    # hand-built 2x2 24-bit BMP, bottom-up rows padded to 4 bytes:
+    # stored row order is (bottom) then (top), BGR within pixel
+    top = [(255, 0, 0), (0, 255, 0)]  # RGB of the TOP row
+    bot = [(0, 0, 255), (7, 8, 9)]
+    rowsize = 8  # 2*3 padded to 4-byte multiple
+    pix = b""
+    for row in (bot, top):  # bottom-up storage
+        for r, g, b in row:
+            pix += bytes((b, g, r))
+        pix += b"\x00" * (rowsize - 6)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    w, h, ch, out = bmp_decode(hdr + pix)
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(out) == bytes(v for p in top + bot for v in p)
+    assert decode_image(hdr + pix)[:3] == (2, 2, 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg needs a dct codec")
+    with pytest.raises(ValueError):
+        decode_image(b"plain text")
+
+
 def test_frame_seq_empty_blob_emits_no_rows(spark):
     # ADVICE r8: F.sequence(0, n_frames - 1) on a zero-length blob
     # auto-steps DOWN to [0, -1] and emits two phantom frame rows
