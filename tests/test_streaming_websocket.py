@@ -4,8 +4,9 @@ main.py:30-35) exercised against a local RFC 6455 server — handshake
 validation, 7/16-bit frame lengths, fragmentation, ping/pong, the
 combined-stream envelope, minute-file rotation — then the spooled
 files fed through the full canonicalize -> window -> sink pipeline.
-No TLS (the container has no network); the framing layer under wss://
-is byte-identical.
+wss:// transport is exercised too: a self-signed local TLS server
+drives the handshake + frames + ping/pong through a real ssl channel
+with certificate verification on (test_wss_tls_handshake_end_to_end).
 """
 
 from __future__ import annotations
@@ -411,3 +412,84 @@ def test_recv_rejects_oversized_and_malformed_control_frames():
         + bytes([ws.OP_CONT, 127])
         + struct.pack(">Q", ws.MAX_FRAME_BYTES - 50)
     )
+
+
+def test_wss_tls_handshake_end_to_end(tmp_path):
+    """The reference front door is wss:// (main.py:30-35); this drives
+    the client's injectable-transport path over a REAL ssl handshake:
+    self-signed cert, ssl-wrapped loopback server, full RFC 6455
+    handshake + trade frames + clean close THROUGH the TLS channel,
+    with certificate verification ON in the client."""
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-nodes", "-subj", "/CN=localhost",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(str(cert), str(key))
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def tls_server():
+        raw, _ = server.accept()
+        conn = srv_ctx.wrap_socket(raw, server_side=True)
+        try:
+            _server_handshake(conn)
+            conn.sendall(
+                _server_frame(
+                    ws.OP_TEXT,
+                    _trade(7, "30000.10000000", "0.25000000",
+                           1_700_000_060_000).encode(),
+                )
+            )
+            conn.sendall(_server_frame(ws.OP_PING, b"keepalive"))
+            conn.sendall(
+                _server_frame(
+                    ws.OP_TEXT,
+                    _trade(8, "30001.00000000", "0.50000000",
+                           1_700_000_061_000, True).encode(),
+                )
+            )
+            # client must answer the ping THROUGH TLS before close
+            op, payload = _read_client_frame(conn)
+            assert (op, payload) == (ws.OP_PONG, b"keepalive")
+            conn.sendall(_server_frame(ws.OP_CLOSE, struct.pack(">H", 1000)))
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=tls_server)
+    t.start()
+    try:
+        cli_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        cli_ctx.load_verify_locations(str(cert))
+        cli_ctx.check_hostname = True
+        raw = socket.create_connection(("127.0.0.1", port), timeout=30)
+        tls_sock = cli_ctx.wrap_socket(raw, server_hostname="localhost")
+        assert tls_sock.version() is not None  # TLS actually negotiated
+        conn = ws.connect("localhost", port, sock=tls_sock)
+        msgs = [p for op, p in ws.recv_messages(conn) if op == ws.OP_TEXT]
+        tls_sock.close()
+    finally:
+        t.join(timeout=30)
+        server.close()
+
+    lines = [ws.trade_json_to_wire(m.decode()) for m in msgs]
+    assert lines == [
+        "7\tBTCUSDT\t30000.10000000\t0.25000000\t1700000060000\tfalse",
+        "8\tBTCUSDT\t30001.00000000\t0.50000000\t1700000061000\ttrue",
+    ]
