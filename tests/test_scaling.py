@@ -437,3 +437,84 @@ def test_copurchase_edge_volume_linear_in_baskets(spark):
     v4 = pair_volume(360)
     assert v1 > 0
     assert v4 <= 5 * v1, (v1, v4)
+
+
+def test_aqe_skew_join_split_fires_and_matches_salted(spark):
+    """The config a 100 TB operator reaches for FIRST is AQE's built-in
+    skew-join split, not manual salting.  Run the q_ext_skew_salted_join
+    workload UNSALTED with the skew thresholds scaled down to this
+    corpus, assert Spark's OptimizeSkewedJoin actually split the planted
+    20%-hot-key partition (skew=true in the final adaptive plan), and
+    that the result is identical to the salted query's."""
+    from binancedatapipelineinaws_spark.operators.scaling import (
+        HOT_CUSTKEY,
+        HOT_EVERY,
+    )
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    salted = queries()["q_ext_skew_salted_join"](spark, sf).collect()
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}  # effective defaults
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf, "orders")
+        cust = load_table(spark, sf, "customer")
+        # a skewed reduce partition is split by MAP-OUTPUT ranges; the
+        # single-row-group test file would feed the join exchange from
+        # ONE mapper (nothing to split along), so spread the probe
+        # side across mappers first — at real scale the thousands of
+        # scan tasks do this for free
+        o = orders.select(
+            F.when(F.col("o_orderkey") % HOT_EVERY == 0, F.lit(HOT_CUSTKEY))
+            .otherwise(F.col("o_custkey"))
+            .alias("custkey"),
+            "o_totalprice",
+        ).repartition(16)
+        # the bare join: a downstream groupBy would REUSE the join's
+        # hash partitioning, and OptimizeSkewedJoin declines to split a
+        # partition another operator's required distribution depends on
+        # — at 100 TB you'd aggregate after an explicit repartition (or
+        # accept the unsplit plan for pipelined aggregates)
+        joined = o.join(cust, F.col("custkey") == F.col("c_custkey")).select(
+            "c_custkey", "c_name", "o_totalprice"
+        )
+        rows = joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, (
+            "AQE skew split did not fire:\n" + final_plan[:4000]
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+    # aggregate the AQE-joined rows independently (exact decimal cents)
+    # and compare with the salted query's top-20
+    from collections import defaultdict
+
+    agg: dict = defaultdict(lambda: [0, 0])
+    names = {}
+    for r in rows:
+        key = r["c_custkey"]
+        names[key] = r["c_name"]
+        agg[key][0] += 1
+        agg[key][1] += round(float(r["o_totalprice"]) * 100)
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = [
+        (k, names[k], n, cents / 100.0) for k, (n, cents) in top
+    ]
+    got = [
+        (r["c_custkey"], r["c_name"], r["n_orders"], r["revenue"])
+        for r in salted
+    ]
+    assert got == expect
