@@ -66,3 +66,61 @@ def test_jdbc_missing_driver_is_actionable(spark):
             url="jdbc:mysql://localhost:1/binance",
             properties={"driver": "com.mysql.cj.jdbc.Driver", "user": "x"},
         )
+
+
+def test_jdbc_type_matrix_roundtrip(spark, tmp_path):
+    """Every row of the MySQL<->Spark type decision matrix
+    (sources/jdbc_types.py) round-trips boundary values through a real
+    JDBC write + read-back.  Default target is embedded Derby; set
+    SPARK_GRAFT_JDBC_URL (+ SPARK_GRAFT_JDBC_DRIVER) to point the SAME
+    test at live MySQL."""
+    import datetime
+    import os
+    from decimal import Decimal
+
+    from binancedatapipelineinaws_spark.sources.jdbc_types import (
+        JDBC_TYPE_MATRIX,
+        matrix_create_types,
+        matrix_schema,
+    )
+
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL") or _derby_url(
+        tmp_path, "typematrix"
+    )
+    driver = os.environ.get("SPARK_GRAFT_JDBC_DRIVER")
+    props = {"driver": driver} if driver else dict(DERBY_PROPS)
+
+    rows = [
+        # (bid, parameter, price, quantity, time, maker)
+        (0, "", Decimal("0.00"), Decimal("0.00000"),
+         datetime.datetime(1970, 1, 1, 0, 0, 0), 0),
+        (1, "BTCUSDT", Decimal("0.01"), Decimal("0.00001"),
+         datetime.datetime(2024, 1, 2, 3, 4, 5, 123456), 1),
+        (-1, "ETHBTCLONG", Decimal("-99999.99"), Decimal("-99.99999"),
+         datetime.datetime(1969, 12, 31, 23, 59, 59), -128),
+        (2**63 - 1, "Z", Decimal("99999.99"), Decimal("99.99999"),
+         datetime.datetime(2038, 1, 19, 3, 14, 7, 999999), 127),
+        (-(2**63), "ten_chars_", Decimal("12345.67"), Decimal("12.34567"),
+         datetime.datetime(2000, 2, 29, 12, 0, 0), 1),
+    ]
+    df = spark.createDataFrame(rows, matrix_schema())
+    (
+        df.write.mode("overwrite")
+        .option("createTableColumnTypes", matrix_create_types())
+        .jdbc(url, "typematrix", properties=props)
+    )
+    back = read_jdbc_table(spark, url, "typematrix", properties=props)
+    # restore width-narrowed columns (Derby has no TINYINT: ByteType
+    # travels as SMALLINT and reads back short)
+    for m in JDBC_TYPE_MATRIX:
+        if m["readback_cast"]:
+            back = back.withColumn(
+                m["col"], back[m["col"]].cast(m["readback_cast"])
+            )
+        assert m["col"].upper() in {c.upper() for c in back.columns}
+    got = sorted(tuple(r) for r in back.select(*df.columns).collect())
+    assert got == sorted(rows)
+    # post-cast schema parity with the declared matrix
+    got_types = dict(back.select(*df.columns).dtypes)
+    want_types = {m["col"]: m["spark"] for m in JDBC_TYPE_MATRIX}
+    assert got_types == want_types
