@@ -134,6 +134,46 @@ def test_window_budget_not_exceeded():
     )
 
 
+def test_window_is_age_optimal_and_staleness_bounded():
+    """Forward invariant (r8 verdict #1/#8): the ~50-slot driver window
+    must always land on the STALEST verifications, and no row in the
+    cumulative driver record may lag further than one full rotation of
+    the registry (ceil(N/50) + 2 rounds of slack for forced re-verifies
+    and deferred late additions).  A future round that floods new ids
+    or mis-orders the window fails here at registration time, before
+    the round burns its slots."""
+    import math
+
+    from binancedatapipelineinaws_spark import registry
+
+    order = list(registry.all_specs())
+    vrounds = registry._verified_rounds()
+    pinned = set(registry._FORCE_FIRST) | set(registry._PRIORITY)
+    window, tail = order[:50], order[50:]
+
+    # age-optimality: every green row left OUT of the window is at
+    # least as fresh as every non-pinned green row IN the window
+    in_ages = [vrounds[n] for n in window if n in vrounds and n not in pinned]
+    out_ages = [vrounds[n] for n in tail if n in vrounds]
+    if in_ages and out_ages:
+        assert max(in_ages) <= min(out_ages), (
+            "driver window skips a staler green row: "
+            f"in-window max vintage r{max(in_ages)} > "
+            f"out-of-window min vintage r{min(out_ages)}"
+        )
+
+    # staleness bound: the oldest row anywhere lags the newest round by
+    # at most one full window rotation (+2 slack)
+    cur = max(vrounds.values())
+    max_lag = math.ceil(len(order) / 50) + 2
+    stalest = min(vrounds, key=vrounds.get)
+    assert cur - vrounds[stalest] <= max_lag, (
+        f"{stalest} last verified r{vrounds[stalest]}, now r{cur}: "
+        f"lag {cur - vrounds[stalest]} > {max_lag} — the window "
+        "rotation is falling behind; ship fewer new ids"
+    )
+
+
 def test_every_oracle_plans_in_duckdb():
     """EXPLAIN every registered oracle against empty views of the ten
     driver tables: catches a typo'd oracle (bad function, wrong
