@@ -111,6 +111,8 @@ HEADLINE = [
     "q_ext_weighted_median",
     "q_ext_bitmap_distinct",
     "q_scan_orc",
+    # r9 addition
+    "q_ext_multimodal_pixels",
 ]
 
 

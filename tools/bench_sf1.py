@@ -58,6 +58,9 @@ EXPENSIVE = [
     "q_ext_pagerank",
     "q_ext_triangles",
     "q_ext_join_view_refresh",
+    # r9 addition: the PNG codec gate (pure-Python codec inside the
+    # Arrow kernel — the cost to watch is Python bytes/sec, not shuffle)
+    "q_ext_multimodal_pixels",
 ]
 
 

@@ -1,0 +1,94 @@
+"""One-command per-round scale drill (VERDICT r8 item 5): the x100
+pricing run (tools/bench_sf1.py against .bench_sf10) followed by the
+full-registry VALUE sweep at the same corpus (tools/check_oracle.py
+--threads 4 --fast-compare), recorded as one JSON artifact.
+
+The two phases run SEQUENTIALLY — pricing needs the host alone, the
+sweep only needs correctness — and the summary lands in
+SCALE_r{N}.json at the repo root for SCALING.md's per-round section.
+
+Usage:
+    python tools/scale_drill.py 9              # round number for the artifact
+    SPARK_GRAFT_SCALE_DIR=.bench_sf1 python tools/scale_drill.py 9   # other corpus
+
+Expects the corpus to exist (SPARK_GRAFT_SF1_REPLICAS=100
+python tools/make_sf1.py .bench_sf10 builds the default one with the
+fixed replica seed, so ratios are comparable round over round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".bench_sf10")
+)
+
+
+def main() -> None:
+    rnd = int(sys.argv[1])
+    if not os.path.isdir(CORPUS):
+        sys.exit(f"scale corpus {CORPUS} missing — run tools/make_sf1.py first")
+    env = dict(os.environ, SPARK_GRAFT_SCALE_DIR=CORPUS)
+
+    t0 = time.perf_counter()
+    pricing_raw = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_sf1.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    pricing = json.loads(pricing_raw.strip().splitlines()[-1])
+    pricing_sec = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    sweep_env = dict(os.environ, SPARK_GRAFT_ORACLE_SF_DIR=CORPUS)
+    sweep = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "check_oracle.py"),
+            "--threads", "4",
+            "--fast-compare",
+        ],
+        env=sweep_env,
+        capture_output=True,
+        text=True,
+    )
+    sweep_sec = round(time.perf_counter() - t0, 1)
+    tail = (sweep.stdout or "").strip().splitlines()
+    summary_line = tail[-1] if tail else ""
+    m = re.search(r"(\d+) ok, (\d+) failing(?:, (\d+) skipped)?", summary_line)
+    fails = [
+        ln for ln in tail if " FAIL " in ln or " ERROR " in ln
+    ]
+
+    artifact = {
+        "round": rnd,
+        "corpus": os.path.basename(CORPUS),
+        "pricing": pricing["queries"],
+        "pricing_wall_sec": pricing_sec,
+        "sweep_ok": int(m.group(1)) if m else None,
+        "sweep_failing": int(m.group(2)) if m else None,
+        "sweep_skipped": int(m.group(3) or 0) if m else None,
+        "sweep_exit": sweep.returncode,
+        "sweep_wall_sec": sweep_sec,
+        "sweep_failures": fails[:20],
+    }
+    path = os.path.join(REPO, f"SCALE_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "pricing"}))
+    print(f"wrote {path}")
+    if sweep.returncode != 0 or (m and int(m.group(2)) > 0):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
