@@ -1689,7 +1689,7 @@ def q_ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     RUNG LADDER (check_oracle.APPROX_RECALL_ABOVE): the mean-recall
     floor is a FIXED-GEOMETRY claim — verified exactly at gate scale
     (500 vectors, sf0.01) and at sf1 (20,000 vectors, three sweeps);
-    at sf10 the same {N_CELLS} cells hold 100x more candidates and
+    at sf10 the same label-derived cells hold 100x more candidates and
     mean recall legitimately drops below the pinned literal, so the
     sweep SKIPs above the 20k rung rather than reporting a
     by-construction failure.  Both engines still COMPUTE identical
