@@ -66,3 +66,19 @@ def test_nan_payloads_canonicalized():
     a = pd.DataFrame({"x": [float("nan")]})
     b = pd.DataFrame({"x": [weird_nan]})
     assert fast_compare(a, b) is True
+
+
+def test_mismatch_samples_are_surfaced():
+    # a False verdict on a frame too large to re-adjudicate classically
+    # must still carry actionable samples (ADVICE r8): the comparator
+    # appends up to 3 (column, spark, oracle) raw-value pairs
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "k": [1, 2, 3]})
+    b = pd.DataFrame({"x": [1.0, 2.5, 3.5], "k": [1, 2, 3]})
+    samples: list = []
+    assert fast_compare(a, b, samples_out=samples) is False
+    assert 1 <= len(samples) <= 3
+    assert any("2.5" in s or "3.5" in s for s in samples)
+    # equality never populates samples
+    samples = []
+    assert fast_compare(a, a.copy(), samples_out=samples) is True
+    assert samples == []
