@@ -55,10 +55,15 @@ def test_no_python_in_hot_paths(spark):
     for name, fn in qs.items():
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python UDF"
-        # the two Arrow-batched exceptions: binary decode kernels and
-        # the per-partition Gram-matrix mat-mul (each documented in its
-        # docstring as the case where numpy beats interpreted Catalyst)
-        if name not in ("q_ext_multimodal_meta", "q_ext_embed_covariance"):
+        # the Arrow-batched exceptions: binary decode kernels (header
+        # metadata and the r9 PNG pixel codec) and the per-partition
+        # Gram-matrix mat-mul (each documented in its docstring as the
+        # case where batched Python beats interpreted Catalyst)
+        if name not in (
+            "q_ext_multimodal_meta",
+            "q_ext_multimodal_pixels",
+            "q_ext_embed_covariance",
+        ):
             assert "MapInPandas" not in plan, f"{name} unexpectedly in Pandas"
 
 
