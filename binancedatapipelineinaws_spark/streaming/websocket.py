@@ -198,7 +198,13 @@ def recv_messages(conn: WSConn) -> Iterator[tuple[int, bytes]]:
                 raise ConnectionError(
                     f"control frame payload {n} > 125 (RFC 6455 §5.5)"
                 )
-        if n > MAX_FRAME_BYTES or len(frag_payload) + n > MAX_FRAME_BYTES:
+        if n > MAX_FRAME_BYTES or (
+            # reassembly cap counts only data/continuation frames — a
+            # control frame interleaved mid-fragmentation is its own
+            # message, not part of the buffer
+            opcode in (OP_CONT, OP_TEXT, OP_BINARY)
+            and len(frag_payload) + n > MAX_FRAME_BYTES
+        ):
             raise ConnectionError(
                 f"frame/message of {n} bytes exceeds MAX_FRAME_BYTES"
             )
