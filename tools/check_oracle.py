@@ -291,6 +291,16 @@ def main():
         "oracle-check", master=f"local[{master_cores}]", shuffle_partitions=8
     )
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill directory: it defaults
+    # to 80% of PHYSICAL RAM with no temp_directory under :memory:, and
+    # on a host sharing 128 GB with a 24g-heap Spark JVM the big-corpus
+    # sweep OOM-cascaded and wedged (r9 sf10 sweep post-mortem).  With
+    # a limit + temp dir the blocking operators go out-of-core instead.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+    duck_tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duckdb_spill")
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    con.execute(f"SET temp_directory='{duck_tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"

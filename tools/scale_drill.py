@@ -37,36 +37,48 @@ def main() -> None:
         sys.exit(f"scale corpus {CORPUS} missing — run tools/make_sf1.py first")
     env = dict(os.environ, SPARK_GRAFT_SCALE_DIR=CORPUS)
 
+    # phase outputs stream to files, not pipes: a killed/hung phase
+    # must not take the other phase's finished results with it (the r9
+    # sweep deadlock post-mortem)
+    pricing_log = f"/tmp/scale_drill_r{rnd}_pricing.log"
+    sweep_log = f"/tmp/scale_drill_r{rnd}_sweep.log"
+
     t0 = time.perf_counter()
-    pricing_raw = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "bench_sf1.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    pricing = json.loads(pricing_raw.strip().splitlines()[-1])
+    with open(pricing_log, "w") as out:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_sf1.py")],
+            env=env,
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            text=True,
+            check=True,
+        )
+    pricing_lines = [
+        ln for ln in open(pricing_log) if ln.startswith("{")
+    ]
+    pricing = json.loads(pricing_lines[-1])
     pricing_sec = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
     sweep_env = dict(os.environ, SPARK_GRAFT_ORACLE_SF_DIR=CORPUS)
-    sweep = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "check_oracle.py"),
-            "--threads", "4",
-            "--fast-compare",
-        ],
-        env=sweep_env,
-        capture_output=True,
-        text=True,
-    )
+    with open(sweep_log, "w") as out:
+        sweep = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "check_oracle.py"),
+                "--threads", "4",
+                "--fast-compare",
+            ],
+            env=sweep_env,
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
     sweep_sec = round(time.perf_counter() - t0, 1)
-    tail = (sweep.stdout or "").strip().splitlines()
-    summary_line = tail[-1] if tail else ""
-    m = re.search(r"(\d+) ok, (\d+) failing(?:, (\d+) skipped)?", summary_line)
+    tail = open(sweep_log).read().strip().splitlines()
+    m = re.search(r"(\d+) ok, (\d+) failing(?:, (\d+) skipped)?", "\n".join(tail))
     fails = [
-        ln for ln in tail if " FAIL " in ln or " ERROR " in ln
+        ln.strip() for ln in tail if " FAIL " in ln or " ERROR " in ln
     ]
 
     artifact = {
