@@ -290,27 +290,37 @@ def main():
     spark = get_spark(
         "oracle-check", master=f"local[{master_cores}]", shuffle_partitions=8
     )
-    con = duckdb.connect()
-    # Bound DuckDB's memory and give it a spill directory: it defaults
-    # to 80% of PHYSICAL RAM with no temp_directory under :memory:, and
-    # on a host sharing 128 GB with a 24g-heap Spark JVM the big-corpus
-    # sweep OOM-cascaded and wedged (r9 sf10 sweep post-mortem).  With
-    # a limit + temp dir the blocking operators go out-of-core instead.
-    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+    # PER-QUERY DuckDB connections, each with its OWN memory budget and
+    # spill directory.  Two r9 sf10 post-mortems drove this: with one
+    # shared in-memory database (a) the default memory_limit is 80% of
+    # PHYSICAL RAM and nothing spills, which OOM-cascaded next to the
+    # 24g Spark JVM and then hard-wedged all threads in futex wait;
+    # (b) even WITH a shared 40GB limit, one huge query exhausts the
+    # pool and every later allocation in every thread fails ("bad
+    # allocation" at 4KB blocks) — exhaustion is sticky.  A fresh
+    # connection per query costs ~ms, isolates failure to the query
+    # that caused it, and releases everything at close.
+    duck_mem = os.environ.get(
+        "SPARK_GRAFT_DUCK_MEM", f"{max(8, 48 // threads)}GB"
+    )
     duck_tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duckdb_spill")
     os.makedirs(duck_tmp, exist_ok=True)
-    con.execute(f"SET memory_limit='{duck_mem}'")
-    con.execute(f"SET temp_directory='{duck_tmp}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
-            # Spark-written tables are DIRECTORIES of part files
-            + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
-        )
+
+    def duck_connect():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{duck_mem}'")
+        c.execute(f"SET temp_directory='{duck_tmp}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
+                # Spark-written tables are DIRECTORIES of part files
+                + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
+            )
+        return c
 
     def check(name):
         rung = APPROX_RECALL_ABOVE.get(name)
-        cur = con.cursor()
+        cur = duck_connect()
         try:
             if rung is not None and _corpus_rows(cur, rung[0]) > rung[1]:
                 return (
