@@ -310,6 +310,11 @@ def main():
         c = duckdb.connect()
         c.execute(f"SET memory_limit='{duck_mem}'")
         c.execute(f"SET temp_directory='{duck_tmp}'")
+        # per-query peak memory scales with DuckDB's thread count
+        # (per-thread operator state), and N concurrent connections x
+        # 32 default threads also oversubscribes the host 3-4x — a
+        # query that fits its budget solo can blow it in a sweep
+        c.execute(f"SET threads TO {max(4, 32 // threads)}")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
