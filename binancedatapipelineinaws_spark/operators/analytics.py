@@ -1692,11 +1692,15 @@ HOLT_TAIL = 300
 @register(
     "q_ext_holt_smoothing",
     oracle=f"""
-WITH RECURSIVE seq AS (
+WITH RECURSIVE seq AS MATERIALIZED (
   SELECT user_id,
          list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
   FROM events GROUP BY user_id
-), capped AS (
+), capped AS MATERIALIZED (
+  -- MATERIALIZED (evaluation hint, no value change): the recursive
+  -- member joins capped on EVERY iteration, and DuckDB 1.x inlines
+  -- plain CTEs per use — without the hint the 6M-event list(ORDER BY)
+  -- re-ran per step and OOM'd the sf10 oracle at 70 GB (r9)
   SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
          CASE WHEN len(xs) > {HOLT_TAIL}
               THEN list_slice(xs, len(xs) - {HOLT_TAIL} + 1, len(xs))
