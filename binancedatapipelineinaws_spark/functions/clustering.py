@@ -48,29 +48,23 @@ def _sq_dist_num(q: Column, s: Column, c: Column) -> Column:
 
 def _assign(codes: DataFrame, cents_row: DataFrame) -> DataFrame:
     """Map-only argmin assignment against the broadcast centroid row.
-    The fold keeps the first strict minimum and `cents` is sorted by
-    cluster id, so ties resolve to the lowest cluster — identical to
-    the oracle's ORDER BY d, cluster."""
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(float("inf")).alias("d"),
-            F.lit(-1).cast("long").alias("k"),
-        ),
-        lambda acc, ct: F.when(
-            (
-                _sq_dist_num(F.col("q"), ct["s"], ct["c"]).cast("double")
-                / (ct["c"] * ct["c"]).cast("double")
-            )
-            < acc["d"],
-            F.struct(
+    transform computes each centroid's distance ONCE, then array_min
+    picks the (d, cluster)-lexicographic minimum — so ties resolve to
+    the lowest cluster, identical to the oracle's ORDER BY d, cluster.
+    (The previous fold form evaluated the distance expression twice
+    per centroid — once in the comparison, once in the kept struct —
+    because higher-order lambdas get no common-subexpression reuse.)"""
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
                 (
                     _sq_dist_num(F.col("q"), ct["s"], ct["c"]).cast("double")
                     / (ct["c"] * ct["c"]).cast("double")
                 ).alias("d"),
                 ct["cluster"].alias("k"),
             ),
-        ).otherwise(acc),
+        )
     )
     return codes.join(F.broadcast(cents_row)).select(
         "vec_id", "q", best["k"].alias("cluster")

@@ -1718,48 +1718,53 @@ def q_ext_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     one — the double-correlated EXISTS / NOT EXISTS benchmark, the
     hardest decorrelation in the suite.
 
-    Plan: both correlated subqueries decorrelate into aggregates on
-    the order key — per-order (first_ship, n_supps) and per-(order,
-    supplier) late flags — so the whole query is three order-keyed
-    partial-aggregated shuffles and one broadcast of the supplier dim;
-    no per-row subquery probes, no nested loops.  The status filter
-    rides the orders scan; all compares are date/int exact."""
+    Plan: both correlated subqueries decorrelate into ONE order-keyed
+    shuffle of lineitem.  After the status semi-join clusters rows by
+    l_orderkey, every later step reuses that partitioning with zero
+    additional Exchange: the per-order (first_ship, n_supps) window,
+    the (order, supplier) late-flag aggregate (grouping keys are a
+    superset of the partitioning), and the per-order sum(late) window.
+    Per-order group sizes are bounded (lineitems per order), so the
+    windows hold at any corpus size; supplier joins as a broadcast.
+    The earlier form derived `flags` twice (once for late=1, once for
+    the solo-order aggregate) — the whole scan+join+groupBy upstream
+    executed 2x; windows over the shared partitioning make it one
+    pass.  Status filter rides the orders scan; compares date/int
+    exact.  Semi-joining BEFORE the per-order stats is safe: the
+    filter keeps or drops whole orders, so per-order aggregates are
+    unchanged."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    ms = li.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("first_ship"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
-    )
     fin = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    late_flag = F.max(
-        F.when(
-            F.col("l_shipdate")
-            > F.col("first_ship") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
-            1,
-        ).otherwise(0)
+    w_ord = Window.partitionBy("l_orderkey")
+    li_f = (
+        li.join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .withColumn("first_ship", F.min("l_shipdate").over(w_ord))
+        .withColumn(
+            "n_supps", F.size(F.collect_set("l_suppkey").over(w_ord))
+        )
+        .filter(F.col("n_supps") > 1)
     )
-    flags = (
-        li.join(ms.filter(F.col("n_supps") > 1), "l_orderkey")
-        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(late_flag.alias("late"))
+    flags = li_f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("first_ship")
+                + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+                1,
+            ).otherwise(0)
+        ).alias("late")
     )
-    solo = (
-        flags.groupBy("l_orderkey")
-        .agg(F.sum("late").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
+    flags = flags.withColumn("n_late", F.sum("late").over(w_ord))
     supp = F.broadcast(
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     )
     return (
-        flags.filter(F.col("late") == 1)
-        .join(solo, "l_orderkey", "left_semi")
+        flags.filter((F.col("late") == 1) & (F.col("n_late") == 1))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
