@@ -111,8 +111,9 @@ HEADLINE = [
     "q_ext_weighted_median",
     "q_ext_bitmap_distinct",
     "q_scan_orc",
-    # r9 addition
+    # r9 additions
     "q_ext_multimodal_pixels",
+    "q_ext_bpe_pair_counts",
 ]
 
 

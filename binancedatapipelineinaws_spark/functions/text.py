@@ -1200,3 +1200,72 @@ def q_ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(flesch_raw, 4).alias("flesch"),
         band.alias("band"),
     )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "q_ext_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+         CAST(sum(n) AS BIGINT) AS pair_count
+  FROM words, unnest(range(1, length(w))) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT a, b, pair_count FROM pairs
+ORDER BY pair_count DESC, a, b
+LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def q_ext_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over the corpus: the {BPE_TOP_PAIRS}
+    most frequent adjacent character pairs, weighted by word frequency
+    — the statistic a distributed tokenizer trainer computes every
+    merge round (Sennrich et al. 2016).  The reference has no
+    tokenizer tier; this is the training-data-pipeline complement of
+    q_ext_token_count / q_ext_tokenizer_fertility.
+
+    Scale shape: the corpus collapses to DISTINCT WORD COUNTS first
+    (vocabulary-bounded, partial-aggregated — the only corpus-sized
+    shuffle), pairs explode from the vocab only (|V| * avg_len rows,
+    NOT corpus-sized), and the final aggregate is alphabet^2-bounded.
+    A naive per-token pair explode would shuffle ~5x the corpus every
+    merge round; this shape is why BPE trainers keep a word-count
+    table.  Ties at the cutoff are totally ordered (count desc, a, b)
+    so the top-{BPE_TOP_PAIRS} is engine-independent.  All counts are
+    integer-exact (no float anywhere)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        words.select(
+            "w",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+            "n",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    return pairs.orderBy(F.desc("pair_count"), "a", "b").limit(BPE_TOP_PAIRS)

@@ -109,7 +109,11 @@ _DEFER: tuple[str, ...] = (
     # never-checked r8 ids so those take the first unverified slots.
     # Window math: 2 never-checked + new ids below + the 44 r1/r2
     # green rows must stay <= ~50 so the backlog fully drains.
+    # (3 never-checked + 44 r1/r2 + the remaining slots refresh the
+    # oldest r3 rows; each id added here displaces one r3 REFRESH,
+    # never an r1/r2 row.)
     "q_ext_multimodal_pixels",
+    "q_ext_bpe_pair_counts",
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
