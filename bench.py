@@ -114,6 +114,7 @@ HEADLINE = [
     # r9 additions
     "q_ext_multimodal_pixels",
     "q_ext_bpe_pair_counts",
+    "q_ext_merge_into",
 ]
 
 

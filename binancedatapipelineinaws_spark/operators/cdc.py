@@ -330,3 +330,125 @@ def q_ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+MERGE_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "q_ext_merge_into",
+    oracle=f"""
+WITH target AS (
+  SELECT user_id,
+         count(*) AS n_purchases,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '{MERGE_CUTOFF}'
+  GROUP BY user_id
+), source AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS d_n,
+         CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       FILTER (event_type = 'purchase'), 0) AS BIGINT)
+           AS d_cents,
+         (CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+          > 2 * CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT))
+           AS tombstone
+  FROM events
+  WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+    AND event_type IN ('purchase', 'error')
+  GROUP BY user_id
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       coalesce(t.n_purchases, 0) + coalesce(s.d_n, 0) AS n_purchases,
+       CAST(coalesce(t.total_cents, 0) + coalesce(s.d_cents, 0) AS BIGINT)
+         AS total_cents,
+       CASE WHEN t.user_id IS NULL THEN 'insert'
+            WHEN s.user_id IS NULL THEN 'kept'
+            ELSE 'update' END AS action
+FROM target t
+FULL OUTER JOIN source s ON t.user_id = s.user_id
+WHERE NOT coalesce(s.tombstone, FALSE)
+  AND NOT (t.user_id IS NULL AND s.d_n = 0)
+""",
+)
+def q_ext_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO over a CDC batch: the per-user purchase
+    state before {MERGE_CUTOFF} is the target; post-cutoff purchases
+    and error-dominated batches (errors > 2x purchases -> tombstone)
+    are the source.  WHEN MATCHED AND tombstone
+    -> DELETE, WHEN MATCHED -> UPDATE (accumulate), WHEN NOT MATCHED
+    AND has rows -> INSERT; unmatched target rows survive tagged
+    'kept'.  The batch equivalent of Delta/Iceberg MERGE — the one
+    CDC shape q_ext_upsert_latest (latest-wins) and
+    q_ext_join_view_refresh (view maintenance) don't cover.
+
+    Money sums are exact cents (round(value*100) BIGINT — the repo's
+    established float discipline), so accumulation is order-
+    independent in both engines.
+
+    Scale: both sides are user-keyed partial aggregates of the SAME
+    scan (Catalyst reuses the exchange when it can; at 100 TB the
+    source side is a tiny CDC batch anyway), then ONE co-keyed full
+    outer join — everything shuffles once on user_id.  No window over
+    the corpus, no driver round-trip."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    target = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    is_p = F.col("event_type") == "purchase"
+    source = (
+        ev.filter(
+            (F.col("ts") >= cutoff)
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count_if(is_p).alias("d_n"),
+            F.coalesce(
+                F.sum(F.when(is_p, cents)), F.lit(0).cast("long")
+            ).alias("d_cents"),
+            (
+                F.count_if(F.col("event_type") == "error")
+                > 2 * F.count_if(is_p)
+            ).alias("tombstone"),
+        )
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+    action = (
+        F.when(F.col("t.user_id").isNull(), "insert")
+        .when(F.col("s.user_id").isNull(), "kept")
+        .otherwise("update")
+    )
+    return (
+        merged.filter(
+            ~F.coalesce(F.col("s.tombstone"), F.lit(False))
+            & ~(F.col("t.user_id").isNull() & (F.col("s.d_n") == 0))
+        )
+        .select(
+            F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+            (
+                F.coalesce(F.col("t.n_purchases"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("s.d_n"), F.lit(0).cast("long"))
+            ).alias("n_purchases"),
+            (
+                F.coalesce(F.col("t.total_cents"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("s.d_cents"), F.lit(0).cast("long"))
+            ).alias("total_cents"),
+            action.alias("action"),
+        )
+    )

@@ -114,6 +114,9 @@ _DEFER: tuple[str, ...] = (
     # never an r1/r2 row.)
     "q_ext_multimodal_pixels",
     "q_ext_bpe_pair_counts",
+    "q_ext_merge_into",
+    # ^ 3 never-checked + these 3 + 44 r1/r2 = 50: the window is now
+    # exactly full — do NOT add more ids this round.
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
