@@ -61,6 +61,11 @@ EXPENSIVE = [
     # r9 addition: the PNG codec gate (pure-Python codec inside the
     # Arrow kernel — the cost to watch is Python bytes/sec, not shuffle)
     "q_ext_multimodal_pixels",
+    # r9 session additions: the tokenizer pair statistic (corpus-sized
+    # token explode collapses to vocab — the collapse ratio is the
+    # number to watch) and the CDC MERGE (one user-keyed join)
+    "q_ext_bpe_pair_counts",
+    "q_ext_merge_into",
 ]
 
 
