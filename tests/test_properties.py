@@ -3288,3 +3288,105 @@ def test_bitmap_distinct_equals_count_distinct(spark):
         .collect()
     }
     assert bm == naive
+
+
+def test_bpe_pair_counts_match_naive_token_explode(spark):
+    """The vocab-collapsed pair statistic equals the naive per-token
+    pair explode (the shape the operator avoids at scale) — the
+    word-count weighting loses nothing."""
+    out = {
+        (r.a, r.b): r.pair_count
+        for r in queries()["q_ext_bpe_pair_counts"](spark, SF).collect()
+    }
+    naive = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+        )
+        .groupBy("a", "b")
+        .count()
+    )
+    naive_map = {(r.a, r.b): r["count"] for r in naive.collect()}
+    for pair, cnt in out.items():
+        assert naive_map[pair] == cnt
+    # top-k really is the top: no unlisted pair beats the listed min
+    if out:
+        floor = min(out.values())
+        better = [
+            p
+            for p, c in naive_map.items()
+            if p not in out and c > floor
+        ]
+        assert not better, better
+
+
+def test_merge_into_action_semantics(spark):
+    """MERGE actions partition correctly: inserts have no target row,
+    kept rows have no source row, tombstoned users are absent, and
+    every total is the exact pre+post cent sum."""
+    from binancedatapipelineinaws_spark.operators.cdc import MERGE_CUTOFF
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    pre = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+    )
+    post = (
+        ev.filter(
+            (F.col("ts") >= cutoff)
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)),
+                F.lit(0).cast("long"),
+            ).alias("c"),
+            (
+                F.count_if(F.col("event_type") == "error")
+                > 2 * F.count_if(F.col("event_type") == "purchase")
+            ).alias("tomb"),
+        )
+    )
+    pre_m = {r.user_id: (r.n, r.c) for r in pre.collect()}
+    post_m = {r.user_id: (r.n, r.c, r.tomb) for r in post.collect()}
+    out = {
+        r.user_id: (r.n_purchases, r.total_cents, r.action)
+        for r in queries()["q_ext_merge_into"](spark, SF).collect()
+    }
+    for uid, (n, c, action) in out.items():
+        p = pre_m.get(uid)
+        s = post_m.get(uid)
+        assert not (s and s[2]), f"tombstoned user {uid} survived"
+        if action == "insert":
+            assert p is None and s is not None and s[0] > 0
+            assert (n, c) == (s[0], s[1])
+        elif action == "kept":
+            assert s is None and p is not None
+            assert (n, c) == p
+        else:
+            assert p is not None and s is not None
+            assert (n, c) == (p[0] + s[0], p[1] + s[1])
+    # completeness: every non-tombstoned user with state appears
+    expect = {
+        uid
+        for uid in set(pre_m) | set(post_m)
+        if not (uid in post_m and post_m[uid][2])
+        and (uid in pre_m or post_m[uid][0] > 0)
+    }
+    assert set(out) == expect
