@@ -1190,3 +1190,43 @@ def test_weighted_median_windows_over_domain_aggregate(spark):
     assert "Window" in plan
     win_below = plan.split("Window")[-1]
     assert "HashAggregate" in win_below, "window is not over the domain aggregate"
+
+
+def test_tpch_q21_single_lineitem_shuffle(spark):
+    """The r9 rewrite: per-order stats windows, the (order, supplier)
+    late-flag aggregate, and the solo-order window all reuse ONE
+    l_orderkey Exchange of lineitem; supplier joins broadcast.  The
+    pre-rewrite form derived `flags` twice (whole upstream executed
+    2x) — pin the one-pass shape."""
+    import re
+
+    plan = _plan(queries()["q_ext_tpch_q21"](spark, SF))
+    keyed = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    orderkey_shuffles = [k for k in keyed if "l_orderkey" in k]
+    assert len(orderkey_shuffles) == 1, keyed
+    # first_ship + n_supps share one Window node (same spec, fused by
+    # Catalyst); n_late is the second
+    assert plan.count("Window") == 2
+
+
+def test_bpe_pair_counts_vocab_collapse_first(spark):
+    """The corpus-sized explode must happen AFTER the word-count
+    aggregate: exactly two hash shuffles (word counts, pair counts)
+    and the Generate for the pair positions sits above the first
+    aggregate, not on the raw scan."""
+    plan = _plan(queries()["q_ext_bpe_pair_counts"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    # two Generates total: the token split explode (pre-agg, corpus
+    # sized but map-local) and the pair-position explode (vocab sized)
+    assert plan.count("Generate") == 2
+
+
+def test_merge_into_single_join_no_window(spark):
+    """MERGE = two user-keyed partial aggregates + ONE join; no window
+    over the corpus, no nested loops."""
+    plan = _plan(queries()["q_ext_merge_into"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
