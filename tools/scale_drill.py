@@ -59,46 +59,41 @@ def main() -> None:
     pricing = json.loads(pricing_lines[-1])
     pricing_sec = round(time.perf_counter() - t0, 1)
 
-    t0 = time.perf_counter()
+    # record pricing FIRST so a sweep failure can't take it down with it
+    path = os.path.join(REPO, f"SCALE_r{rnd}.json")
+    artifact = {
+        "round": rnd,
+        "corpus": os.path.basename(CORPUS),
+        "pricing": pricing["queries"],
+        "pricing_wall_sec": pricing_sec,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+
+    # the sweep runs through tools/sweep_sharded.py: each ~30-id chunk
+    # is a FRESH subprocess (the r9 post-mortem: a single long-lived
+    # process self-poisons — allocator/mmap exhaustion after hours —
+    # and one wedged query used to take the whole sweep's results with
+    # it).  sweep_sharded is restartable via .sweep_state_r{N}.json and
+    # merges its summary into SCALE_r{N}.json itself.
     sweep_env = dict(os.environ, SPARK_GRAFT_ORACLE_SF_DIR=CORPUS)
     with open(sweep_log, "w") as out:
         sweep = subprocess.run(
             [
                 sys.executable,
-                os.path.join(REPO, "tools", "check_oracle.py"),
-                "--threads", "4",
-                "--fast-compare",
+                os.path.join(REPO, "tools", "sweep_sharded.py"),
+                str(rnd),
             ],
             env=sweep_env,
             stdout=out,
             stderr=subprocess.STDOUT,
             text=True,
         )
-    sweep_sec = round(time.perf_counter() - t0, 1)
-    tail = open(sweep_log).read().strip().splitlines()
-    m = re.search(r"(\d+) ok, (\d+) failing(?:, (\d+) skipped)?", "\n".join(tail))
-    fails = [
-        ln.strip() for ln in tail if " FAIL " in ln or " ERROR " in ln
-    ]
-
-    artifact = {
-        "round": rnd,
-        "corpus": os.path.basename(CORPUS),
-        "pricing": pricing["queries"],
-        "pricing_wall_sec": pricing_sec,
-        "sweep_ok": int(m.group(1)) if m else None,
-        "sweep_failing": int(m.group(2)) if m else None,
-        "sweep_skipped": int(m.group(3) or 0) if m else None,
-        "sweep_exit": sweep.returncode,
-        "sweep_wall_sec": sweep_sec,
-        "sweep_failures": fails[:20],
-    }
-    path = os.path.join(REPO, f"SCALE_r{rnd}.json")
-    with open(path, "w") as f:
-        json.dump(artifact, f, indent=1)
+    with open(path) as f:
+        artifact = json.load(f)
     print(json.dumps({k: v for k, v in artifact.items() if k != "pricing"}))
     print(f"wrote {path}")
-    if sweep.returncode != 0 or (m and int(m.group(2)) > 0):
+    if sweep.returncode != 0 or artifact.get("sweep_failing"):
         sys.exit(1)
 
 
