@@ -521,3 +521,117 @@ def sliding_window_stream(
         )
         .select(F.col("w.start").alias("w_start"), "volume")
     )
+
+
+def merge_state_sink(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE INTO with ACCUMULATE semantics — the stream twin
+    of the batch operator `operators/cdc.q_ext_merge_into`.  Each
+    micro-batch of raw events aggregates to per-user deltas (purchase
+    count/cents) plus an error-dominance tombstone (errors > 2x
+    purchases in the batch), then merges into the state table:
+    matched+tombstone -> DELETE, matched -> UPDATE (n += d_n,
+    cents += d_cents), not-matched (non-tombstone, has purchases) ->
+    INSERT.  A tombstoned user can re-insert in a later batch.
+
+    Unlike latest-wins (`upsert_table_sink`, idempotent by
+    construction), ACCUMULATION double-counts if foreachBatch
+    re-delivers a batch (its contract is at-least-once).  Exactly-once
+    is restored the way ACID formats do it natively (Delta txn
+    appId/version): a per-batch marker committed in the SAME rename
+    that publishes the table, so re-delivery of an applied batch_id is
+    a no-op.  The marker rides the checkpoint's batch numbering;
+    deleting the checkpoint resets numbering and is out of scope, as
+    with Delta's txn tracking.
+
+    Scale: the per-batch plan is the batch MERGE's — one user-keyed
+    partial aggregate of the (small) batch, one co-keyed full outer
+    join against the state table.  State stays user-cardinality sized.
+    """
+    import os
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(table_dir, "_applied_batches")
+        if os.path.isdir(table_dir) and os.path.exists(
+            os.path.join(marker, str(batch_id))
+        ):
+            return  # re-delivered batch: already merged, no-op
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        is_p = F.col("event_type") == "purchase"
+        delta = (
+            batch_df.filter(F.col("event_type").isin("purchase", "error"))
+            .groupBy("user_id")
+            .agg(
+                F.count_if(is_p).alias("d_n"),
+                F.coalesce(
+                    F.sum(F.when(is_p, cents)), F.lit(0).cast("long")
+                ).alias("d_cents"),
+                (
+                    F.count_if(F.col("event_type") == "error")
+                    > 2 * F.count_if(is_p)
+                ).alias("tombstone"),
+            )
+        )
+        if os.path.isdir(table_dir):
+            state = spark.read.parquet(
+                os.path.join(table_dir, "data")
+            ).alias("t")
+        else:
+            state = (
+                spark.createDataFrame(
+                    [],
+                    "user_id bigint, n_purchases bigint, total_cents bigint",
+                ).alias("t")
+            )
+        s = delta.alias("s")
+        merged = (
+            state.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+            .filter(
+                ~F.coalesce(F.col("s.tombstone"), F.lit(False))
+                & ~(F.col("t.user_id").isNull() & (F.col("s.d_n") == 0))
+            )
+            .select(
+                F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias(
+                    "user_id"
+                ),
+                (
+                    F.coalesce(F.col("t.n_purchases"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("s.d_n"), F.lit(0).cast("long"))
+                ).alias("n_purchases"),
+                (
+                    F.coalesce(F.col("t.total_cents"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("s.d_cents"), F.lit(0).cast("long"))
+                ).alias("total_cents"),
+            )
+        )
+        # stage the new table version + this batch's marker, then ONE
+        # rename publishes both atomically
+        tmp_dir = f"{table_dir}.tmp-{batch_id}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(os.path.join(tmp_dir, "data"))
+        new_marker = os.path.join(tmp_dir, "_applied_batches")
+        os.makedirs(new_marker, exist_ok=True)
+        if os.path.isdir(marker):
+            for b in os.listdir(marker):
+                open(os.path.join(new_marker, b), "w").close()
+        open(os.path.join(new_marker, str(batch_id)), "w").close()
+        old_dir = f"{table_dir}.old-{batch_id}"
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old_dir)
+        os.rename(tmp_dir, table_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    writer = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
