@@ -53,10 +53,18 @@ def _assign(codes: DataFrame, cents_row: DataFrame) -> DataFrame:
     the lowest cluster, identical to the oracle's ORDER BY d, cluster.
     (The previous fold form evaluated the distance expression twice
     per centroid — once in the comparison, once in the kept struct —
-    because higher-order lambdas get no common-subexpression reuse.)"""
+    because higher-order lambdas get no common-subexpression reuse.)
+
+    Invariant this form relies on: every centroid has c >= 1 (init
+    seeds c = 1, `_update`'s groupBy only emits clusters with members),
+    so d is never NULL.  If a zero-count centroid ever appeared, its
+    d would be NULL (division by zero), and NULL sorts FIRST in Spark
+    struct ordering — array_min would pick it, where the old fold
+    skipped it.  The F.filter below drops c = 0 entries so the
+    invariant is enforced, not assumed."""
     best = F.array_min(
         F.transform(
-            F.col("cents"),
+            F.filter(F.col("cents"), lambda ct: ct["c"] >= 1),
             lambda ct: F.struct(
                 (
                     _sq_dist_num(F.col("q"), ct["s"], ct["c"]).cast("double")

@@ -105,18 +105,12 @@ _FORCE_FIRST: tuple[str, ...] = (
 # Late additions explicitly queued BEHIND the earlier unverified batch
 # when a round's 50-slot window is already full.
 _DEFER: tuple[str, ...] = (
-    # r9: new ids registered this round — queued behind the two
-    # never-checked r8 ids so those take the first unverified slots.
-    # Window math: 2 never-checked + new ids below + the 44 r1/r2
-    # green rows must stay <= ~50 so the backlog fully drains.
-    # (3 never-checked + 44 r1/r2 + the remaining slots refresh the
-    # oldest r3 rows; each id added here displaces one r3 REFRESH,
-    # never an r1/r2 row.)
-    "q_ext_multimodal_pixels",
-    "q_ext_bpe_pair_counts",
-    "q_ext_merge_into",
-    # ^ 3 never-checked + these 3 + 44 r1/r2 = 50: the window is now
-    # exactly full — do NOT add more ids this round.
+    # r10: empty — r9's three deferred ids all landed clean rows in
+    # CORRECTNESS_r09.  Window math this round: K new r10 ids (each
+    # unverified, so they take the first K slots) + the 31 r3-vintage
+    # green rows + (19 - K) oldest r4 rows = 50.  Keep K <= ~6 so the
+    # whole r3 tier refreshes and the staleness ratchet
+    # (STALENESS_BOUND_ROUNDS = 6) holds after the round.
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
@@ -162,6 +156,32 @@ def _verified_rounds(repo_root: Optional[str] = None) -> dict[str, int]:
 def _verified_names(repo_root: Optional[str] = None) -> set[str]:
     """Names with a clean latest driver row (see _verified_rounds)."""
     return set(_verified_rounds(repo_root))
+
+
+# Absolute staleness ratchet (r9 verdict item 8): no row in the
+# cumulative driver record may lag the newest round by more than this
+# many rounds.  With ~50 slots/round and 295+ ids the age-ordered
+# window refreshes everything within ceil(N/50) rounds; 6 adds no
+# slack beyond that — registering a flood of new ids that would push
+# any row past the bound fails tests/test_registry.py BEFORE the
+# round burns its slots.
+STALENESS_BOUND_ROUNDS = 6
+
+
+def stale_rows(
+    vrounds: Optional[dict[str, int]] = None,
+    bound: int = STALENESS_BOUND_ROUNDS,
+) -> list[str]:
+    """Names whose latest clean driver row lags the newest round in
+    the record by more than ``bound`` rounds.  Empty on a healthy
+    record; non-empty means the window rotation has fallen behind
+    (ship fewer new ids, or force-first the stale rows)."""
+    if vrounds is None:
+        vrounds = _verified_rounds()
+    if not vrounds:
+        return []
+    cur = max(vrounds.values())
+    return sorted(n for n, r in vrounds.items() if cur - r > bound)
 
 
 def _is_clean_record(rec: dict) -> bool:

@@ -523,6 +523,38 @@ def sliding_window_stream(
     )
 
 
+def _merge_applied_max(table_dir: str) -> int:
+    """Highest batch id merged into the published table (-1 if none)."""
+    import os
+
+    try:
+        with open(os.path.join(table_dir, "_applied_max")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _merge_recover(table_dir: str) -> None:
+    """Finish or roll back a `merge_state_sink` publish interrupted by
+    a crash.  Publish is two renames (table -> .old-N, .tmp-N ->
+    table); a crash between them leaves the table absent with the
+    `.old-N` snapshot intact — restore the newest snapshot, then drop
+    any leftover `.old-*` / `.tmp-*` staging directories."""
+    import glob
+    import os
+    import shutil
+
+    olds = glob.glob(f"{table_dir}.old-*")
+    if not os.path.isdir(table_dir) and olds:
+        # the restored snapshot's _applied_max excludes the batch that
+        # was being published, so that batch simply re-merges
+        newest = max(olds, key=lambda p: int(p.rsplit("-", 1)[1]))
+        os.rename(newest, table_dir)
+        olds.remove(newest)
+    for p in olds + glob.glob(f"{table_dir}.tmp-*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def merge_state_sink(
     events: DataFrame,
     table_dir: str,
@@ -542,11 +574,25 @@ def merge_state_sink(
     construction), ACCUMULATION double-counts if foreachBatch
     re-delivers a batch (its contract is at-least-once).  Exactly-once
     is restored the way ACID formats do it natively (Delta txn
-    appId/version): a per-batch marker committed in the SAME rename
-    that publishes the table, so re-delivery of an applied batch_id is
-    a no-op.  The marker rides the checkpoint's batch numbering;
-    deleting the checkpoint resets numbering and is out of scope, as
-    with Delta's txn tracking.
+    appId/version): the staged table version carries a `_applied_max`
+    file holding the highest batch id merged into it (checkpoint batch
+    ids are monotonic, so one integer replaces a per-batch marker set),
+    and the version is published by renaming the staged directory into
+    place.  Re-delivery of batch_id <= _applied_max is a no-op.  The
+    marker rides the checkpoint's batch numbering; deleting the
+    checkpoint resets numbering and is out of scope, as with Delta's
+    txn tracking.
+
+    Crash safety: POSIX rename(2) can't swap two directories in one
+    call, so publish is rename(table_dir -> .old-N) then
+    rename(.tmp-N -> table_dir) — a crash between the two leaves
+    table_dir absent with the `.old-N` snapshot intact.  `_recover`
+    runs at the top of every batch (and therefore on restart): it
+    renames the newest `.old-*` back into place before the marker
+    check, so the restarted query sees the last published state +
+    marker and simply re-merges the in-flight batch.  Without that
+    restore, a crash in the publish window would silently zero the
+    state table AND its markers (r9 advice, medium).
 
     Scale: the per-batch plan is the batch MERGE's — one user-keyed
     partial aggregate of the (small) batch, one co-keyed full outer
@@ -557,9 +603,9 @@ def merge_state_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(table_dir, "_applied_batches")
-        if os.path.isdir(table_dir) and os.path.exists(
-            os.path.join(marker, str(batch_id))
+        _merge_recover(table_dir)
+        if os.path.isdir(table_dir) and batch_id <= _merge_applied_max(
+            table_dir
         ):
             return  # re-delivered batch: already merged, no-op
         cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -610,17 +656,13 @@ def merge_state_sink(
                 ).alias("total_cents"),
             )
         )
-        # stage the new table version + this batch's marker, then ONE
-        # rename publishes both atomically
+        # stage the new table version + its max-applied marker, then
+        # publish via rename; _recover makes the two-rename window safe
         tmp_dir = f"{table_dir}.tmp-{batch_id}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         merged.write.mode("overwrite").parquet(os.path.join(tmp_dir, "data"))
-        new_marker = os.path.join(tmp_dir, "_applied_batches")
-        os.makedirs(new_marker, exist_ok=True)
-        if os.path.isdir(marker):
-            for b in os.listdir(marker):
-                open(os.path.join(new_marker, b), "w").close()
-        open(os.path.join(new_marker, str(batch_id)), "w").close()
+        with open(os.path.join(tmp_dir, "_applied_max"), "w") as f:
+            f.write(str(batch_id))
         old_dir = f"{table_dir}.old-{batch_id}"
         if os.path.isdir(table_dir):
             os.rename(table_dir, old_dir)

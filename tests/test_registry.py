@@ -174,6 +174,29 @@ def test_window_is_age_optimal_and_staleness_bounded():
     )
 
 
+def test_absolute_staleness_ratchet():
+    """r9 verdict item 8: an ABSOLUTE bound on row age, testable on a
+    hypothetical record — any row lagging the newest round by more
+    than STALENESS_BOUND_ROUNDS (6) is flagged."""
+    from binancedatapipelineinaws_spark import registry
+
+    assert registry.STALENESS_BOUND_ROUNDS == 6
+    # hypothetical stale record: lag 7 flagged, lag 6 tolerated
+    assert registry.stale_rows({"q_old": 1, "q_new": 8}) == ["q_old"]
+    assert registry.stale_rows({"q_old": 2, "q_new": 8}) == []
+    # multiple stale rows all reported, sorted
+    assert registry.stale_rows({"b": 1, "a": 1, "q_new": 9}) == ["a", "b"]
+    # empty record is healthy (fresh repo)
+    assert registry.stale_rows({}) == []
+    # the REAL cumulative record must satisfy the ratchet
+    live = registry.stale_rows()
+    assert live == [], (
+        f"{len(live)} driver rows older than "
+        f"{registry.STALENESS_BOUND_ROUNDS} rounds: {live[:10]} — the "
+        "window rotation fell behind; ship fewer new ids this round"
+    )
+
+
 def test_every_oracle_plans_in_duckdb():
     """EXPLAIN every registered oracle against empty views of the ten
     driver tables: catches a typo'd oracle (bad function, wrong

@@ -1652,11 +1652,11 @@ def test_streaming_merge_state_matches_sequential_batch(spark, tmp_path):
     )
     assert grew.count() > 0
 
-    # re-delivery of an applied batch id is a no-op (txn marker)
-    applied = sorted(
-        int(b) for b in os.listdir(table_dir + "/_applied_batches")
-    )
-    assert applied  # markers exist
+    # re-delivery of an applied batch id is a no-op (txn marker): the
+    # published table carries the max applied batch id (one integer,
+    # not a per-batch file set — r9 advice)
+    with open(table_dir + "/_applied_max") as f:
+        assert int(f.read().strip()) >= 1  # two batches applied
     # call the merge function directly with an applied id: state unchanged
     q = merge_state_sink(
         spark.readStream.schema(schema).parquet(src),
@@ -1676,3 +1676,56 @@ def test_streaming_merge_state_matches_sequential_batch(spark, tmp_path):
     state4 = spark.read.parquet(table_dir + "/data")
     assert state4.exceptAll(state3).count() == 0
     assert state3.exceptAll(state4).count() == 0
+
+
+def test_merge_state_publish_crash_recovery(spark, tmp_path):
+    """A crash between the two publish renames (table -> .old-N,
+    .tmp-N -> table) must NOT lose the accumulated state: _merge_recover
+    restores the newest .old-* snapshot, markers intact, and the
+    interrupted batch re-merges instead of merging into nothing
+    (r9 advice, medium)."""
+    import shutil
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        _merge_applied_max,
+        _merge_recover,
+        merge_state_sink,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    schema = ev.schema
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    ev.limit(500).coalesce(1).write.mode("overwrite").parquet(src + "/st")
+    for i, p in enumerate(sorted(glob.glob(f"{src}/st/part-*"))):
+        os.rename(p, f"{src}/b0_{i}.parquet")
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = merge_state_sink(
+        spark.readStream.schema(schema).parquet(src), table_dir, ckpt
+    )
+    q.awaitTermination(120)
+    published = spark.read.parquet(table_dir + "/data").collect()
+    max0 = _merge_applied_max(table_dir)
+    assert max0 == 0
+
+    # simulate a crash exactly between the two publish renames of a
+    # hypothetical next batch: table_dir gone, snapshot + staged tmp left
+    os.rename(table_dir, table_dir + ".old-1")
+    os.makedirs(table_dir + ".tmp-1/data")
+    _merge_recover(table_dir)
+    assert os.path.isdir(table_dir)
+    assert not os.path.isdir(table_dir + ".old-1")
+    assert not os.path.isdir(table_dir + ".tmp-1")
+    restored = spark.read.parquet(table_dir + "/data").collect()
+    assert sorted(map(tuple, restored)) == sorted(map(tuple, published))
+    # marker survived the rollback: the interrupted batch (id 1) is NOT
+    # marked applied, so its re-delivery re-merges rather than no-ops
+    assert _merge_applied_max(table_dir) == 0
+
+    # a completed publish that crashed before cleaning .old-N: recovery
+    # keeps the published table and just drops the stale snapshot
+    shutil.copytree(table_dir, table_dir + ".old-2")
+    _merge_recover(table_dir)
+    assert os.path.isdir(table_dir)
+    assert not os.path.isdir(table_dir + ".old-2")

@@ -109,8 +109,12 @@ def _run_pass(
                 ]
                 seen.add(m.group(1))
         for n in chunk:
-            if n not in seen:  # crashed before printing: mark, don't lose
-                state[n] = ["ERROR", -1, "no result line (chunk crashed?)"]
+            if n not in seen:
+                # the chunk subprocess died before reaching this id —
+                # tag NOTRUN (not ERROR) so crashed-chunk casualties
+                # stay distinguishable from genuinely failing queries
+                # in the summary; the escalation ladder retries both
+                state[n] = ["NOTRUN", -1, "chunk crashed before this id ran"]
         with open(state_path, "w") as f:
             json.dump(state, f, indent=1)
         n_green = sum(1 for v in state.values() if v[0] in _GREEN)
@@ -173,7 +177,10 @@ def main() -> None:
 
     ok = sorted(n for n in names if state.get(n, [None])[0] in ("ok", "ok(rows-only)"))
     skipped = sorted(n for n in names if state.get(n, [None])[0] == "SKIP")
-    failing = sorted(set(names) - set(ok) - set(skipped))
+    notrun = sorted(
+        n for n in names if state.get(n, [None])[0] == "NOTRUN"
+    )
+    failing = sorted(set(names) - set(ok) - set(skipped) - set(notrun))
     scale_path = os.path.join(REPO, f"SCALE_r{rnd}.json")
     prior_wall = 0.0
     if os.path.exists(scale_path):
@@ -183,12 +190,16 @@ def main() -> None:
         "sweep_ok": len(ok),
         "sweep_failing": len(failing),
         "sweep_skipped": len(skipped),
-        "sweep_exit": 0 if not failing else 1,
+        # ids whose chunk subprocess crashed before they ran and that no
+        # escalation pass reached (e.g. --no-escalate) — NOT failures
+        "sweep_notrun": len(notrun),
+        "sweep_exit": 0 if not failing and not notrun else 1,
         # accumulates across resumed runs of the same round's campaign
         "sweep_wall_sec": round(prior_wall + time.perf_counter() - t0, 1),
         "sweep_failures": [
             f"{n} {state[n][0]} {state[n][2]}" for n in failing
         ][:40],
+        "sweep_notrun_ids": notrun[:40],
         "sweep_skips": [f"{n} {state[n][2][:80]}" for n in skipped],
     }
     merged = {}
