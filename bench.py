@@ -115,6 +115,14 @@ HEADLINE = [
     "q_ext_multimodal_pixels",
     "q_ext_bpe_pair_counts",
     "q_ext_merge_into",
+    # r10 additions: the iterative BPE round, iterative-filter graph
+    # peel, broadcast-range-join quantile calibration, and the two
+    # candle-layer risk/impact aggregates
+    "q_ext_bpe_apply_merge",
+    "q_ext_kcore",
+    "q_ext_quantile_norm",
+    "q_ext_var_cvar",
+    "q_ext_kyle_lambda",
 ]
 
 

@@ -10,7 +10,7 @@ LLM-training pipeline runs between ingest and training.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binancedatapipelineinaws_spark.functions.dedup import duck_hex32, hex32
@@ -679,4 +679,100 @@ def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_score"),
         )
+    )
+
+
+@register(
+    "q_ext_quantile_norm",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS ns,
+         count(*) OVER () AS ng
+  FROM documents
+), v AS (
+  SELECT n_chars AS val, count(*) AS cnt FROM documents GROUP BY 1
+), rng AS (
+  SELECT val,
+         sum(cnt) OVER (ORDER BY val) - cnt + 1 AS lo,
+         sum(cnt) OVER (ORDER BY val) AS hi
+  FROM v
+), p AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN ns > 1
+              THEN 1 + ((r - 1) * (ng - 1)) // (ns - 1)
+              ELSE 1 + (ng - 1) // 2 END AS pos
+  FROM d
+)
+SELECT p.doc_id, p.source, p.n_chars,
+       CAST(rng.val AS BIGINT) AS norm_chars
+FROM p JOIN rng ON p.pos BETWEEN rng.lo AND rng.hi
+""",
+)
+def q_ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document score
+    (n_chars as the proxy): each document's within-source rank is
+    mapped to the GLOBAL order statistic at the same relative
+    position, the standard calibration that makes quality thresholds
+    comparable across sources whose raw score distributions differ
+    (a web crawl's length histogram vs a books corpus).  A lone-doc
+    source maps to the global median position by convention.
+
+    Exactness: everything is integer — within-source rank is a
+    row_number over the total order (n_chars, doc_id), the target
+    position is 1 + floor((r-1)(N-1)/(n_s-1)) in INTEGER division
+    (no float percent_rank, so no half-even-vs-half-up boundary can
+    flip), and the global order statistic is looked up by position,
+    not computed by a float quantile.
+
+    Scale shape: one source-partitioned window pass (parallel across
+    sources), and the global distribution enters ONLY as the
+    distinct-value range table — |V| rows (score cardinality, NOT
+    corpus cardinality), built with a |V|-sized ordered window and
+    BROADCAST into a range join.  No global per-row sort anywhere,
+    which is what makes this form survive 100 TB where a
+    percent_rank-over-everything plan serializes on one reducer."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    ).crossJoin(
+        F.broadcast(docs.groupBy().agg(F.count("*").alias("ng")))
+    )
+    v = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_val = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rng = v.select(
+        "val",
+        (F.sum("cnt").over(w_val) - F.col("cnt") + 1).alias("lo"),
+        F.sum("cnt").over(w_val).alias("hi"),
+    )
+    p = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("ns") > 1,
+            1 + F.expr("((r - 1) * (ng - 1)) DIV (ns - 1)"),
+        )
+        .otherwise(1 + F.expr("(ng - 1) DIV 2"))
+        .alias("pos"),
+    )
+    return p.join(
+        F.broadcast(rng),
+        (F.col("pos") >= F.col("lo")) & (F.col("pos") <= F.col("hi")),
+    ).select(
+        "doc_id", "source", "n_chars", F.col("val").alias("norm_chars")
     )

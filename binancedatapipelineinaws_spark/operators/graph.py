@@ -310,3 +310,103 @@ def q_ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_wed))
         .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
     )
+
+
+# --- k-core peeling -----------------------------------------------------------
+# The third classic iterative graph kernel, with a shape neither SpMV
+# (pagerank) nor wedge-join (triangles) covers: ITERATIVE FILTERING —
+# each round removes nodes below the degree floor and induces the
+# subgraph, the standard "dense-community floor" used to denoise
+# co-occurrence graphs before community detection.  True k-core peels
+# to a fixed point; the registered query unrolls a FIXED number of
+# peels (like PR_ITERS) so both engines compute the identical
+# deterministic prefix regardless of diameter or scale.
+
+KCORE_K = 3  # degree floor (median co-purchase degree at test SF)
+KCORE_PEELS = 3  # fixed unrolled peel rounds (the gate's horizon)
+
+
+def _kcore_peel_sql(i: int) -> str:
+    """One oracle peel: degree floor, then induce the kept subgraph."""
+    return f"""
+, k{i} AS MATERIALIZED (
+  SELECT src AS node FROM e{i - 1} GROUP BY src
+  HAVING count(*) >= {KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN k{i} a ON a.node = e.src
+  JOIN k{i} b ON b.node = e.dst
+)
+"""
+
+
+@register(
+    "q_ext_kcore",
+    oracle="WITH "
+    + _PR_EDGES_CTE
+    + """
+, e0 AS MATERIALIZED (SELECT src, dst FROM edges)
+"""
+    + "".join(_kcore_peel_sql(i) for i in range(1, KCORE_PEELS + 1))
+    + f"""
+SELECT src AS part, CAST(count(*) AS BIGINT) AS deg_in_core
+FROM e{KCORE_PEELS} GROUP BY src
+""",
+)
+def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_PEELS} rounds of {KCORE_K}-core peeling over the
+    co-purchase part graph: survivors and their degree in the peeled
+    subgraph.  Exact integer degrees; the peel count is a constant,
+    so the result is the same deterministic fixed-point prefix in
+    both engines (a converge-until-stable loop would make the output
+    depend on graph diameter — fine for one engine, ungateable
+    across two).
+
+    Plan per peel: one src-keyed partial+final count (the symmetric
+    edge list makes src-degree = undirected degree), then TWO semi
+    joins inducing the kept subgraph — each O(E), keyed by src / dst
+    respectively, so the peel pipeline reuses the edge partitioning
+    the way the pagerank iterations do.  The kept-node list shrinks
+    monotonically; at 100 TB each round's node list is a candidate
+    for broadcast once it fits, and AQE makes that call at runtime.
+    Reference: no graph surface (start_all_pipeline.py:463-464 single
+    table) — engine superset, same family as q_ext_pagerank."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_sup"))
+        .filter(F.col("n_sup") >= PR_MINSUP)
+    )
+    edges = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    edges = edges.persist()  # reused by every peel round
+    for _ in range(KCORE_PEELS):
+        kept = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(kept, edges["src"] == kept["node"], "left_semi")
+            .join(kept, F.col("dst") == kept["node"], "left_semi")
+        )
+    return edges.groupBy("src").agg(
+        F.count("*").alias("deg_in_core")
+    ).select(F.col("src").alias("part"), "deg_in_core")

@@ -2283,3 +2283,197 @@ aggregate(
         grid5("s.dmm", "s.tr").alias("di_minus"),
         grid5("abs(s.dmp - s.dmm)", "s.dmp + s.dmm").alias("dx"),
     )
+
+
+@register(
+    "q_ext_var_cvar",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, d AS (
+  SELECT day, m,
+         close_c - lag(close_c) OVER (PARTITION BY day ORDER BY m) AS dp
+  FROM candles
+), r AS (
+  SELECT day, dp,
+         row_number() OVER (PARTITION BY day ORDER BY dp, m) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM d WHERE dp IS NOT NULL
+), t AS (
+  SELECT day, max(n) AS n,
+         max(CASE WHEN rn = (n + 19) // 20 THEN dp END) AS var_c,
+         CAST(sum(CASE WHEN rn <= (n + 19) // 20 THEN dp ELSE 0 END)
+              AS BIGINT) AS tail_sum
+  FROM r GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(n AS BIGINT) AS n_rets,
+       CAST((n + 19) // 20 AS BIGINT) AS tail_k,
+       CAST(var_c AS BIGINT) AS var_c,
+       round(CAST(tail_sum AS DOUBLE) / ((n + 19) // 20), 4) + 0.0
+         AS cvar_c
+FROM t
+""",
+)
+def q_ext_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session 95% Value-at-Risk and Conditional VaR (expected
+    shortfall) of 1-minute close-to-close changes, in cents: VaR is
+    the k-th smallest delta where k = ceil(0.05 n) as the INTEGER
+    (n + 19) DIV 20 (an exact order statistic, not a float quantile —
+    no interpolation-mode or percentile-boundary flip between
+    engines, the r7 drill's quantile lesson), and CVaR is the mean of
+    the k tail deltas (exact BIGINT tail sum, one closing division).
+    The risk numbers a desk derives from the reference's 1-minute
+    product (main.py:26-40 minute rotation).
+
+    Plan: candle layer (one uniform minute shuffle) -> day-partitioned
+    lag -> ONE day-partitioned (dp, m) ordering shared by the
+    row_number and count windows -> day-keyed aggregate.  Everything
+    after the candles is calendar-bounded (<=1440 rows/day/partition),
+    the indicator tier's standard 100 TB argument."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    dw = Window.partitionBy("day").orderBy("m")
+    d = c.select(
+        "day",
+        "m",
+        (F.col("close_c") - F.lag("close_c").over(dw)).alias("dp"),
+    ).filter(F.col("dp").isNotNull())
+    rw = Window.partitionBy("day").orderBy("dp", "m")
+    r = d.select(
+        "day",
+        "dp",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(Window.partitionBy("day")).alias("n"),
+    )
+    k = F.expr("(n + 19) DIV 20")
+    t = r.groupBy("day").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == k, F.col("dp"))).alias("var_c"),
+        F.sum(
+            F.when(F.col("rn") <= k, F.col("dp")).otherwise(F.lit(0))
+        ).alias("tail_sum"),
+    )
+    kk = F.expr("(n + 19) DIV 20")
+    return t.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n").cast("long").alias("n_rets"),
+        kk.cast("long").alias("tail_k"),
+        F.col("var_c").cast("long").alias("var_c"),
+        (
+            F.round(F.col("tail_sum").cast("double") / kk, 4) + F.lit(0.0)
+        ).alias("cvar_c"),
+    )
+
+
+@register(
+    "q_ext_kyle_lambda",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, flow AS (
+  SELECT date_trunc('minute', "time") AS m,
+         sum(CASE WHEN maker = 0
+                  THEN CAST(round(quantity * 100000, 0) AS HUGEINT)
+                  ELSE -CAST(round(quantity * 100000, 0) AS HUGEINT)
+             END) AS net_u
+  FROM btcusdt GROUP BY 1
+), d AS (
+  SELECT c.day,
+         c.close_c - lag(c.close_c)
+           OVER (PARTITION BY c.day ORDER BY c.m) AS dp,
+         f.net_u
+  FROM candles c JOIN flow f ON f.m = c.m
+), mo AS (
+  -- exact HUGEINT moments (see q_ext_regr): net flow <= ~1e9 units
+  -- per minute, sxx <= 1e18 x 1440 rows, n * sxx <= ~2e24 -- far
+  -- inside HUGEINT / Spark DECIMAL(38,0)
+  SELECT day, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(net_u AS HUGEINT)) AS sx,
+         sum(CAST(dp AS HUGEINT)) AS sy,
+         sum(CAST(net_u AS HUGEINT) * CAST(net_u AS HUGEINT)) AS sxx,
+         sum(CAST(dp AS HUGEINT) * CAST(dp AS HUGEINT)) AS syy,
+         sum(CAST(net_u AS HUGEINT) * CAST(dp AS HUGEINT)) AS sxy
+  FROM d WHERE dp IS NOT NULL GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(n AS BIGINT) AS n_mins,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS kyle_lambda,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+          / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
+       * (CAST(n * sxy - sx * sy AS DOUBLE)
+          / nullif(CAST(n * syy - sy * sy AS DOUBLE), 0)) AS r2
+FROM mo
+""",
+)
+def q_ext_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per session day: the price-impact slope
+    regressing 1-minute close-to-close change (cents) on the minute's
+    NET signed flow (taker buys minus taker sells, 1e-5 units — the
+    aggressor-side signing of q_ext_flow_imbalance, reference
+    main.py:57-59 maker flag), plus the regression r2.  The canonical
+    microstructure impact measure (Kyle 1985) alongside the Amihud /
+    Roll / VPIN tier.
+
+    Exactness: the q_ext_regr discipline — per-day moments are exact
+    integer sums (DECIMAL(38,0) / HUGEINT) over integer-scaled cents
+    and flow units; each output is a single IEEE division of the same
+    exact integers in both engines, no rounding step, no FMA chain.
+
+    Plan: ONE tick-sized minute-bucket shuffle computes the signed
+    flow (map-side combined; the candle layer reuses the identical
+    partitioning for its own aggregate), a co-keyed minute equi-join,
+    the day-partitioned lag, then a day-keyed 6-number moment
+    aggregate.  100 TB: both tick passes are uniform-key partial
+    aggregates; everything after is calendar-bounded."""
+    prepare(spark)
+    btc = btcusdt(spark, sf_dir)
+    qty_u = F.round(F.col("quantity") * 100000, 0).cast("long")
+    flow = btc.groupBy(
+        F.window("time", "1 minute").start.alias("fm")
+    ).agg(
+        F.sum(
+            F.when(F.col("maker") == 0, qty_u).otherwise(-qty_u)
+        ).alias("net_u")
+    )
+    c = _candles_c(spark, sf_dir)
+    dw = Window.partitionBy("day").orderBy("m")
+    d = (
+        c.join(flow, c["m"] == flow["fm"])
+        .select(
+            "day",
+            "m",
+            (F.col("close_c") - F.lag("close_c").over(dw)).alias("dp"),
+            "net_u",
+        )
+        .filter(F.col("dp").isNotNull())
+    )
+    x = F.col("net_u").cast("decimal(18,0)")
+    y = F.col("dp").cast("decimal(18,0)")
+    mo = d.groupBy("day").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(cn) for cn in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+
+    def div(a, b):
+        return a.cast("double") / F.when(
+            b.cast("double") != 0, b.cast("double")
+        )
+
+    num = n * sxy - sx * sy
+    return mo.select(
+        F.col("day").cast("timestamp").alias("day"),
+        n.cast("long").alias("n_mins"),
+        div(num, n * sxx - sx * sx).alias("kyle_lambda"),
+        (div(num, n * sxx - sx * sx) * div(num, n * syy - sy * sy)).alias(
+            "r2"
+        ),
+    )

@@ -3390,3 +3390,196 @@ def test_merge_into_action_semantics(spark):
         and (uid in pre_m or post_m[uid][0] > 0)
     }
     assert set(out) == expect
+
+
+def test_kcore_matches_python_reimplementation(spark):
+    """3 rounds of 3-core peeling, from scratch on the same edge
+    derivation: node set and in-core degrees must match exactly."""
+    adj = _copurchase_edges(spark)
+    nodes = set(adj)
+    for _ in range(3):
+        kept = {v for v in nodes if sum(1 for u in adj[v] if u in nodes) >= 3}
+        nodes = kept
+    want = {
+        v: sum(1 for u in adj[v] if u in nodes) for v in nodes
+    }
+    # drop nodes that lost every edge (the engine's edge-list form
+    # has no row for them, matching "degree in the peeled subgraph")
+    want = {v: d for v, d in want.items() if d > 0}
+    got = {
+        r["part"]: r["deg_in_core"]
+        for r in queries()["q_ext_kcore"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_bpe_apply_merge_matches_python_reimplementation(spark):
+    """Round-2 BPE pair counts from a from-scratch Python trainer:
+    word counts -> round-1 winner -> greedy left-to-right merge ->
+    round-2 counts.  Also pins two invariants: the applied merge is
+    round 1's top pair, and the merged bigram never survives as an
+    adjacent single-char pair."""
+    import re
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    pairs1 = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs1[(w[i], w[i + 1])] += n
+    (ma, mb), _ = min(pairs1.items(), key=lambda kv: (-kv[1], kv[0]))
+    pairs2 = Counter()
+    for w, n in words.items():
+        syms = []
+        i = 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == ma and w[i + 1] == mb:
+                syms.append(ma + mb)
+                i += 2
+            else:
+                syms.append(w[i])
+                i += 1
+        for a, b in zip(syms, syms[1:]):
+            pairs2[(a, b)] += n
+    want = sorted(
+        ((n, a, b) for (a, b), n in pairs2.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:30]
+    rows = queries()["q_ext_bpe_apply_merge"](spark, SF).collect()
+    assert len(rows) == min(30, len(pairs2))
+    for r in rows:
+        assert (r["merge_a"], r["merge_b"]) == (ma, mb)
+        # the merged bigram cannot survive as two adjacent 1-char syms
+        assert not (r["a"] == ma and r["b"] == mb and len(ma + mb) == 2)
+    got = [(r["pair_count"], r["a"], r["b"]) for r in rows]
+    assert got == want
+
+
+def test_quantile_norm_matches_python_reimplementation(spark):
+    """Integer rank -> global order statistic mapping, re-derived in
+    pure Python for every document."""
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    g_sorted = sorted(r["n_chars"] for r in rows)
+    ng = len(g_sorted)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    want = {}
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (r["n_chars"], r["doc_id"]))
+        ns = len(docs)
+        for rank, r in enumerate(docs, start=1):
+            pos = (
+                1 + ((rank - 1) * (ng - 1)) // (ns - 1)
+                if ns > 1
+                else 1 + (ng - 1) // 2
+            )
+            want[r["doc_id"]] = g_sorted[pos - 1]
+    got = {
+        r["doc_id"]: r["norm_chars"]
+        for r in queries()["q_ext_quantile_norm"](spark, SF).collect()
+    }
+    assert got == want
+    # calibration property: every source's normalized values span the
+    # same global distribution, so min/max map inside the global range
+    assert min(got.values()) >= g_sorted[0]
+    assert max(got.values()) <= g_sorted[-1]
+
+
+def _py_minute_closes(spark):
+    """Per-minute last-trade close in cents from raw canonical ticks
+    (tie-break (time, bid) — the q_agg_ohlcv_1min convention),
+    plus each minute's net signed flow in 1e-5 units."""
+    rows = btcusdt(spark, SF).collect()
+    per_min = {}
+    for r in rows:
+        m = r["time"].replace(second=0, microsecond=0)
+        key = (r["time"], r["bid"])
+        pc = round(float(r["price"]) * 100)
+        qu = round(float(r["quantity"]) * 100000)
+        signed = qu if r["maker"] == 0 else -qu
+        cur = per_min.get(m)
+        if cur is None:
+            per_min[m] = [key, pc, signed]
+        else:
+            if key > cur[0]:
+                cur[0], cur[1] = key, pc
+            cur[2] += signed
+    return {m: (v[1], v[2]) for m, v in per_min.items()}
+
+
+def test_var_cvar_matches_python_reimplementation(spark):
+    closes = _py_minute_closes(spark)
+    by_day = {}
+    for m in sorted(closes):
+        by_day.setdefault(m.date(), []).append(closes[m][0])
+    want = {}
+    for day, cs in by_day.items():
+        dps = sorted(b - a for a, b in zip(cs, cs[1:]))
+        if not dps:
+            continue
+        n = len(dps)
+        k = (n + 19) // 20
+        want[day] = (n, k, dps[k - 1], round(sum(dps[:k]) / k, 4) + 0.0)
+    got = {
+        r["day"].date(): (
+            r["n_rets"],
+            r["tail_k"],
+            r["var_c"],
+            r["cvar_c"],
+        )
+        for r in queries()["q_ext_var_cvar"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_kyle_lambda_matches_python_reimplementation(spark):
+    import math
+
+    closes = _py_minute_closes(spark)
+    by_day = {}
+    for m in sorted(closes):
+        by_day.setdefault(m.date(), []).append(closes[m])
+    want = {}
+    for day, pairs in by_day.items():
+        xs = [f for (_, f) in pairs[1:]]
+        ys = [b[0] - a[0] for a, b in zip(pairs, pairs[1:])]
+        n = len(ys)
+        if n == 0:
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        dx, dy, num = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+        lam = float(num) / float(dx) if dx else None
+        r2 = (
+            (float(num) / float(dx)) * (float(num) / float(dy))
+            if dx and dy
+            else None
+        )
+        want[day] = (n, lam, r2)
+    got = {
+        r["day"].date(): (r["n_mins"], r["kyle_lambda"], r["r2"])
+        for r in queries()["q_ext_kyle_lambda"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for day in want:
+        assert got[day][0] == want[day][0]
+        for gi, wi in zip(got[day][1:], want[day][1:]):
+            if wi is None:
+                assert gi is None
+            else:
+                assert math.isclose(gi, wi, rel_tol=1e-12), (day, gi, wi)
