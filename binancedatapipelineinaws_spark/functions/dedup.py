@@ -1362,25 +1362,50 @@ HORIZON_S = 600  # 10-minute dedup horizon
 
 @register(
     "q_ext_dedup_horizon",
+    # r10 oracle rewrite (r9 verdict item 3): the old list_reduce form
+    # carried a growing kept-ids LIST through every fold step —
+    # O(chain^2) copy churn that needed a 49-80 GB DuckDB budget at
+    # sf10.  This recursive CTE carries only (user, type, frontier)
+    # per active chain — O(chains) state — and emits one ROW per kept
+    # event; kept_ids reassembles in the final aggregate.  `cand`
+    # pre-collapses to the per-(key, second) minimal event id, which
+    # is the only event a greedy keep can ever select (later ids at
+    # the same second can never clear the gap check).  Verified
+    # row-identical to the list_reduce form at sf0.01/sf0.1 before the
+    # swap.
     oracle=f"""
-WITH seq AS (
+WITH RECURSIVE ev AS MATERIALIZED (
   SELECT user_id, event_type,
-         list([CAST(floor(epoch(ts)) AS BIGINT), event_id]
-              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS xs
-  FROM events GROUP BY user_id, event_type
-), folded AS (
-  SELECT user_id, event_type, len(xs) AS n_events,
-         list_reduce(xs, (acc, x) ->
-           CASE WHEN x[1] > acc[len(acc) - 1] + {HORIZON_S}
-                THEN list_concat(acc, x) ELSE acc END) AS f
-  FROM seq
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events
+), cand AS MATERIALIZED (
+  SELECT user_id, event_type, sec, min(event_id) AS eid
+  FROM ev GROUP BY 1, 2, 3
+), kept AS (
+  SELECT user_id, event_type, sec, eid
+  FROM (SELECT user_id, event_type, sec, eid,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY sec, eid) AS rn
+        FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT k.user_id, k.event_type, nxt.sec, nxt.eid
+  FROM kept k JOIN LATERAL (
+     SELECT c.sec, c.eid FROM cand c
+     WHERE c.user_id = k.user_id AND c.event_type = k.event_type
+       AND c.sec > k.sec + {HORIZON_S}
+     ORDER BY c.sec, c.eid LIMIT 1
+  ) nxt ON true
+), agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(eid, ',' ORDER BY sec, eid) AS kept_ids
+  FROM kept GROUP BY 1, 2
+), nev AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
 )
-SELECT user_id, event_type, CAST(n_events AS BIGINT) AS n_events,
-       CAST(len(f) // 2 AS BIGINT) AS n_kept,
-       list_aggregate(list_transform(range(len(f) // 2),
-                                     i -> f[2 * i + 2]),
-                      'string_agg', ',') AS kept_ids
-FROM folded
+SELECT n.user_id, n.event_type, n.n_events, a.n_kept, a.kept_ids
+FROM nev n JOIN agg a USING (user_id, event_type)
 """,
 )
 def q_ext_dedup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,12 +94,11 @@ def _load_all() -> None:
 # ahead of even never-verified queries so the ~50-query window can
 # never squeeze them out.
 _FORCE_FIRST: tuple[str, ...] = (
-    # r9: empty — every r8 oracle-change re-verify landed a clean row
-    # in CORRECTNESS_r08 (50/50 green).  This round's window is spent
-    # entirely on the verification backlog: the two never-checked ids
-    # (q_ext_bitmap_distinct, q_scan_orc) and the oldest green rows
-    # (the 44 r1/r2-vintage joins / scalar fns / pipeline ops), per
-    # VERDICT r8 item 1.
+    # r10: the dedup-horizon ORACLE was rewritten (list_reduce ->
+    # bounded recursive CTE, r9 verdict item 3) — its r7 driver row
+    # was produced against the old oracle, so a fresh row under the
+    # new one outranks every other slot.
+    "q_ext_dedup_horizon",
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch
