@@ -263,6 +263,83 @@ def _corpus_rows(con, table: str) -> int:
     return con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
 
 
+# --- precomputed-ground-truth path above the recall rungs (r10) --------------
+# tools/make_recall_fixtures.py stores the EXACT expected output of
+# each rung query for a specific corpus (numpy blocked matmuls, corpus
+# fingerprinted).  When a matching fixture exists, the sweep VERIFIES
+# the Spark result against it instead of SKIPping — converting the
+# three "approx-recall" skips into full value checks.  SKIP remains
+# the fallback when no fixture matches this corpus.
+
+_FIXTURE_CACHE: dict[str, object] = {}
+
+
+def _recall_fixture(n_rows: int):
+    """Fixture dict for this corpus (fingerprint-verified) or None."""
+    key = f"{SF_DIR}:{n_rows}"
+    if key in _FIXTURE_CACHE:
+        return _FIXTURE_CACHE[key]
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", f"recall_gt_{n_rows}.json",
+    )
+    fx = None
+    if os.path.exists(path):
+        with open(path) as f:
+            cand = json.load(f)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_recall_fixtures import corpus_fingerprint, load_embeddings
+
+        vec_id, label, V = load_embeddings(SF_DIR)
+        if (
+            len(vec_id) == cand["n_vectors"]
+            and corpus_fingerprint(vec_id, label, V) == cand["fingerprint"]
+        ):
+            fx = cand
+    _FIXTURE_CACHE[key] = fx
+    return fx
+
+
+def _fx_cell(v):
+    if isinstance(v, bool):
+        return ("b", int(v))
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    return ("v", str(v))
+
+
+def _fixture_check(spark, name, spec, fx):
+    """Compare the live Spark result against the fixture's expected
+    rows (columns aligned by the fixture's order, rows sorted)."""
+    entry = fx[name]
+    df = spec.fn(spark, SF_DIR)
+    cols = list(df.columns)
+    if sorted(cols) != sorted(entry["columns"]):
+        return (
+            "FAIL", -1,
+            f"columns {sorted(cols)} != fixture {sorted(entry['columns'])}",
+        )
+    idx = [cols.index(c) for c in entry["columns"]]
+    got = sorted(tuple(_fx_cell(r[i]) for i in idx) for r in df.collect())
+    want = sorted(
+        tuple(_fx_cell(v) for v in row) for row in entry["rows"]
+    )
+    if got == want:
+        return (
+            "OK", len(got),
+            "vs precomputed exact ground truth (fixture)",
+        )
+    extra = [r for r in got if r not in set(want)][:3]
+    missing = [r for r in want if r not in set(got)][:3]
+    return (
+        "FAIL", len(got),
+        f"fixture mismatch: {len(want)} expected vs {len(got)} got; "
+        f"missing={missing} extra={extra}",
+    )
+
+
 def main():
     from binancedatapipelineinaws_spark.registry import all_specs
     from binancedatapipelineinaws_spark.session import get_spark
@@ -327,13 +404,28 @@ def main():
         rung = APPROX_RECALL_ABOVE.get(name)
         cur = duck_connect()
         try:
-            if rung is not None and _corpus_rows(cur, rung[0]) > rung[1]:
+            if rung is not None and (
+                n_corpus := _corpus_rows(cur, rung[0])
+            ) > rung[1]:
+                fx = _recall_fixture(n_corpus)
+                if fx is not None and name in fx:
+                    try:
+                        status, nrows, msg = _fixture_check(
+                            spark, name, specs[name], fx
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        status, nrows, msg = (
+                            "ERROR", -1,
+                            f"{type(e).__name__}: {str(e)[:300]}",
+                        )
+                    return (name, status, nrows, msg)
                 return (
                     name,
                     "SKIP",
                     -1,
                     f"corpus {rung[0]} exceeds exact-path rung "
-                    f"({rung[1]} rows): Spark uses approx-recall "
+                    f"({rung[1]} rows) and no ground-truth fixture "
+                    "matches this corpus: Spark uses approx-recall "
                     "candidates, oracle is exact — compare not "
                     "meaningful at this size",
                 )
