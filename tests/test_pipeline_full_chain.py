@@ -171,3 +171,153 @@ def test_ws_to_jdbc_and_candles_full_chain(spark, tmp_path):
     g = sorted(tuple(r) for r in got_candles.collect())
     w = sorted(tuple(r) for r in batch_candles.collect())
     assert g == w
+
+
+def test_ws_to_merge_state_crash_restart(spark, tmp_path):
+    """r9 verdict item 4: the exactly-once accumulate-MERGE sink driven
+    from the ACTUAL front door — live WebSocket -> minute-rotated TSV
+    spool -> file stream -> canonicalize -> event mapping ->
+    merge_state_sink — across a killed-and-restarted query, in both
+    crash windows:
+
+      A. killed AFTER the merge published but BEFORE the checkpoint
+         commit (simulated by deleting the newest commit marker):
+         Spark re-delivers the batch; the table's _applied_max makes
+         it a no-op — totals don't double.
+      B. killed BETWEEN the two publish renames (table_dir absent,
+         .old-N snapshot on disk) AND before the checkpoint commit:
+         _merge_recover restores the snapshot, then the re-delivered
+         batch no-ops against the restored marker.
+
+    Then a NEW spooled minute arrives and the restarted query
+    accumulates exactly one more batch — the final state equals the
+    batch recomputation over every wire line."""
+    import os
+    import shutil
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        merge_state_sink,
+    )
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    seen: dict = {}
+    t = threading.Thread(target=_serve_session, args=(server, seen))
+    t.start()
+    spool = str(tmp_path / "spool")
+    try:
+        conn = ws.connect("127.0.0.1", server.getsockname()[1])
+        stats = ws.spool_trades(conn, spool)
+        conn.close()
+    finally:
+        t.join(timeout=30)
+        server.close()
+    assert stats.files_closed == 3
+
+    # canonical trades -> merge events: per-minute accounting keyed by
+    # the minute epoch; taker buys accumulate, maker fills are ignored
+    # by the sink's purchase/error filter
+    def to_events(c):
+        return c.select(
+            (F.unix_timestamp("time") - F.unix_timestamp("time") % 60)
+            .cast("long")
+            .alias("user_id"),
+            F.when(F.col("maker") == 0, F.lit("purchase"))
+            .otherwise(F.lit("view"))
+            .alias("event_type"),
+            (F.col("price") * F.col("quantity"))
+            .cast("double")
+            .alias("value"),
+        )
+
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def run():
+        q = merge_state_sink(
+            to_events(canonical_stream(read_tick_stream(spark, spool))),
+            table_dir,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    def reference():
+        wire = (
+            spark.read.schema(TICKS_WIRE_SCHEMA)
+            .option("sep", "\t")
+            .csv(spool)
+        )
+        ev = to_events(canonicalize_btcusdt(wire))
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        return sorted(
+            tuple(r)
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.sum(cents).alias("total_cents"),
+            )
+            .collect()
+        )
+
+    def state_rows():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(table_dir + "/data").collect()
+        )
+
+    run()
+    want1 = reference()
+    assert state_rows() == want1
+
+    def drop_newest_commit():
+        """Simulate a kill between the sink's merge and the commit-log
+        write: remove the newest commit marker (and its Hadoop
+        LocalFileSystem .crc shadow — leaving it would fail the
+        recreate as a spurious concurrent-writer error)."""
+        cs = [
+            p for p in glob.glob(f"{ckpt}/commits/*")
+            if os.path.basename(p).isdigit()
+        ]
+        newest = max(cs, key=lambda p: int(os.path.basename(p)))
+        os.remove(newest)
+        crc = os.path.join(
+            os.path.dirname(newest), f".{os.path.basename(newest)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # crash window A: merge published, checkpoint commit lost
+    drop_newest_commit()
+    run()  # re-delivers the batch -> marker no-op
+    assert state_rows() == want1
+
+    # crash window B: killed between the two publish renames AND the
+    # commit is lost — recovery must restore the snapshot, then the
+    # re-delivered batch must no-op against the RESTORED marker
+    os.rename(table_dir, table_dir + ".old-7")
+    os.makedirs(table_dir + ".tmp-7/data")
+    drop_newest_commit()
+    run()
+    assert state_rows() == want1
+    assert not os.path.isdir(table_dir + ".old-7")
+    assert not os.path.isdir(table_dir + ".tmp-7")
+
+    # a NEW minute spools in (same wire format, 10 minutes later):
+    # the restarted query accumulates exactly one more batch
+    src = sorted(glob.glob(f"{spool}/*.tsv"))[0]
+    base_min = int(os.path.basename(src).split(".")[0])
+    new_min = base_min + 600
+    with open(src) as f:
+        line = f.readline().rstrip("\n").split("\t")
+    line[0] = "9001"  # fresh trade id
+    line[4] = str(new_min * 1000 + 5_000)  # trade_time_ms in the new minute
+    tmp = f"{spool}/{new_min}.part"
+    with open(tmp, "w") as f:
+        f.write("\t".join(line) + "\n")
+    os.rename(tmp, f"{spool}/{new_min}.tsv")
+    run()
+    want2 = reference()  # recomputed over ALL wire lines
+    assert state_rows() == want2
+    assert len(want2) == len(want1) + 1  # the new minute keyed a new row
