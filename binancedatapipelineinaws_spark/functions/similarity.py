@@ -429,15 +429,38 @@ NEARDUP_COS = 0.9
 # the <=4000 rung reproduces the original geometry bit-for-bit, which
 # keeps every existing driver row and test at sf<=0.1 unchanged.
 _BAND_LADDER = ((4_000, 16, 8), (64_000, 32, 12), (1_000_000, 64, 16))
-_BAND_CEILING = (128, 20)
+# p_bit at the cos-0.9 boundary: 1 - acos(0.9)/pi (hyperplane LSH)
+_P_BIT_09 = 0.8564379625561782
+_RECALL_MISS = 0.004  # hold >= 0.996 candidate recall at cos 0.9
 
 
 def adaptive_band_geometry(n_vectors: int) -> tuple[int, int]:
-    """(bands, rows_per_band) for a corpus of `n_vectors`."""
+    """(bands, rows_per_band) for a corpus of `n_vectors`.
+
+    Beyond the ladder's last rung the geometry is COMPUTED, not
+    capped: rows_per_band tracks log2(n) + 3 so the per-band signature
+    space stays ~8x the corpus and random birthday-collision
+    candidates stay LINEAR in n (a fixed ceiling goes quadratic: the
+    r10 x1000 drill measured 7.2e8 candidate slots for 2M unrelated
+    vectors at the old (128, 20) ceiling — bands x n^2 / 2^(rows+1),
+    which at 1e9 vectors would be 6e13); bands then grow to hold the
+    0.996 candidate recall at the cos-0.9 boundary
+    (1 - (1 - p_bit^rows)^bands >= 0.996).  Signature cost therefore
+    grows ~log-linearly with the corpus — the honest hyperplane-LSH
+    cost curve.  Near-threshold (cos ~0.8) grey-zone density remains
+    a DATA property no geometry prunes sharply (the amplification
+    s-curve is not steep enough between 0.8 and 0.9); a corpus dense
+    in 0.8-cliques needs cluster-partitioning first (the q_ext_semdedup
+    shape), not wider LSH."""
     for cap, bands, rows in _BAND_LADDER:
         if n_vectors <= cap:
             return bands, rows
-    return _BAND_CEILING
+    import math
+
+    rows = math.ceil(math.log2(n_vectors)) + 3
+    p_band = _P_BIT_09**rows
+    bands = math.ceil(math.log(_RECALL_MISS) / math.log(1.0 - p_band))
+    return bands, rows
 
 
 def banded_signatures(

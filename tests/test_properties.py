@@ -3583,3 +3583,36 @@ def test_kyle_lambda_matches_python_reimplementation(spark):
                 assert gi is None
             else:
                 assert math.isclose(gi, wi, rel_tol=1e-12), (day, gi, wi)
+
+
+def test_adaptive_band_geometry_scaling_laws():
+    """r10: beyond the ladder the LSH geometry must keep (a) per-band
+    signature space >= ~8x the corpus (random-collision candidates
+    linear in n — the old fixed (128, 20) ceiling went quadratic) and
+    (b) candidate recall >= 0.996 at the cos-0.9 boundary; rungs at or
+    below 1M vectors are pinned bit-for-bit (driver rows and the sf10
+    ground-truth fixture depend on them)."""
+    from binancedatapipelineinaws_spark.functions.similarity import (
+        _P_BIT_09,
+        adaptive_band_geometry,
+    )
+
+    # pinned rungs (existing driver rows / fixtures depend on these)
+    assert adaptive_band_geometry(500) == (16, 8)
+    assert adaptive_band_geometry(4_000) == (16, 8)
+    assert adaptive_band_geometry(20_000) == (32, 12)
+    assert adaptive_band_geometry(200_000) == (64, 16)
+    assert adaptive_band_geometry(1_000_000) == (64, 16)
+
+    prev_rows = 16
+    for n in (2_000_000, 16_000_000, 128_000_000, 1_000_000_000):
+        bands, rows = adaptive_band_geometry(n)
+        assert rows >= prev_rows
+        prev_rows = rows
+        # (a) signature space at least 8x the corpus per band
+        assert 2**rows >= 8 * n, (n, rows)
+        # (b) recall at the threshold boundary holds the floor
+        recall = 1 - (1 - _P_BIT_09**rows) ** bands
+        assert recall >= 0.996, (n, bands, rows, recall)
+        # sanity: geometry stays implementable (signature bits/vector)
+        assert bands * rows < 40_000, (n, bands, rows)
