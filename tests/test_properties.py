@@ -138,12 +138,13 @@ def test_embed_neardup_planted_recall(spark):
     # cos-0.9 boundary; the plants sit well above it) — this pins the
     # r7 scale fix: wider signatures cut candidates, not results
     from binancedatapipelineinaws_spark.functions.similarity import (
-        _BAND_CEILING,
         _BAND_LADDER,
+        adaptive_band_geometry,
     )
 
+    # ladder rungs plus a computed beyond-the-ladder geometry (2M)
     for bands, rows_per_band in [r[1:] for r in _BAND_LADDER] + [
-        _BAND_CEILING
+        adaptive_band_geometry(2_000_000)
     ]:
         ladder_got = {
             (r.vec_a, r.vec_b)
@@ -1970,13 +1971,16 @@ def test_band_ladder_holds_recall_at_threshold():
     import math
 
     from binancedatapipelineinaws_spark.functions.similarity import (
-        _BAND_CEILING,
         _BAND_LADDER,
         NEARDUP_COS,
+        adaptive_band_geometry,
     )
 
     p_bit = 1 - math.acos(NEARDUP_COS) / math.pi
-    for bands, rows in [r[1:] for r in _BAND_LADDER] + [_BAND_CEILING]:
+    rungs = [r[1:] for r in _BAND_LADDER] + [
+        adaptive_band_geometry(n) for n in (2_000_000, 1_000_000_000)
+    ]
+    for bands, rows in rungs:
         p_collide = 1 - (1 - p_bit**rows) ** bands
         assert p_collide >= 0.99, (bands, rows, p_collide)
 
