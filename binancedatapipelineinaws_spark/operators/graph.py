@@ -395,7 +395,14 @@ def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-    edges = edges.persist()  # reused by every peel round
+    # each round's edge set is PERSISTED: `kept` feeds two semi joins
+    # AND the next round re-derives from the same frame, so an
+    # unpersisted chain re-evaluates round i's lineage twice per later
+    # round — 2^k growth (measured: 6.3 s vs 0.9 s at sf0.1 for k=3).
+    # Same per-iteration materialization discipline as q_ext_pagerank;
+    # at production scale each round would checkpoint and drop its
+    # predecessor, keeping at most two edge sets alive.
+    edges = edges.persist()
     for _ in range(KCORE_PEELS):
         kept = (
             edges.groupBy("src")
@@ -406,6 +413,7 @@ def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(kept, edges["src"] == kept["node"], "left_semi")
             .join(kept, F.col("dst") == kept["node"], "left_semi")
+            .persist()
         )
     return edges.groupBy("src").agg(
         F.count("*").alias("deg_in_core")
