@@ -5,7 +5,9 @@ rows (ratio ~10 with fixed overheads pulling it below); a ratio well
 past ~15 flags a plan that is polynomial in practice despite a clean
 .explain().  Results are recorded in SCALING.md per round.
 
-Usage: python tools/bench_sf1.py   (expects .bench_sf1/ to exist)
+Usage: python tools/bench_sf1.py [query ...]
+       (expects .bench_sf1/ to exist; optional names restrict the run
+       to a subset — used for supplementary pricing of late additions)
 """
 
 from __future__ import annotations
@@ -66,6 +68,14 @@ EXPENSIVE = [
     # number to watch) and the CDC MERGE (one user-keyed join)
     "q_ext_bpe_pair_counts",
     "q_ext_merge_into",
+    # r10 additions: the iterative BPE round (second vocab-table pass),
+    # the persisted peel loop, the broadcast-range-join calibration,
+    # and the two candle-layer aggregates
+    "q_ext_bpe_apply_merge",
+    "q_ext_kcore",
+    "q_ext_quantile_norm",
+    "q_ext_var_cvar",
+    "q_ext_kyle_lambda",
 ]
 
 
@@ -75,6 +85,8 @@ def main() -> None:
 
     spark = get_spark("bench_sf1")
     qs = queries()
+    only = [n for n in sys.argv[1:] if n in qs]
+    expensive = only or EXPENSIVE
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -83,10 +95,10 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for sf_dir, key in ((SF01, "t01"), (SF1, "t1")):
-        for name in EXPENSIVE:  # warm-up pass
+        for name in expensive:  # warm-up pass
             run(name, sf_dir)
         for _ in range(2):  # best-of-2 (multi-tenant host)
-            for name in EXPENSIVE:
+            for name in expensive:
                 t = round(run(name, sf_dir), 3)
                 rec = out.setdefault(name, {})
                 rec[key] = min(rec.get(key, t), t)
