@@ -1406,3 +1406,100 @@ def q_ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+PMI_MIN_PAIR_COUNT = 5  # collocation support floor (spec'd, scale-free top-50)
+
+
+@register(
+    "q_ext_pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2
+), pair AS (
+  SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY w1, w2
+), left_c AS (
+  SELECT w1, sum(pair_count) AS c1 FROM pair GROUP BY w1
+), right_c AS (
+  SELECT w2, sum(pair_count) AS c2 FROM pair GROUP BY w2
+), n AS (
+  SELECT sum(pair_count) AS n FROM pair
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       round(ln(CAST(pair_count AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM pair JOIN left_c USING (w1) JOIN right_c USING (w2) CROSS JOIN n
+WHERE pair_count >= {PMI_MIN_PAIR_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+)
+def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    top-50 adjacent word pairs whose co-occurrence most exceeds chance,
+    PMI = ln(P(w1,w2) / (P(w1) P(w2))) under the bigram-stream MLE —
+    the phrase-mining / tokenizer-seeding statistic every corpus
+    pipeline computes (and the additive sibling of q_ext_bpe_pair_counts'
+    raw frequency ranking: PMI surfaces RARE-but-bound pairs frequency
+    hides).  Reference behavior anchor: the reference has no corpus
+    tier at all (it stores tick TSVs in Aurora); this extends the
+    documents surface SURVEY.md §2.9 declares.
+
+    Plan: ONE corpus pass builds the bigram stream (split + sequence +
+    element_at — no self-join of token positions) into a partial
+    aggregate keyed by the pair; map-side combine absorbs the Zipf
+    head before the single vocab^2-bounded shuffle.  Both marginals
+    AND the grand total re-aggregate that SMALL pair table — the
+    corpus is never rescanned, never cached.  All counts stay integers
+    until one double log per surviving pair; ordering is on the
+    ROUNDED pmi with a full (w1, w2) tie-break, so the top-50 cut is
+    engine-exact.  At 100 TB the pair table is vocabulary-bounded
+    (|V|^2 worst case, Zipf-concentrated in practice), so the
+    marginal/total broadcasts stay dim-sized no matter the corpus."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    bg = w.select(
+        F.explode(F.sequence(F.lit(0), F.size("words") - 2)).alias("j"),
+        "words",
+    ).select(
+        F.element_at("words", F.col("j") + 1).alias("w1"),
+        F.element_at("words", F.col("j") + 2).alias("w2"),
+    )
+    pair = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        # vocab^2-bounded; feeds both marginals, the total AND the
+        # probe — persist so the corpus is tokenized exactly once
+        .persist()
+    )
+    left_c = pair.groupBy("w1").agg(F.sum("pair_count").alias("c1"))
+    right_c = pair.groupBy("w2").agg(F.sum("pair_count").alias("c2"))
+    n = pair.agg(F.sum("pair_count").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("pair_count").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pair.filter(F.col("pair_count") >= PMI_MIN_PAIR_COUNT)
+        .join(F.broadcast(left_c), "w1")
+        .join(F.broadcast(right_c), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )

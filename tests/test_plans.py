@@ -1230,3 +1230,68 @@ def test_merge_into_single_join_no_window(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_tpch_q2_correlated_min_over_cached_pairs(spark):
+    """Q2's correlated MIN decorrelates over the (part, supplier)
+    pair aggregate, which is persisted: the fact contributes ONE
+    shuffle and the equality probe + per-part min both read the
+    cache.  All dims broadcast; top-100 is a TakeOrdered cut."""
+    plan = _plan(queries()["q_ext_tpch_q2"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2  # probe + per-part min
+
+
+def test_tpch_q9_part_prefix_pushed_dims_broadcast(spark):
+    """Q9: the name prefix must reach the part scan as a pushed
+    filter, every dim joins broadcast, and the profit aggregate is
+    partial-aggregated (one (nation, year) exchange)."""
+    plan = _plan(queries()["q_ext_tpch_q9"](spark, SF))
+    assert "StringStartsWith(p_name,blue)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_threshold_is_one_row_broadcast(spark):
+    """Q11's global threshold is a 1-row broadcast probe over the
+    persisted per-part value table (the only deliberate BNLJ), never
+    a re-scan of the fact; no window anywhere."""
+    plan = _plan(queries()["q_ext_tpch_q11"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # total + filter probe
+
+
+def test_tpch_q12_single_join_bounded_agg(spark):
+    """Q12 is one fact x orders key join + a <=3-group CASE aggregate:
+    no window, no generate, and the ship-year window pushes to the
+    fact scan."""
+    plan = _plan(queries()["q_ext_tpch_q12"](spark, SF))
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) + plan.count("ShuffledHashJoin") == 1
+
+
+def test_pmi_pair_table_cached_marginals_broadcast(spark):
+    """PMI: the corpus tokenizes ONCE into the persisted pair table;
+    both marginals, the grand total, and the probe all read the cache
+    (>= 4 InMemoryTableScans); the top-50 cut is a TakeOrdered on the
+    rounded pmi with full tie-break."""
+    plan = _plan(queries()["q_ext_pmi_collocations"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row grand-total probe is the only nested-loop node
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
