@@ -123,6 +123,14 @@ HEADLINE = [
     "q_ext_quantile_norm",
     "q_ext_var_cvar",
     "q_ext_kyle_lambda",
+    # r10 batch 2: the TPC-H completion set (correlated-MIN, 5-way
+    # profit join, global-share threshold, CASE pivot) and the
+    # single-pass PMI pair table
+    "q_ext_tpch_q2",
+    "q_ext_tpch_q9",
+    "q_ext_tpch_q11",
+    "q_ext_tpch_q12",
+    "q_ext_pmi_collocations",
 ]
 
 

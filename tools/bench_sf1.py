@@ -76,6 +76,14 @@ EXPENSIVE = [
     "q_ext_quantile_norm",
     "q_ext_var_cvar",
     "q_ext_kyle_lambda",
+    # r10 batch 2: the TPC-H completion set (the pair-dictionary
+    # persist in Q2 and the fact x orders shuffle in Q9/Q12 are the
+    # scale surfaces) and the PMI pair table (vocab^2-bounded)
+    "q_ext_tpch_q2",
+    "q_ext_tpch_q9",
+    "q_ext_tpch_q11",
+    "q_ext_tpch_q12",
+    "q_ext_pmi_collocations",
 ]
 
 
