@@ -3620,3 +3620,233 @@ def test_adaptive_band_geometry_scaling_laws():
         assert recall >= 0.996, (n, bands, rows, recall)
         # sanity: geometry stays implementable (signature bits/vector)
         assert bands * rows < 40_000, (n, bands, rows)
+
+
+def test_pmi_collocations_match_naive(spark):
+    """Every listed collocation's count and pmi equal the naive
+    bigram-explode recomputation, the support floor is respected, and
+    no unlisted pair strictly beats the listed minimum pmi."""
+    import math
+
+    from binancedatapipelineinaws_spark.functions.text import (
+        PMI_MIN_PAIR_COUNT,
+    )
+
+    rows = queries()["q_ext_pmi_collocations"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    c12: dict[tuple[str, str], int] = {}
+    for r in docs:
+        w = r.text.split(" ")
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    n = sum(c12.values())
+
+    def pmi(a, b):
+        return round(
+            math.log(c12[(a, b)] * float(n) / (c1[a] * c2[b])), 6
+        )
+
+    assert rows, "sf0.001 corpus should yield collocations"
+    assert len(rows) <= 50
+    for r in rows:
+        assert r.pair_count == c12[(r.w1, r.w2)]
+        assert r.pair_count >= PMI_MIN_PAIR_COUNT
+        assert abs(r.pmi - pmi(r.w1, r.w2)) <= 1e-9
+    listed = {(r.w1, r.w2) for r in rows}
+    floor = min(r.pmi for r in rows)
+    better = [
+        p
+        for p, c in c12.items()
+        if c >= PMI_MIN_PAIR_COUNT
+        and p not in listed
+        and pmi(*p) > floor
+    ]
+    assert not better, better
+
+
+def test_tpch_q2_min_cost_semantics(spark):
+    """Every Q2 output row's supply cost is the true regional minimum
+    for its part (naive recomputation), every emitted supplier
+    actually achieves it, and ALL tying suppliers are emitted (within
+    the top-100 cut)."""
+    out = queries()["q_ext_tpch_q2"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    supp = {
+        r.s_suppkey: r
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    nat = {
+        r.n_nationkey: r
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    reg = {
+        r.r_regionkey: r.r_name
+        for r in spark.read.parquet(f"{SF}/region.parquet").collect()
+    }
+    part = {
+        r.p_partkey: r
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    eu = {
+        k
+        for k, s in supp.items()
+        if reg[nat[s.s_nationkey].n_regionkey] == "EUROPE"
+    }
+    from collections import defaultdict
+    from decimal import Decimal
+
+    cost: dict[tuple[int, int], Decimal] = {}
+    for r in li:
+        if r.l_suppkey in eu:
+            key = (r.l_partkey, r.l_suppkey)
+            p = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+            cost[key] = min(cost.get(key, p), p)
+    best: dict[int, Decimal] = defaultdict(lambda: Decimal("Infinity"))
+    for (pk, _), c in cost.items():
+        best[pk] = min(best[pk], c)
+    expected = sorted(
+        (
+            (
+                -supp[sk].s_acctbal,
+                nat[supp[sk].s_nationkey].n_name,
+                supp[sk].s_name,
+                pk,
+            )
+            for (pk, sk), c in cost.items()
+            if c == best[pk] and part[pk].p_type == "LARGE"
+        ),
+    )[:100]
+    got = sorted(
+        (-r.s_acctbal, r.n_name, r.s_name, r.p_partkey) for r in out
+    )
+    assert got == expected
+    for r in out:
+        assert abs(r.supplycost - float(best[r.p_partkey])) <= 1e-6
+
+
+def test_tpch_q11_threshold_set_semantics(spark):
+    """Q11's survivor set equals the naive share computation at the
+    oracle SF (non-trivial there: the NATION_7 value table is dense
+    enough to clear the share floor)."""
+    from decimal import Decimal
+
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r.p_partkey: r.part_value
+        for r in queries()["q_ext_tpch_q11"](spark, sf).collect()
+    }
+    supp = spark.read.parquet(f"{sf}/supplier.parquet").collect()
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf}/nation.parquet").collect()
+    }
+    keys = {
+        s.s_suppkey for s in supp if nat[s.s_nationkey] == "NATION_7"
+    }
+    vals: dict[int, Decimal] = {}
+    for r in spark.read.parquet(f"{sf}/lineitem.parquet").collect():
+        if r.l_suppkey in keys:
+            v = Decimal(str(r.l_extendedprice)).quantize(
+                Decimal("0.01")
+            ) * (
+                1 - Decimal(str(r.l_discount)).quantize(Decimal("0.01"))
+            )
+            vals[r.l_partkey] = vals.get(r.l_partkey, Decimal(0)) + v
+    total = sum(vals.values())
+    expected = {
+        pk: v for pk, v in vals.items() if v > total * Decimal("0.001")
+    }
+    assert out, "sf0.01 should clear the share floor for some parts"
+    assert set(out) == set(expected)
+    for pk, v in expected.items():
+        assert abs(out[pk] - float(v)) <= 1e-6
+
+
+def test_tpch_q12_bands_partition_the_window(spark):
+    """The three lag bands partition the ship-year lines exactly:
+    high+low across bands equals the joined row count, and the band
+    edges follow the <=30 / <=60 day boundaries."""
+    import datetime
+
+    out = {
+        r.ship_speed: (r.high_line_count, r.low_line_count)
+        for r in queries()["q_ext_tpch_q12"](spark, SF).collect()
+    }
+    orders = {
+        r.o_orderkey: r
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    naive: dict[str, list[int]] = {}
+    n_window = 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not (
+            datetime.datetime(1997, 1, 1)
+            <= r.l_shipdate
+            < datetime.datetime(1998, 1, 1)
+        ):
+            continue
+        o = orders[r.l_orderkey]
+        n_window += 1
+        lag = r.l_shipdate - o.o_orderdate
+        band = (
+            "FAST"
+            if lag <= datetime.timedelta(days=30)
+            else "MEDIUM"
+            if lag <= datetime.timedelta(days=60)
+            else "SLOW"
+        )
+        hi = o.o_orderpriority in ("1-URGENT", "2-HIGH")
+        rec = naive.setdefault(band, [0, 0])
+        rec[0 if hi else 1] += 1
+    assert out == {b: (h, l) for b, (h, l) in naive.items()}
+    assert sum(h + l for h, l in out.values()) == n_window
+
+
+def test_tpch_q9_profit_additivity(spark):
+    """Summing Q9's (nation, year) cells reproduces the ungrouped
+    corpus-wide profit (exact decimal recomputation), and every cell
+    key is a real (nation, order-year) combination."""
+    from decimal import Decimal
+
+    rows = queries()["q_ext_tpch_q9"](spark, SF).collect()
+    part = {
+        r.p_partkey: r
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    supp = {
+        r.s_suppkey: r
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    orders = {
+        r.o_orderkey: r
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    D = lambda x: Decimal(str(x)).quantize(Decimal("0.01"))  # noqa: E731
+    total = Decimal(0)
+    keys = set()
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        p = part.get(r.l_partkey)
+        if p is None or not p.p_name.startswith("blue"):
+            continue
+        profit = D(r.l_extendedprice) * (1 - D(r.l_discount)) - D(
+            p.p_retailprice
+        ) * D(r.l_quantity) * Decimal("0.8")
+        total += profit
+        keys.add(
+            (
+                nat[supp[r.l_suppkey].s_nationkey],
+                orders[r.l_orderkey].o_orderdate.year,
+            )
+        )
+    got_total = sum(Decimal(str(r.sum_profit)) for r in rows)
+    assert abs(got_total - total) <= Decimal("0.000_02") * len(rows)
+    assert {(r.nation, r.o_year) for r in rows} == keys
