@@ -2398,12 +2398,19 @@ def q_ext_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT CAST(day AS TIMESTAMP) AS day,
        CAST(n AS BIGINT) AS n_mins,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS kyle_lambda,
-       (CAST(n * sxy - sx * sy AS DOUBLE)
-          / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
-       * (CAST(n * sxy - sx * sy AS DOUBLE)
-          / nullif(CAST(n * syy - sy * sy AS DOUBLE), 0)) AS r2
+       -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB's direct hugeint/
+       -- decimal128 -> double cast double-rounds (upper*2^64 + lower,
+       -- ~1.6% of >2^53 integers land 1 ulp off the correctly-rounded
+       -- value — fuzz-verified r10); the string parse is correctly
+       -- rounded, matching Spark's BigDecimal.doubleValue exactly.
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0)
+         AS kyle_lambda,
+       (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0))
+       * (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / nullif(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE), 0))
+         AS r2
 FROM mo
 """,
 )

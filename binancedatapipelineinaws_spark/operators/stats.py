@@ -1085,16 +1085,25 @@ SELECT l_returnflag,
        -- so both engines divide the SAME doubles -- bit-identical
        -- results with no rounding step and no FMA-contractible
        -- multiply-add chain.  Slope/intercept are in cents per unit
-       -- (scale-invariant r2 unaffected).
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope_cents,
-       CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
-         / nullif(CAST(n * (n * sxx - sx * sx) AS DOUBLE), 0)
+       -- (scale-invariant r2 unaffected).  The double cast routes
+       -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB's direct hugeint ->
+       -- double cast double-rounds (~1.6% of >2^53 integers land
+       -- 1 ulp off — fuzz-verified r10, and it flipped
+       -- q_ext_kyle_lambda's x100 gate); the string parse is
+       -- correctly rounded, matching Spark's BigDecimal.doubleValue.
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0)
+         AS slope_cents,
+       CAST(CAST(sy * (n * sxx - sx * sx)
+                 - (n * sxy - sx * sy) * sx AS VARCHAR) AS DOUBLE)
+         / nullif(CAST(CAST(n * (n * sxx - sx * sx) AS VARCHAR)
+                       AS DOUBLE), 0)
          AS intercept_cents,
-       (CAST(n * sxy - sx * sy AS DOUBLE)
-          / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
-       * (CAST(n * sxy - sx * sy AS DOUBLE)
-          / nullif(CAST(n * syy - sy * sy AS DOUBLE), 0)) AS r2
+       (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0))
+       * (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / nullif(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE), 0))
+         AS r2
 FROM m ORDER BY l_returnflag
 """,
 )
