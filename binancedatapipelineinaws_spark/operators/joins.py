@@ -1903,10 +1903,10 @@ def q_ext_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the mfgr/address/comment output columns the schema lacks are
     dropped): for every LARGE-type part, the European supplier(s)
     offering the region's minimum cost — the classic correlated-MIN
-    subquery benchmark.  Reference behavior anchor: the reference's
-    Aurora tier answers supplier/price lookups with exactly this
-    correlated-min SQL shape (reference delegates all querying to
-    MySQL; no engine code to cite).
+    subquery benchmark.  The reference has no analytical query tier
+    to cite (its only SQL is the Lambda `LOAD DATA` ingest,
+    lambda_function.py; any querying happens in Aurora MySQL outside
+    the repo), so this shape comes from the public TPC-H spec alone.
 
     Plan: the region->nation->supplier dim chain folds into ONE
     broadcastable ~100-row table; the fact scans once, semi-pruned by
@@ -2115,9 +2115,11 @@ def q_ext_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fact never shuffles for the dims); one partial aggregate to the
     part dictionary; the grand total re-aggregates that SMALL table
     and broadcasts back as a 1-row threshold.  Both sides of the
-    `>` compare are EXACT DECIMAL (threshold = decimal total x
-    decimal literal), so no float rounding can flip a boundary part
-    between engines."""
+    `>` compare are EXACT DECIMAL: the total is cast down to
+    decimal(28,4) (exact below 1e24) before the decimal(4,3)
+    multiply so the product stays under precision 38 un-rounded —
+    no rounding of any kind can flip a boundary part between
+    engines."""
     prepare(spark)
     d2 = "decimal(18,2)"
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -2147,7 +2149,14 @@ def q_ext_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold filter — persist so the fact scans exactly once
         .persist()
     )
-    total = val.agg(F.sum("v").alias("tv"))
+    # tv arrives as decimal(38,4); multiplying that by decimal(4,3)
+    # would need precision 43, so Spark would cap at 38 and HALF_UP
+    # round the threshold at reduced scale — a latent boundary flake
+    # vs DuckDB (ADVICE r10 item 2).  Casting down to decimal(28,4)
+    # first is exact for any |tv| < 1e24 (a 100 TB corpus tops out
+    # around 1e17) and keeps the product at precision 33, scale 7 —
+    # fully exact, so the `>` compare can never flip a boundary part.
+    total = val.agg(F.sum("v").cast("decimal(28,4)").alias("tv"))
     threshold = F.col("tv") * F.lit(Q11_FRACTION).cast("decimal(4,3)")
     return (
         val.crossJoin(F.broadcast(total))

@@ -94,11 +94,13 @@ def _load_all() -> None:
 # ahead of even never-verified queries so the ~50-query window can
 # never squeeze them out.
 _FORCE_FIRST: tuple[str, ...] = (
-    # r10: the dedup-horizon ORACLE was rewritten (list_reduce ->
-    # bounded recursive CTE, r9 verdict item 3) — its r7 driver row
-    # was produced against the old oracle, so a fresh row under the
-    # new one outranks every other slot.
-    "q_ext_dedup_horizon",
+    # r11: empty — r10's rewritten-oracle entry (q_ext_dedup_horizon)
+    # landed its fresh green row in CORRECTNESS_r10 and rejoins the
+    # age-ordered rotation.  No oracle changed this round: the r11
+    # semdedup/q12 work is plan-only (results hash-identical, gated by
+    # the local serial replica), so every window slot beyond the new
+    # registrations drains the r4/r5 verification tier (VERDICT r10
+    # item 1).
 )
 
 # Late additions explicitly queued BEHIND the earlier unverified batch

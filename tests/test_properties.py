@@ -3735,7 +3735,9 @@ def test_tpch_q11_threshold_set_semantics(spark):
     enough to clear the share floor)."""
     from decimal import Decimal
 
-    sf = "/root/testdata/sf0.01"
+    # derived from the suite-wide SF base path so the test follows any
+    # testdata relocation (ADVICE r10 item 4)
+    sf = SF.replace("sf0.001", "sf0.01")
     out = {
         r.p_partkey: r.part_value
         for r in queries()["q_ext_tpch_q11"](spark, sf).collect()

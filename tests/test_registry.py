@@ -258,6 +258,42 @@ def test_bench_headline_names_are_registered():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
 
 
+def test_bench_json_line_fits_driver_capture_window():
+    """The driver stores only the LAST 2000 chars of bench.py stdout
+    and parses the JSON from that window; BENCH_r10.json recorded
+    `parsed: null` because the full-name queries dict outgrew it.
+    Pin the r11 contract: with worst-case 3-digit timings for every
+    headline id, the compact stripped-key line stays under 1950 and
+    the stripped ids are collision-free."""
+    import json as _json
+
+    import bench
+
+    def _short(name: str) -> str:
+        for prefix in ("q_ext_", "q_"):
+            if name.startswith(prefix):
+                return name[len(prefix):]
+        return name
+
+    shorts = {_short(n) for n in bench.HEADLINE}
+    assert len(shorts) == len(bench.HEADLINE), "short-id collision"
+    # worst case the degrade step must still absorb: every query at
+    # 999.99 s (2dp rung)
+    line = _json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {s: 999.99 for s in sorted(shorts)},
+            "sf": 0.1,
+            "host_calib_sec": 0.437,
+            "key_note": "ids lack their q_/q_ext_ prefix",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1950, len(line)
+
+
 def test_every_registered_query_has_an_oracle():
     """r8 milestone worth pinning: zero rows-only checks remain — a
     new rows-only registration should be a conscious, reviewed

@@ -99,7 +99,12 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # self-contained timings: drop persisted intermediates so a
+        # cache hit from a prior pass can't flatter a ratio and cached
+        # tables can't accumulate across the sweep (ADVICE r10 item 3)
+        spark.catalog.clearCache()
+        return dt
 
     out: dict[str, dict] = {}
     for sf_dir, key in ((SF01, "t01"), (SF1, "t1")):
