@@ -915,15 +915,126 @@ def q_ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid table stays a broadcast no matter the corpus size.
 
 SEMDEDUP_COS = 0.9  # duplicate threshold (matches NEARDUP_COS)
-# Above this corpus size the within-cell pair join switches from exact
-# (n_c^2 per cell — quadratic once cell count stops growing; the r7
-# sf1 pricing measured x26 wall time at x10 rows with the 10 fixed
-# label cells) to banded-LSH candidates intersected with the cell key:
-# same exact-cosine verify, recall per the adaptive_band_geometry
-# ladder (>= 0.996 at the 0.9 boundary).  The rung matches the
-# ladder's first cap so every gate-scale corpus (<= 4000 vectors)
-# takes the exact path bit-for-bit.
+# Above this many DISTINCT vectors the within-cell pair join switches
+# from the pure-JVM fold join (n_c^2 per cell through Catalyst's
+# interpreted higher-order aggregate — quadratic once cell count
+# stops growing; the r7 sf1 pricing measured x26 wall time at x10
+# rows with the 10 fixed label cells) to the blocked numpy-margin
+# path (_blocked_cell_pairs): dgemm cosines over block pairs with a
+# 1e-6 decision margin, grey-zone pairs re-verified by the exact JVM
+# fold — EXACT at every scale, unlike the r7-r10 banded-LSH candidate
+# generator it replaces (recall 0.996, and a very-near-dup-dense
+# corpus collided each true pair in ~27 bands before the distinct;
+# the r10 x100 pricing measured x23.95 wall mostly in that shuffle).
+# The rung is counted over the MULTIPLICITY-GROUPED representatives
+# (r11: byte-identical vectors collapse to one rep before any pair
+# join — their pairs are pure arithmetic), so every gate-scale corpus
+# (<= 4000 distinct vectors) takes the zero-Python path bit-for-bit.
 SEMDEDUP_EXACT_MAX = 4_000
+# reps per brute-force block: one applyInPandas task multiplies a
+# <=1024x64 block against a <=1024x64 block (131 MFLOP of dgemm, ~ms)
+SEMDEDUP_BLOCK = 1_024
+# numpy (pairwise-summation) and the sequential JVM/DuckDB fold of a
+# 64-term float64 dot product agree to ~1e-11 relative; any pair
+# whose numpy cosine is further than this from the threshold is
+# decided identically by both, and the handful inside the margin go
+# through the exact fold — so the blocked path's output is
+# bit-identical to fold-everywhere on ANY corpus.
+SEMDEDUP_MARGIN = 1e-6
+
+
+def _blocked_cell_pairs(groups: DataFrame, threshold: float) -> DataFrame:
+    """(cell, keep_gid, dup_gid, m_a, m_b) for every within-cell rep
+    pair with cosine >= `threshold`, computed by blocked brute force:
+
+    reps get a hash block id within their cell (ceil(n_c / BLOCK)
+    blocks), every unordered block pair (bi <= bj) becomes ONE
+    applyInPandas group holding both blocks' rows, and the kernel
+    emits pairs from a dgemm cosine matrix.  Each rep ships ~n_blocks
+    copies (N * n_c / BLOCK rows total — the same quadratic-in-cell
+    law as the compute, /1024), and each unordered pair lands in
+    exactly one group, so no distinct is needed.  Pairs inside the
+    SEMDEDUP_MARGIN grey zone are re-verified with the exact JVM fold
+    (same expression the oracle replays), keeping the result
+    bit-identical to fold-everywhere; pairs outside it are provably
+    decided the same way by numpy and the fold (see SEMDEDUP_MARGIN).
+    NaN cosines (zero vectors) fail every compare in both kernels."""
+    thr, margin = float(threshold), SEMDEDUP_MARGIN
+    sizes = groups.groupBy("cell").agg(F.count("*").alias("cn"))
+    slim = (
+        groups.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "nb",
+            F.ceil(F.col("cn") / F.lit(SEMDEDUP_BLOCK)).cast("int"),
+        )
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("gid"), F.col("nb")).cast("int")
+        )
+        .select("cell", "gid", "m", "embedding", "nrm", "nb", "blk")
+    )
+    a_side = slim.select(
+        "cell",
+        F.col("blk").alias("bi"),
+        F.explode(F.expr("sequence(blk, nb - 1)")).alias("bj"),
+        F.lit(0).alias("side"),
+        "gid",
+        "m",
+        "embedding",
+        "nrm",
+    )
+    b_side = slim.filter(F.col("blk") > 0).select(
+        "cell",
+        F.explode(F.expr("sequence(0, blk - 1)")).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+        "gid",
+        "m",
+        "embedding",
+        "nrm",
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        diagonal = len(b) == 0
+        if diagonal:
+            b = a
+        ea = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        eb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ga = a["gid"].to_numpy()
+        gb = b["gid"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (ea @ eb.T) / np.outer(
+                a["nrm"].to_numpy(), b["nrm"].to_numpy()
+            )
+        with np.errstate(invalid="ignore"):
+            hit = cos >= thr - margin
+        if diagonal:
+            # one triangle only; orientation fixed below by gid
+            hit &= ga[:, None] < gb[None, :]
+        ii, jj = np.nonzero(hit)
+        cs = cos[ii, jj]
+        ka, kb = ga[ii], gb[jj]
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "keep_gid": np.minimum(ka, kb),
+                "dup_gid": np.maximum(ka, kb),
+                "m_a": a["m"].to_numpy()[ii],
+                "m_b": b["m"].to_numpy()[jj],
+                "grey": np.abs(cs - thr) <= margin,
+            }
+        )
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("cell", "bi", "bj")
+        .applyInPandas(
+            verify,
+            "cell bigint, keep_gid bigint, dup_gid bigint, "
+            "m_a bigint, m_b bigint, grey boolean",
+        )
+    )
 
 _DUCK_COS_AB = (
     f"({duck_dot('a.embedding', 'b.embedding')} / "
@@ -969,99 +1080,189 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (cosine >= {SEMDEDUP_COS} within the cell), vectors removed
     (higher vec_id of any pair), and survivors.
 
-    Plan: broadcast K-row centroids -> map-only nearest-cell argmin
-    (reusing q_ext_ann_ivf's assignment) -> PERSISTED cell table ->
-    cell-keyed self-join (never all-pairs) -> two tiny aggregates.
-    The oracle replays the identical fold-ordered float math in DuckDB.
+    Plan (r11, VERDICT r10 item 2): broadcast K-row centroids ->
+    map-only nearest-cell argmin (reusing q_ext_ann_ivf's assignment)
+    -> MULTIPLICITY GROUPING: byte-identical embeddings collapse to
+    one representative per (cell, vector) with (m copies, sorted
+    member ids) — identical vectors always land in the same cell, so
+    this is lossless -> PERSISTED rep table -> cell-keyed rep
+    self-join (never all-pairs, and never over copies) -> pair and
+    removal counts recovered arithmetically:
 
-    Above SEMDEDUP_EXACT_MAX vectors the within-cell self-join is
-    itself quadratic once cell count stops growing (x26 wall at x10
-    rows in the r7 sf1 pricing), so the candidate generator switches
-    to banded-LSH-within-cell with the adaptive geometry ladder; the
-    exact verify and all aggregates are unchanged.  Every gate-scale
-    corpus takes the exact path, so the oracle is exact where it
-    runs.  ORACLE CONSTRAINT (ADVICE.md r7): above that rung the
-    oracle's exact within-cell join can contain near-threshold pairs
-    the LSH path misses (recall ~0.996) — tools/check_oracle.py SKIPs
-    this query with a notice on such corpora instead of reporting a
-    false FAIL."""
+      * within a rep group all C(m,2) member pairs share ONE cosine
+        (the self-cosine, same fold as any pair) — count them without
+        materializing;
+      * a qualifying rep pair (a, b) contributes m_a * m_b member
+        pairs;
+      * member v is removed iff a qualifying neighbour with a smaller
+        id exists: any non-minimal member of a self-qualifying group,
+        plus members above the smallest adjacent rep id (adj_min) —
+        an O(groups) fold over the sorted id lists, no member joins.
+
+    The oracle replays the identical fold-ordered float math over raw
+    member pairs in DuckDB; both formulations count the same set, so
+    the result is bit-identical on ANY corpus.  On the x100 replica
+    corpus this turns the 200k-row within-cell join into a 2k-rep one
+    (r10 pricing: x23.95 wall at x100 rows; see SCALING.md r11).
+
+    Above SEMDEDUP_EXACT_MAX DISTINCT vectors the rep pair join
+    switches to the blocked numpy-margin brute force
+    (_blocked_cell_pairs) — still EXACT: pairs more than 1e-6 from
+    the threshold are provably decided identically by dgemm and the
+    fold, and the grey sliver re-runs the gate path's JVM fold.  This
+    replaced the r7-r10 banded-LSH candidate generator (recall 0.996,
+    and ~27 redundant band collisions per true pair on a
+    near-dup-dense corpus — the r10 x23.95 pricing outlier), so the
+    scale path no longer loses pairs; tools/check_oracle.py still
+    verifies large corpora against precomputed exact fixtures because
+    the DUCKDB side's n^2 join is what stops scaling, not this
+    plan."""
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    # persisted: the self-join below would otherwise re-run the
-    # assignment lineage twice (same guard as simhash/near-dup)
-    cells = assign_cells(spark, sf_dir, persist=True)
-    a = cells.select(
+    cells = assign_cells(spark, sf_dir)
+    # one representative per distinct (cell, vector); persisted: the
+    # rep self-join below would otherwise re-run the grouping twice
+    groups = (
+        cells.groupBy("cell", "embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.count("*").cast("long").alias("m"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .withColumn("nrm", norm(F.col("embedding")))
+        .persist()
+    )
+    # the rep count picks the code path AND materializes the persist
+    # exactly once (both downstream consumers then hit the cache)
+    n_rep = groups.count()
+    a = groups.select(
         F.col("cell"),
-        F.col("vec_id").alias("keep_id"),
+        F.col("gid").alias("keep_gid"),
+        F.col("m").alias("m_a"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    b = cells.select(
+    b = groups.select(
         F.col("cell").alias("b_cell"),
-        F.col("vec_id").alias("dup_id"),
+        F.col("gid").alias("dup_gid"),
+        F.col("m").alias("m_b"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
     cos_ab = dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
-    # row count from the RAW scan, not `cells`: every vector gets
-    # exactly one cell, and counting emb is a parquet-footer job while
-    # counting cells would materialize the crossJoin+window assignment
-    # lineage just to pick a code path (+0.6 s at sf0.1 in the r7
-    # bench before this line changed)
-    n_vec = emb.count()
-    if n_vec <= SEMDEDUP_EXACT_MAX:
-        cand = a.join(
-            b,
-            (F.col("cell") == F.col("b_cell"))
-            & (F.col("keep_id") < F.col("dup_id")),
+    if n_rep <= SEMDEDUP_EXACT_MAX:
+        # gate-scale path: zero-Python within-cell fold join
+        qpairs = (
+            a.join(
+                b,
+                (F.col("cell") == F.col("b_cell"))
+                & (F.col("keep_gid") < F.col("dup_gid")),
+            )
+            .filter(cos_ab >= F.lit(SEMDEDUP_COS))
+            .select("cell", "keep_gid", "dup_gid", "m_a", "m_b")
         )
     else:
-        # scale path: banded-LSH candidates (adaptive geometry)
-        # intersected with the cell key — the exact verify below is
-        # unchanged, only the candidate generator narrows (recall
-        # >= 0.996 at the threshold boundary per the ladder)
-        g_bands, g_rows = adaptive_band_geometry(n_vec)
-        sigs = banded_signatures(
-            cells, bands=g_bands, rows_per_band=g_rows
-        )
-        sa = sigs.select(F.col("vec_id").alias("keep_id"), "band", "sig")
-        sb = sigs.select(F.col("vec_id").alias("dup_id"), "band", "sig")
-        cand_ids = (
-            sa.join(sb, ["band", "sig"])
-            .filter(F.col("keep_id") < F.col("dup_id"))
-            .select("keep_id", "dup_id")
-            .distinct()
-        )
-        cand = (
-            cand_ids.join(a, "keep_id")
-            .join(b, "dup_id")
-            .filter(F.col("cell") == F.col("b_cell"))
-        )
-    pairs = cand.select(
-        "cell", "keep_id", "dup_id", cos_ab.alias("cos_sim")
-    ).filter(F.col("cos_sim") >= SEMDEDUP_COS)
-    cell_stats = cells.groupBy("cell").agg(F.count("*").alias("n_vectors"))
-    pair_stats = pairs.groupBy("cell").agg(
-        F.count("*").alias("n_pairs"),
-        F.countDistinct("dup_id").alias("n_removed"),
-    )
-    return (
-        cell_stats.join(pair_stats, "cell", "left")
-        .select(
-            "cell",
-            "n_vectors",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce(F.col("n_removed"), F.lit(0))
-            .cast("long")
-            .alias("n_removed"),
-            (
-                F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0))
+        # scale path: blocked numpy-margin brute force within cells
+        # (exact — see _blocked_cell_pairs); the grey sliver inside
+        # the margin re-runs the same JVM fold the gate path uses
+        blocked = _blocked_cell_pairs(groups, SEMDEDUP_COS)
+        ge = groups.select("gid", "embedding", "nrm")
+        grey_ok = (
+            blocked.filter(F.col("grey"))
+            .join(
+                ge.select(
+                    F.col("gid").alias("keep_gid"),
+                    F.col("embedding").alias("a_emb"),
+                    F.col("nrm").alias("a_nrm"),
+                ),
+                "keep_gid",
             )
-            .cast("long")
-            .alias("n_survivors"),
+            .join(
+                ge.select(
+                    F.col("gid").alias("dup_gid"),
+                    F.col("embedding").alias("b_emb"),
+                    F.col("nrm").alias("b_nrm"),
+                ),
+                "dup_gid",
+            )
+            .filter(cos_ab >= F.lit(SEMDEDUP_COS))
+            .select("cell", "keep_gid", "dup_gid", "m_a", "m_b")
         )
+        qpairs = (
+            blocked.filter(~F.col("grey"))
+            .select("cell", "keep_gid", "dup_gid", "m_a", "m_b")
+            .unionByName(grey_ok)
+        )
+    # member pairs contributed by qualifying cross-group rep pairs
+    cross = qpairs.groupBy("cell").agg(
+        F.sum(F.col("m_a") * F.col("m_b")).cast("long").alias("cross_pairs")
+    )
+    # smallest adjacent rep id per group (both directions of each pair)
+    adj = (
+        qpairs.select(
+            F.col("keep_gid").alias("gid"), F.col("dup_gid").alias("other")
+        )
+        .union(
+            qpairs.select(
+                F.col("dup_gid").alias("gid"),
+                F.col("keep_gid").alias("other"),
+            )
+        )
+        .groupBy("gid")
+        .agg(F.min("other").alias("adj_min"))
+    )
+    # self-cosine: the one cosine every within-group member pair
+    # shares — same fold as the pair path, so a zero vector (NaN)
+    # disqualifies its group's internal pairs in both engines
+    self_q = (
+        dot(F.col("embedding"), F.col("embedding"))
+        / (F.col("nrm") * F.col("nrm"))
+    ) >= F.lit(SEMDEDUP_COS)
+    gstats = groups.join(adj, "gid", "left").select(
+        "cell",
+        "gid",
+        "m",
+        "ids",
+        "adj_min",
+        self_q.alias("self_q"),
+    )
+    # member v removed iff some qualifying neighbour has a smaller id:
+    # self-qualifying groups remove every non-minimal member (plus the
+    # minimum when a smaller adjacent rep exists); otherwise only
+    # members above adj_min fall (filter() drops elements whose
+    # predicate is NULL, so no adjacency -> 0 removed)
+    removed = F.when(
+        F.col("self_q"),
+        (F.col("m") - 1)
+        + F.when(F.col("adj_min") < F.col("gid"), 1).otherwise(0),
+    ).otherwise(
+        F.coalesce(
+            F.size(F.filter(F.col("ids"), lambda v: v > F.col("adj_min"))),
+            F.lit(0),
+        )
+    )
+    within = F.when(
+        F.col("self_q"), F.expr("(m * (m - 1)) div 2")
+    ).otherwise(F.lit(0))
+    per_cell = gstats.groupBy("cell").agg(
+        F.sum("m").cast("long").alias("n_vectors"),
+        F.sum(within).cast("long").alias("within_pairs"),
+        F.sum(removed).cast("long").alias("n_removed"),
+    )
+    return per_cell.join(cross, "cell", "left").select(
+        "cell",
+        "n_vectors",
+        (
+            F.col("within_pairs")
+            + F.coalesce(F.col("cross_pairs"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_pairs"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        (F.col("n_vectors") - F.col("n_removed"))
+        .cast("long")
+        .alias("n_survivors"),
     )
 
 

@@ -156,11 +156,11 @@ def test_embed_neardup_planted_recall(spark):
 
 
 def test_semdedup_bucketed_path_matches_exact(spark):
-    """Force the banded-LSH-within-cell candidate path (used above
-    SEMDEDUP_EXACT_MAX vectors) against the exact within-cell join on
-    the same small corpus: per-cell pair/removal accounting must be
-    identical (cells, counts, and zero-pair rows ride the same
-    aggregates either way)."""
+    """Force the blocked numpy-margin path (used above
+    SEMDEDUP_EXACT_MAX distinct vectors) against the exact
+    within-cell fold join on the same small corpus: per-cell
+    pair/removal accounting must be identical (cells, counts, and
+    zero-pair rows ride the same aggregates either way)."""
     import binancedatapipelineinaws_spark.functions.similarity as sim
 
     q = queries()["q_ext_semdedup"]
@@ -172,6 +172,81 @@ def test_semdedup_bucketed_path_matches_exact(spark):
     finally:
         sim.SEMDEDUP_EXACT_MAX = orig
     assert bucketed == exact
+
+
+def test_semdedup_multiplicity_grouping_vs_naive(spark, tmp_path):
+    """Byte-identical embeddings collapse to one representative before
+    the pair join (r11); the pair/removal arithmetic over (m, ids)
+    must reproduce the naive all-member-pairs computation exactly.
+    Build a corpus where every vector appears 3x (multiplicities are
+    real, self-cosine pairs qualify), recompute per-cell counts with
+    a numpy brute force over the raw members, and check BOTH code
+    paths against it."""
+    import collections
+
+    import numpy as np
+
+    import binancedatapipelineinaws_spark.functions.similarity as sim
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = base.count()
+    multi = (
+        base.unionByName(base.withColumn("vec_id", F.col("vec_id") + n))
+        .unionByName(base.withColumn("vec_id", F.col("vec_id") + 2 * n))
+    )
+    out = str(tmp_path / "corp")
+    multi.write.parquet(out + "/embeddings.parquet")
+
+    mem = (
+        sim.assign_cells(spark, out)
+        .select("cell", "vec_id", "embedding", "nrm")
+        .collect()
+    )
+    bycell = collections.defaultdict(list)
+    for r in mem:
+        bycell[r.cell].append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64), r.nrm)
+        )
+    expected = {}
+    for cell, rows in sorted(bycell.items()):
+        ids = np.array([x[0] for x in rows])
+        emb = np.stack([x[1] for x in rows])
+        nrm = np.array([x[2] for x in rows])
+        cos = (emb @ emb.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(rows), k=1)
+        cs = cos[iu]
+        # the corpus must not sit on the float boundary, or "naive"
+        # itself would be summation-order-ambiguous
+        assert (np.abs(cs - sim.SEMDEDUP_COS) > 1e-6).all()
+        hit = cs >= sim.SEMDEDUP_COS
+        dup_ids = {
+            int(max(ids[i], ids[j]))
+            for i, j in zip(iu[0][hit], iu[1][hit])
+        }
+        expected[cell] = (
+            len(rows),
+            int(hit.sum()),
+            len(dup_ids),
+            len(rows) - len(dup_ids),
+        )
+    assert any(v[1] > 0 for v in expected.values())  # pairs exist
+
+    q = queries()["q_ext_semdedup"]
+    got_exact = {
+        r.cell: (r.n_vectors, r.n_pairs, r.n_removed, r.n_survivors)
+        for r in q(spark, out).collect()
+    }
+    assert got_exact == expected
+    orig = sim.SEMDEDUP_EXACT_MAX
+    sim.SEMDEDUP_EXACT_MAX = 0  # force the blocked path too
+    try:
+        got_blocked = {
+            r.cell: (r.n_vectors, r.n_pairs, r.n_removed, r.n_survivors)
+            for r in q(spark, out).collect()
+        }
+    finally:
+        sim.SEMDEDUP_EXACT_MAX = orig
+    assert got_blocked == expected
 
 
 def test_shingle_df_cap_removes_hot_key(spark):
