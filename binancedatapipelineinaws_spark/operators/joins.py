@@ -2197,17 +2197,34 @@ def q_ext_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + conditional-aggregation (CASE-WHEN pivot) benchmark.
 
     Plan: the year window pushes to the fact scan; the single shuffle
-    is the fact x orders key join (AQE may broadcast at small SF); the
-    band CASE and both priority CASEs fold into one whole-stage-codegen
-    aggregate over at most 3 groups — partial aggregation collapses
-    everything map-side, so the exchange moves ~3 rows per task."""
+    is the fact x orders key join (AQE may broadcast at small SF),
+    hinted SHUFFLE_HASH with the year-pruned fact as build (~1/7 of
+    lineitem, near-unique order keys — the q9 treatment, cf.
+    joins.py q_ext_tpch_q9): hash build+probe beats sorting BOTH
+    fact-sized sides, and the hint degrades to sort-merge wherever
+    SHJ is inapplicable.  Payloads are minimal on both sides — the
+    fact carries (key, shipdate) only, and the priority string folds
+    to a BOOLEAN before the exchange so the shuffle never moves
+    varchars.  The band CASE and both priority sums fold into one
+    whole-stage-codegen aggregate over at most 3 groups — partial
+    aggregation collapses everything map-side, so the final exchange
+    moves ~3 rows per task."""
     prepare(spark)
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate")
+        .hint("SHUFFLE_HASH")
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("is_high"),
     )
     band = (
         F.when(
@@ -2222,7 +2239,7 @@ def q_ext_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("SLOW")
     )
-    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    is_high = F.col("is_high")
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(band.alias("ship_speed"))
