@@ -142,6 +142,9 @@ HEADLINE = [
     "q_ext_tpch_q11",
     "q_ext_tpch_q12",
     "q_ext_pmi_collocations",
+    # r11: the k-round tokenizer trainer (5 sequential vocab-bounded
+    # merge rounds off one persisted word-count shuffle)
+    "q_ext_bpe_train_k",
 ]
 
 

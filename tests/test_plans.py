@@ -1295,3 +1295,23 @@ def test_pmi_pair_table_cached_marginals_broadcast(spark):
     assert "CartesianProduct" not in plan
     # the 1-row grand-total probe is the only nested-loop node
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bpe_train_k_rounds_never_rescan_corpus(spark):
+    """k-round BPE trainer: the corpus collapses to the persisted
+    word-count table ONCE; every merge round's pair aggregate and
+    vocab rewrite, and each round's persisted 1-row winner, resolve
+    to InMemoryTableScans (the FileScan text that remains sits inside
+    InMemoryRelation definitions and executes once, like gapfill).
+    Winners are TakeOrdered cuts; the only sort exchange is the final
+    5-row ORDER BY round."""
+    from binancedatapipelineinaws_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    plan = _plan(queries()["q_ext_bpe_train_k"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # 5 pair aggregates + 5 vocab rewrites + the output rows all read
+    # persisted relations
+    assert plan.count("InMemoryTableScan") >= 2 * BPE_TRAIN_ROUNDS
+    assert plan.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS

@@ -3927,3 +3927,49 @@ def test_tpch_q9_profit_additivity(spark):
     got_total = sum(Decimal(str(r.sum_profit)) for r in rows)
     assert abs(got_total - total) <= Decimal("0.000_02") * len(rows)
     assert {(r.nation, r.o_year) for r in rows} == keys
+
+
+def test_bpe_train_k_matches_naive_trainer(spark):
+    """The unrolled k-round trainer must reproduce a straight Python
+    BPE loop over the same word counts: same winner each round under
+    the (count desc, raw a, raw b) order (markers compared as their
+    chr codes, exactly the engines' binary collation), same greedy
+    left-to-right merges, same expanded merge table."""
+    import collections
+    import re
+
+    from binancedatapipelineinaws_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    wc: collections.Counter = collections.Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text"
+    ).collect():
+        for w in re.split(r"\s+", r.text.lower()):
+            if len(w) >= 2:
+                wc[w] += 1
+    words = dict(wc)
+    merges = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, n in words.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += n
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        nxt: collections.Counter = collections.Counter()
+        for w, n in words.items():
+            nxt[w.replace(a + b, chr(rnd))] += n
+        words = dict(nxt)
+    exp: dict = {}
+    expected = []
+    for rnd, (a, b, c) in enumerate(merges, start=1):
+        ea, eb = exp.get(a, a), exp.get(b, b)
+        exp[chr(rnd)] = ea + eb
+        expected.append((rnd, ea, eb, ea + eb, c))
+    got = [
+        tuple(r)
+        for r in queries()["q_ext_bpe_train_k"](spark, SF).collect()
+    ]
+    assert got == expected

@@ -84,6 +84,9 @@ EXPENSIVE = [
     "q_ext_tpch_q11",
     "q_ext_tpch_q12",
     "q_ext_pmi_collocations",
+    # r11: the k-round trainer (per-round cost is vocab-bounded, so
+    # the x100 ratio should price ~flat after the word-count shuffle)
+    "q_ext_bpe_train_k",
 ]
 
 
