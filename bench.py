@@ -145,6 +145,12 @@ HEADLINE = [
     # r11: the k-round tokenizer trainer (5 sequential vocab-bounded
     # merge rounds off one persisted word-count shuffle)
     "q_ext_bpe_train_k",
+    # r11 batch 2: range-vol estimator trio + intraday profile off the
+    # candle layer, the runs test, and sentence-level dedup accounting
+    "q_ext_range_vol",
+    "q_ext_intraday_profile",
+    "q_ext_runs_test",
+    "q_ext_sentence_dedup",
 ]
 
 
@@ -229,7 +235,7 @@ def main() -> None:
     full = dict(result, queries=timings)
     full.pop("key_note")
     print(json.dumps(full), file=sys.stderr)
-    for ndigits in (3, 2):
+    for ndigits in (3, 2, 1):
         result["queries"] = {
             s: round(timings[n], ndigits) for s, n in shorts.items()
         }

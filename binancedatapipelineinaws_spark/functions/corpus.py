@@ -654,3 +654,88 @@ def q_ext_strip_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.size("ts"), F.lit(0)).cast("long").alias("n_removed"),
         F.md5(stripped).alias("stripped_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence-level exact dedup accounting
+# ---------------------------------------------------------------------------
+
+SENT_MIN_CHARS = 20  # ignore fragments below this normalized length
+
+
+@register(
+    "q_ext_sentence_dedup",
+    oracle=f"""
+WITH sents AS (
+  SELECT source,
+         trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS s
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        FROM documents)
+), kept AS (
+  SELECT source, s FROM sents WHERE length(s) >= {SENT_MIN_CHARS}
+), freq AS (
+  SELECT s, count(*) AS c FROM kept GROUP BY s
+)
+SELECT k.source,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(DISTINCT k.s) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       CAST((sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS DOUBLE) / 1000000 AS dup_ratio
+FROM kept k JOIN freq f USING (s)
+GROUP BY k.source
+ORDER BY k.source
+""",
+)
+def q_ext_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level exact-duplicate accounting per source: sentences
+    (normalized: lowercase, whitespace-collapsed, >= {SENT_MIN_CHARS}
+    chars), distinct sentences, and sentences whose normalized form
+    appears more than once ANYWHERE in the corpus — the statistic
+    behind sentence-granular dedup (the C4 pipeline deduplicated at
+    span/sentence granularity; Raffel et al. 2020) and the
+    between-sources leakage complement of the in-document repetition
+    gate (q_ext_repetition).  Reference has no curation tier.
+
+    Plan: sentence explode is map-local (Generate off the scan); the
+    global frequency table aggregates on the normalized sentence key
+    (uniform, corpus-sized — the ONE big shuffle) and joins back
+    row-wise, exactly the dup-span gram pattern (corpus.py header):
+    no pair join, cost linear in sentences even when one boilerplate
+    sentence occurs in millions of docs.  The dup ratio lands on a
+    1e-6 grid by integer floor division (round() splits engines on
+    exact half-way rationals).  All counts integer-exact."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw"),
+        )
+        .select(
+            "source",
+            F.trim(
+                F.regexp_replace(F.lower(F.col("raw")), r"\s+", " ")
+            ).alias("s"),
+        )
+        .filter(F.length("s") >= SENT_MIN_CHARS)
+    )
+    freq = sents.groupBy("s").agg(F.count("*").alias("c"))
+    return (
+        sents.join(freq, "s")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.countDistinct("s").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_duplicated"),
+            F.expr(
+                "CAST((sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000L)"
+                " div count(*) AS DOUBLE) / 1000000"
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )

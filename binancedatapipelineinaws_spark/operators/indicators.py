@@ -2484,3 +2484,185 @@ def q_ext_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# range-based daily volatility estimators (Parkinson / Garman-Klass /
+# Rogers-Satchell)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_range_vol",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+, byday AS (
+  SELECT day, min(m) AS first_m, max(m) AS last_m,
+         max(high_c) AS high_c, min(low_c) AS low_c,
+         CAST(count(*) AS BIGINT) AS n_minutes
+  FROM candles GROUP BY day
+), d AS (
+  SELECT b.day, b.n_minutes, fc.open_c AS open_c, b.high_c, b.low_c,
+         lc.close_c AS close_c
+  FROM byday b
+  JOIN candles fc ON fc.m = b.first_m
+  JOIN candles lc ON lc.m = b.last_m
+), r AS (
+  SELECT day, n_minutes, open_c, high_c, low_c, close_c,
+         ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE)) AS hl,
+         ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE)) AS co,
+         ln(CAST(high_c AS DOUBLE) / CAST(close_c AS DOUBLE)) AS hc,
+         ln(CAST(high_c AS DOUBLE) / CAST(open_c AS DOUBLE)) AS ho,
+         ln(CAST(low_c AS DOUBLE) / CAST(close_c AS DOUBLE)) AS lc2,
+         ln(CAST(low_c AS DOUBLE) / CAST(open_c AS DOUBLE)) AS lo
+  FROM d
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_minutes,
+       open_c, high_c, low_c, close_c,
+       round(sqrt(hl * hl / (4 * ln(2))), 6) + 0.0 AS parkinson,
+       round(sqrt(greatest(
+         0.5 * hl * hl - (2 * ln(2) - 1) * co * co, 0)), 6) + 0.0
+         AS garman_klass,
+       round(sqrt(greatest(hc * ho + lc2 * lo, 0)), 6) + 0.0
+         AS rogers_satchell
+FROM r
+""",
+)
+def q_ext_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based daily volatility estimators from the session's
+    OHLC: Parkinson (high-low range), Garman-Klass (range + body),
+    and Rogers-Satchell (drift-robust) — the standard trio a desk
+    computes per session when tick-level realized vol
+    (q_ext_realized_vol) is too noisy or too expensive.  Public
+    formulae (Parkinson 1980; Garman & Klass 1980; Rogers & Satchell
+    1991); reference has no analytics tier.
+
+    Exactness: daily OHLC comes from the integer-cents candle layer
+    (first/last-minute joins, the q_ext_amihud pattern), so every
+    log ratio is a single shared double expression tree — no
+    accumulated float anywhere; both sqrt arguments are clamped at
+    zero in BOTH engines (epsilon-negative guard, the r7 drill
+    pattern) and `+ 0.0` normalizes any signed zero after rounding.
+
+    Plan: candle aggregate (ONE tick shuffle, reused via persist) ->
+    day rollup + two first/last-minute joins on the tiny candle
+    layer -> map-only closing algebra.  Day count is calendar-bounded
+    at any corpus size."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir).persist()
+    byday = c.groupBy("day").agg(
+        F.min("m").alias("first_m"),
+        F.max("m").alias("last_m"),
+        F.max("high_c").alias("high_c"),
+        F.min("low_c").alias("low_c"),
+        F.count("*").cast("long").alias("n_minutes"),
+    )
+    fc = c.select(F.col("m").alias("first_m"), F.col("open_c"))
+    lc = c.select(F.col("m").alias("last_m"), F.col("close_c"))
+    d = byday.join(fc, "first_m").join(lc, "last_m")
+
+    def lg(a, b):
+        return F.log(F.col(a).cast("double") / F.col(b).cast("double"))
+
+    hl, co = lg("high_c", "low_c"), lg("close_c", "open_c")
+    hc, ho = lg("high_c", "close_c"), lg("high_c", "open_c")
+    lc2, lo = lg("low_c", "close_c"), lg("low_c", "open_c")
+    ln2 = F.log(F.lit(2.0))
+    return d.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_minutes",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        (F.round(F.sqrt(hl * hl / (F.lit(4.0) * ln2)), 6) + F.lit(0.0))
+        .alias("parkinson"),
+        (
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.5) * hl * hl
+                        - (F.lit(2.0) * ln2 - F.lit(1.0)) * co * co,
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("garman_klass"),
+        (
+            F.round(
+                F.sqrt(F.greatest(hc * ho + lc2 * lo, F.lit(0.0))), 6
+            )
+            + F.lit(0.0)
+        ).alias("rogers_satchell"),
+    )
+
+
+@register(
+    "q_ext_intraday_profile",
+    oracle="WITH "
+    + _CANDLES_CTE
+    + """
+SELECT CAST(date_part('hour', m) * 60 + date_part('minute', m) AS BIGINT)
+         AS minute_of_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       -- integer floor division to a 4-dp grid: the means are exact
+       -- rationals of integer sums, and round() on the half-way
+       -- values (e.g. 2.76285) splits engines — floor on the scaled
+       -- integers cannot
+       CAST((sum(vol_u) * 10000) // (count(*) * 100000) AS DOUBLE)
+         / 10000 AS avg_volume,
+       CAST((sum(abs(close_c - open_c)) * 10000) // (count(*) * 100)
+            AS DOUBLE) / 10000 AS avg_abs_move,
+       CAST((sum(trades) * 10000) // count(*) AS DOUBLE) / 10000
+         AS avg_trades
+FROM candles
+GROUP BY 1
+ORDER BY minute_of_day
+""",
+)
+def q_ext_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday activity profile (the microstructure 'U-curve'): mean
+    volume, mean absolute open-to-close move, and mean trade count
+    per minute-of-day, averaged across all session days.  The seasonal
+    baseline every intraday anomaly/liquidity model subtracts first
+    (Admati & Pfleiderer 1988's deterministic intraday pattern);
+    reference has no analytics tier.
+
+    Exactness: every numerator is an INTEGER sum over the
+    integer-scaled candle layer (volume units, cents, trade counts) —
+    order-independent across partial-agg schedules — and the means
+    land on a 4-dp grid by integer FLOOR division (round() would
+    split engines on the exact half-way rationals these sums
+    produce, observed at sf0.01).
+
+    Plan: candle aggregate (one tick shuffle) -> one 1440-key
+    aggregate, partial map-side; output is calendar-bounded (<= 1440
+    rows) at any corpus size."""
+    prepare(spark)
+    c = _candles_c(spark, sf_dir)
+    mod = (F.hour("m") * 60 + F.minute("m")).cast("long")
+    n = F.count("*")
+
+    def grid4(num, denom_scale):
+        return (
+            F.expr(f"CAST(({num} * 10000L) div (cnt * {denom_scale}L)"
+                   " AS DOUBLE) / 10000")
+        )
+
+    agg = c.groupBy(mod.alias("minute_of_day")).agg(
+        n.cast("long").alias("n_days"),
+        F.sum("vol_u").alias("sv"),
+        F.sum(F.abs(F.col("close_c") - F.col("open_c"))).alias("sm"),
+        F.sum("trades").alias("st"),
+        n.alias("cnt"),
+    )
+    return agg.select(
+        "minute_of_day",
+        "n_days",
+        grid4("sv", 100000).alias("avg_volume"),
+        grid4("sm", 100).alias("avg_abs_move"),
+        grid4("st", 1).alias("avg_trades"),
+    ).orderBy("minute_of_day")

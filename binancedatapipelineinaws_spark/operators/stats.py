@@ -1352,3 +1352,127 @@ def q_ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on intraday direction
+# ---------------------------------------------------------------------------
+
+from binancedatapipelineinaws_spark.operators.indicators import (  # noqa: E402
+    _CANDLES_CTE as _IND_CANDLES_CTE,
+)
+
+
+@register(
+    "q_ext_runs_test",
+    oracle="WITH "
+    + _IND_CANDLES_CTE
+    + """
+, mv AS (
+  SELECT day, m,
+         close_c - lag(close_c) OVER (PARTITION BY day ORDER BY m) AS d
+  FROM candles
+), nz AS (
+  SELECT day, m, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+  FROM mv WHERE d IS NOT NULL AND d <> 0
+), marks AS (
+  SELECT day, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY day ORDER BY m)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS new_run
+  FROM nz
+), agg AS (
+  SELECT day,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM marks GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_up, n_down, runs,
+       round((CAST(runs AS DOUBLE)
+              - (1 + 2.0 * n_up * n_down / (n_up + n_down)))
+             / sqrt((2.0 * n_up * n_down
+                     * (2.0 * n_up * n_down - n_up - n_down))
+                    / (CAST(n_up + n_down AS DOUBLE)
+                       * (n_up + n_down) * (n_up + n_down - 1))),
+             6) + 0.0 AS z
+FROM agg
+WHERE n_up > 0 AND n_down > 0
+  AND 2 * n_up * n_down > n_up + n_down
+ORDER BY day
+""",
+)
+def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per session day over the direction of
+    minute close-to-close moves (flat minutes dropped, the classic
+    treatment): up count, down count, observed runs, and the normal
+    z statistic — the standard randomness screen for trending vs
+    mean-reverting intraday behavior (Wald & Wolfowitz 1940).
+    Reference has no analytics tier; complements the one-lag
+    autocorrelation (q_ext_return_autocorr) with a distribution-free
+    test.
+
+    Exactness: run/direction counts are INTEGERS off the exact-cents
+    candle layer; the z closing algebra is one shared double tree
+    from those integers (round 6, `+ 0.0` signed-zero guard).
+    Degenerate days (one-sided or sigma = 0, i.e.
+    2*n_up*n_down <= n_up+n_down) are excluded in both engines.
+
+    Plan: candle aggregate (one tick shuffle) -> two day-partitioned
+    lag windows (a year is 365 independent 1440-row frames, the
+    indicator-tier argument) -> one day rollup.  Calendar-bounded
+    output."""
+    prepare(spark)
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        _candles_c,
+    )
+
+    c = _candles_c(spark, sf_dir)
+    w = Window.partitionBy("day").orderBy("m")
+    mv = c.select(
+        "day",
+        "m",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("d"),
+    )
+    nz = mv.filter(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "day",
+        "m",
+        F.when(F.col("d") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    marks = nz.select(
+        "day",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = marks.groupBy("day").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    nu, nd, rr = F.col("n_up"), F.col("n_down"), F.col("runs")
+    mu = F.lit(1) + F.lit(2.0) * nu * nd / (nu + nd)
+    var = (
+        F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - nu - nd)
+    ) / ((nu + nd).cast("double") * (nu + nd) * (nu + nd - 1))
+    return (
+        agg.filter(
+            (nu > 0) & (nd > 0) & (2 * nu * nd > nu + nd)
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_up",
+            "n_down",
+            "runs",
+            (
+                F.round((rr.cast("double") - mu) / F.sqrt(var), 6)
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+        .orderBy("day")
+    )

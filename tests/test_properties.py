@@ -3973,3 +3973,59 @@ def test_bpe_train_k_matches_naive_trainer(spark):
         for r in queries()["q_ext_bpe_train_k"](spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_range_vol_ohlc_and_estimator_invariants(spark):
+    rows = queries()["q_ext_range_vol"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.low_c <= min(r.open_c, r.close_c)
+        assert r.high_c >= max(r.open_c, r.close_c)
+        for est in (r.parkinson, r.garman_klass, r.rogers_satchell):
+            assert est >= 0.0
+        # Parkinson and GK share the range term; GK subtracts a
+        # non-negative body correction, so GK <= Parkinson... only
+        # when the 0.5 vs 1/(4ln2) scale difference allows; instead
+        # pin the hard bound: every estimator <= the full range term
+        import math
+
+        hl = math.log(r.high_c / r.low_c)
+        assert r.parkinson <= hl + 1e-9
+        assert r.garman_klass <= hl + 1e-9
+
+
+def test_intraday_profile_partition_and_grid(spark):
+    df = queries()["q_ext_intraday_profile"](spark, SF).cache()
+    rows = df.collect()
+    assert 0 < len(rows) <= 1440
+    n_candles = sum(r.n_days for r in rows)
+    import pyspark.sql.functions as SF_
+
+    from binancedatapipelineinaws_spark.operators.indicators import (
+        _candles_c,
+    )
+
+    assert n_candles == _candles_c(spark, SF).count()
+    for r in rows:
+        assert 0 <= r.minute_of_day <= 1439
+        # 4-dp grid: scaled values are integral
+        for v in (r.avg_volume, r.avg_abs_move, r.avg_trades):
+            assert abs(v * 10000 - round(v * 10000)) < 1e-6
+
+
+def test_runs_test_count_invariants(spark):
+    rows = queries()["q_ext_runs_test"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.runs <= r.n_up + r.n_down
+        # at least two runs whenever both directions occur
+        assert r.runs >= 2
+
+
+def test_sentence_dedup_count_invariants(spark):
+    rows = queries()["q_ext_sentence_dedup"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_sentences
+        assert 0 <= r.n_duplicated <= r.n_sentences
+        assert 0.0 <= r.dup_ratio <= 1.0

@@ -263,8 +263,10 @@ def test_bench_json_line_fits_driver_capture_window():
     and parses the JSON from that window; BENCH_r10.json recorded
     `parsed: null` because the full-name queries dict outgrew it.
     Pin the r11 contract: with worst-case 3-digit timings for every
-    headline id, the compact stripped-key line stays under 1950 and
-    the stripped ids are collision-free."""
+    headline id, the compact stripped-key line stays under 1950 on
+    the deepest degrade rung (1dp) and a REALISTIC worst case (every
+    query at 99.99 s) already fits the 2dp rung; the stripped ids
+    are collision-free."""
     import json as _json
 
     import bench
@@ -277,21 +279,23 @@ def test_bench_json_line_fits_driver_capture_window():
 
     shorts = {_short(n) for n in bench.HEADLINE}
     assert len(shorts) == len(bench.HEADLINE), "short-id collision"
-    # worst case the degrade step must still absorb: every query at
-    # 999.99 s (2dp rung)
-    line = _json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 99999.999,
-            "unit": "sec",
-            "queries": {s: 999.99 for s in sorted(shorts)},
-            "sf": 0.1,
-            "host_calib_sec": 0.437,
-            "key_note": "ids lack their q_/q_ext_ prefix",
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1950, len(line)
+
+    def _line(val):
+        return _json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": 99999.999,
+                "unit": "sec",
+                "queries": {s: val for s in sorted(shorts)},
+                "sf": 0.1,
+                "host_calib_sec": 0.437,
+                "key_note": "ids lack their q_/q_ext_ prefix",
+            },
+            separators=(",", ":"),
+        )
+
+    assert len(_line(99.99)) < 1950, len(_line(99.99))  # realistic, 2dp
+    assert len(_line(999.9)) < 1950, len(_line(999.9))  # 1dp rung
 
 
 def test_every_registered_query_has_an_oracle():

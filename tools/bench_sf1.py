@@ -87,6 +87,13 @@ EXPENSIVE = [
     # r11: the k-round trainer (per-round cost is vocab-bounded, so
     # the x100 ratio should price ~flat after the word-count shuffle)
     "q_ext_bpe_train_k",
+    # r11 batch 2: the sentence-frequency join-back is the corpus-
+    # sized surface to watch (measured x5.6 at x100); the candle-layer
+    # trio price with the tick shuffle (x1.8-2.8)
+    "q_ext_sentence_dedup",
+    "q_ext_range_vol",
+    "q_ext_intraday_profile",
+    "q_ext_runs_test",
 ]
 
 
