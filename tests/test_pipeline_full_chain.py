@@ -321,3 +321,91 @@ def test_ws_to_merge_state_crash_restart(spark, tmp_path):
     want2 = reference()  # recomputed over ALL wire lines
     assert state_rows() == want2
     assert len(want2) == len(want1) + 1  # the new minute keyed a new row
+
+
+def test_merge_state_torn_publish_remerges_inflight_batch(
+    spark, tmp_path
+):
+    """VERDICT r10 item 6 — the crash window no test had killed
+    inside: the process dies BETWEEN the two publish renames of a
+    batch that carried NEW data, AND before the checkpoint commit.
+    On-disk torn state: table_dir absent, `.old-N` = the PRE-batch
+    snapshot (whose _applied_max excludes the in-flight batch),
+    `.tmp-N` partially staged, checkpoint commit for batch N gone.
+    The restarted query must restore the snapshot, see batch N as
+    NOT applied, RE-MERGE it (not no-op — the branch
+    test_ws_to_merge_state_crash_restart never takes), and converge
+    to the batch recomputation: no loss, no double count."""
+    import os
+    import shutil
+
+    from binancedatapipelineinaws_spark.streaming.pipeline import (
+        _merge_applied_max,
+        merge_state_sink,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = ev.schema
+    cut = ev.selectExpr("percentile(event_id, 0.5)").first()[0]
+    b0 = ev.filter(F.col("event_id") <= cut)
+    b1 = ev.filter(F.col("event_id") > cut)
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_files(df, tag):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{tag}")
+        import glob as g
+
+        for i, p in enumerate(sorted(g.glob(f"{src}/{tag}/part-*"))):
+            os.rename(p, f"{src}/{tag}_{i}.parquet")
+
+    def run():
+        q = merge_state_sink(
+            spark.readStream.schema(schema).parquet(src), table_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(table_dir + "/data").collect()
+        )
+
+    add_files(b0, "b0")
+    run()
+    assert _merge_applied_max(table_dir) == 0
+    pre_batch_snapshot = str(tmp_path / "s0_copy")
+    shutil.copytree(table_dir, pre_batch_snapshot)
+
+    add_files(b1, "b1")
+    run()
+    assert _merge_applied_max(table_dir) == 1
+    want = rows()  # the correctly accumulated two-batch state
+
+    # fabricate the torn mid-publish state of batch 1: the published
+    # table is GONE (its markers with it), the pre-batch snapshot sits
+    # at .old-1, the staged version is half-written at .tmp-1, and the
+    # checkpoint never committed batch 1
+    shutil.rmtree(table_dir)
+    os.rename(pre_batch_snapshot, table_dir + ".old-1")
+    os.makedirs(table_dir + ".tmp-1/data")  # no marker: torn stage
+    commits = [
+        p
+        for p in glob.glob(f"{ckpt}/commits/*")
+        if p.rsplit("/", 1)[1].isdigit()
+    ]
+    newest = max(commits, key=lambda p: int(p.rsplit("/", 1)[1]))
+    os.remove(newest)
+    crc = newest.rsplit("/", 1)[0] + "/." + newest.rsplit("/", 1)[1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # restart: recovery restores the snapshot (marker 0), Spark
+    # re-delivers batch 1, and the sink RE-MERGES it
+    run()
+    assert rows() == want
+    assert _merge_applied_max(table_dir) == 1
+    assert not os.path.isdir(table_dir + ".old-1")
+    assert not os.path.isdir(table_dir + ".tmp-1")
