@@ -106,12 +106,11 @@ _FORCE_FIRST: tuple[str, ...] = (
 # Late additions explicitly queued BEHIND the earlier unverified batch
 # when a round's 50-slot window is already full.
 _DEFER: tuple[str, ...] = (
-    # r10: empty — r9's three deferred ids all landed clean rows in
-    # CORRECTNESS_r09.  Window math this round: K new r10 ids (each
-    # unverified, so they take the first K slots) + the 31 r3-vintage
-    # green rows + (19 - K) oldest r4 rows = 50.  Keep K <= ~6 so the
-    # whole r3 tier refreshes and the staleness ratchet
-    # (STALENESS_BOUND_ROUNDS = 6) holds after the round.
+    # r11: empty.  Window math this round: 5 new r11 ids (unverified,
+    # so they take the first 5 slots) + ~45 oldest green rows = the
+    # whole 28-row r4 tier plus the 17 oldest r5 rows.  r12 then
+    # finishes the remaining ~16 r5 rows with room to spare, keeping
+    # the staleness ratchet (STALENESS_BOUND_ROUNDS = 6) green.
 )
 
 # Hash-identical plan rewrites whose existing clean driver rows remain
