@@ -993,10 +993,27 @@ def _blocked_cell_pairs(groups: DataFrame, threshold: float) -> DataFrame:
         "nrm",
     )
 
+    empty = pd.DataFrame(
+        {
+            "cell": np.array([], dtype=np.int64),
+            "keep_gid": np.array([], dtype=np.int64),
+            "dup_gid": np.array([], dtype=np.int64),
+            "m_a": np.array([], dtype=np.int64),
+            "m_b": np.array([], dtype=np.int64),
+            "grey": np.array([], dtype=bool),
+        }
+    )
+
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        diagonal = len(b) == 0
+        # diagonal by KEY, never by emptiness: a hash-empty block on
+        # either side leaves a one-sided group, and treating it as
+        # diagonal would re-emit the other block's internal pairs
+        # (double count); np.stack would throw on the empty side
+        diagonal = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        if len(a) == 0 or (not diagonal and len(b) == 0):
+            return empty
         if diagonal:
             b = a
         ea = np.stack(a["embedding"].to_numpy()).astype(np.float64)

@@ -4029,3 +4029,27 @@ def test_sentence_dedup_count_invariants(spark):
         assert r.n_distinct <= r.n_sentences
         assert 0 <= r.n_duplicated <= r.n_sentences
         assert 0.0 <= r.dup_ratio <= 1.0
+
+
+def test_semdedup_blocked_path_with_empty_hash_blocks(spark):
+    """Regression (r11): hash block assignment can leave a block
+    empty, producing one-sided applyInPandas groups.  Diagonal
+    detection must go by the (bi, bj) KEY — emptiness-based detection
+    either crashed np.stack (empty bi) or double-counted a block's
+    internal pairs (empty bj read as diagonal).  BLOCK=1 makes empty
+    slots and every group shape (diagonal, one-sided, cross)
+    guaranteed at gate scale; the result must equal the exact path
+    bit-for-bit."""
+    import binancedatapipelineinaws_spark.functions.similarity as sim
+
+    q = queries()["q_ext_semdedup"]
+    exact = {tuple(r) for r in q(spark, SF).collect()}
+    om, ob = sim.SEMDEDUP_EXACT_MAX, sim.SEMDEDUP_BLOCK
+    sim.SEMDEDUP_EXACT_MAX = 0
+    sim.SEMDEDUP_BLOCK = 1
+    try:
+        got = {tuple(r) for r in q(spark, SF).collect()}
+    finally:
+        sim.SEMDEDUP_EXACT_MAX = om
+        sim.SEMDEDUP_BLOCK = ob
+    assert got == exact
