@@ -1315,3 +1315,33 @@ def test_bpe_train_k_rounds_never_rescan_corpus(spark):
     # persisted relations
     assert plan.count("InMemoryTableScan") >= 2 * BPE_TRAIN_ROUNDS
     assert plan.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS
+
+
+def test_range_vol_single_candle_shuffle_no_window(spark):
+    """Range-vol: ONE tick shuffle (the minute-candle aggregate,
+    persisted — day rollup and both first/last-minute joins read the
+    cache), no Window nodes, no cartesian; the closing log algebra is
+    map-only."""
+    plan = _plan(queries()["q_ext_range_vol"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count(" Window [") <= 2  # the candle open/close ranks only
+    assert plan.count("InMemoryTableScan") >= 3  # rollup + 2 minute joins
+
+
+def test_intraday_profile_two_exchanges(spark):
+    """Intraday profile: the candle aggregate and the 1440-key rollup
+    are the only hash shuffles; both partial-aggregate map-side."""
+    plan = _plan(queries()["q_ext_intraday_profile"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_sentence_dedup_one_corpus_shuffle_no_pairs(spark):
+    """Sentence dedup rides the dup-span gram law: sentence explode is
+    map-local, the frequency aggregate + row-wise join-back shuffle on
+    the sentence key, and NO pair join exists anywhere."""
+    plan = _plan(queries()["q_ext_sentence_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one Generate: the sentence explode, fused into the scan side
+    assert plan.count("Generate") == 2  # explode appears on both join branches
