@@ -1324,7 +1324,9 @@ def test_range_vol_single_candle_shuffle_no_window(spark):
     map-only."""
     plan = _plan(queries()["q_ext_range_vol"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count(" Window [") <= 2  # the candle open/close ranks only
+    # min_by/max_by candles produce NO Window at all (ADVICE r11: the
+    # old <=2 slack weakened the "no window" guarantee the name makes)
+    assert plan.count(" Window [") == 0
     assert plan.count("InMemoryTableScan") >= 3  # rollup + 2 minute joins
 
 

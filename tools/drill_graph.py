@@ -38,7 +38,10 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+# base corpus: $SPARK_GRAFT_SF_DIR (the driver's own knob) or
+# --src=PATH; hardcoding broke silently on testdata relocation
+# (ADVICE r11 item 4)
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PR_MINSUP = 2  # mirror operators/graph.PR_MINSUP
 
 
@@ -132,7 +135,12 @@ def graph_counts(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    global SRC
+    for arg in sys.argv[1:]:
+        if arg.startswith("--src="):
+            SRC = arg[len("--src="):]
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = int(positional[0]) if positional else 1000
     shared = "--shared-parts" in sys.argv
     count_only = "--count-only" in sys.argv
     keep = "--keep" in sys.argv
