@@ -699,14 +699,21 @@ def q_ext_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between-sources leakage complement of the in-document repetition
     gate (q_ext_repetition).  Reference has no curation tier.
 
-    Plan: sentence explode is map-local (Generate off the scan); the
-    global frequency table aggregates on the normalized sentence key
-    (uniform, corpus-sized — the ONE big shuffle) and joins back
-    row-wise, exactly the dup-span gram pattern (corpus.py header):
-    no pair join, cost linear in sentences even when one boilerplate
-    sentence occurs in millions of docs.  The dup ratio lands on a
-    1e-6 grid by integer floor division (round() splits engines on
-    exact half-way rationals).  All counts integer-exact."""
+    Plan: sentence explode is map-local (Generate off the scan); raw
+    sentence rows collapse IMMEDIATELY to (s, source, cnt) — the ONE
+    corpus-sized shuffle, and map-side combine shrinks the shuffled
+    bytes to distinct (s, source) pairs per map partition.  The
+    global frequency table and the join-back then operate on the
+    pre-aggregated rows only (distinct sentences per source, not raw
+    sentence rows — the r11 shape shuffled the raw rows twice and
+    priced x100 at 5.62).  No pair join anywhere; cost linear in
+    sentences even when one boilerplate sentence occurs in millions
+    of docs.  The dup ratio lands on a 1e-6 grid by integer floor
+    division (round() splits engines on exact half-way rationals);
+    the scaled numerator is computed in DECIMAL because the DuckDB
+    side sums in HUGEINT — a BIGINT numerator would overflow past
+    ~9.2e12 duplicated sentences where the oracle stays exact.  All
+    counts integer-exact."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     sents = (
@@ -722,19 +729,21 @@ def q_ext_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("s") >= SENT_MIN_CHARS)
     )
-    freq = sents.groupBy("s").agg(F.count("*").alias("c"))
+    per = sents.groupBy("s", "source").agg(F.count("*").alias("cnt"))
+    freq = per.groupBy("s").agg(F.sum("cnt").alias("c"))
     return (
-        sents.join(freq, "s")
+        per.join(freq, "s")
         .groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_sentences"),
-            F.countDistinct("s").cast("long").alias("n_distinct"),
-            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("n_sentences"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_duplicated"),
             F.expr(
-                "CAST((sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000L)"
-                " div count(*) AS DOUBLE) / 1000000"
+                "CAST((CAST(sum(CASE WHEN c > 1 THEN cnt ELSE 0 END)"
+                " AS DECIMAL(25,0)) * 1000000)"
+                " div sum(cnt) AS DOUBLE) / 1000000"
             ).alias("dup_ratio"),
         )
         .orderBy("source")
