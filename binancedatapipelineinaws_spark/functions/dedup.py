@@ -460,6 +460,38 @@ def q_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: each node takes the minimum of
+    its own and its neighbors' labels.  Every join is PINNED to
+    shuffle-hash: left to its own devices AQE sees a small label table
+    and builds a driver-side broadcast EVERY round — one such build
+    OOM'd the shared JVM in the r11 x100 sweep under 4-way query
+    concurrency (SCALE_r11.json incident; a real cluster shares its
+    driver the same way).  The label table is never the memory problem
+    executor-side (one row per pair-graph node), so a per-partition
+    hash build costs the same shuffle the groupBy already pays, with
+    zero driver footprint and no retry dependence.  A session-level
+    autoBroadcastJoinThreshold would leak to concurrent queries on the
+    shared session; the hint is scoped to these joins only."""
+    neighbor_min = (
+        edges.join(
+            labels.select(
+                F.col("doc_id").alias("dst"),
+                F.col("cluster_id").alias("n_label"),
+            ).hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("n_label").alias("neighbor_label"))
+    )
+    return labels.join(neighbor_min.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            "cluster_id", F.coalesce("neighbor_label", "cluster_id")
+        ).alias("cluster_id"),
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Transitive-closure clustering of a (doc_a, doc_b) pair graph via
     iterative min-label propagation (the Pregel/hash-to-min pattern):
@@ -496,30 +528,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("cluster_id").alias("n_label"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("n_label").alias("neighbor_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("neighbor_label", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = propagation_round(edges, labels).localCheckpoint(
+            eager=True
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()

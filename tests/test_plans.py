@@ -1338,6 +1338,32 @@ def test_intraday_profile_two_exchanges(spark):
     assert "partial_" in plan
 
 
+def test_clusters_propagation_round_pins_shuffle_hash(spark):
+    """Min-label propagation must NEVER plan a broadcast build: AQE
+    sees a small label table and would broadcast it to the driver
+    EVERY round — the r11 x100 sweep OOM'd the shared JVM exactly
+    there (SCALE_r11.json incident).  One propagation round, executed
+    so AQE finalizes: shuffle-hash joins only, zero broadcast."""
+    from pyspark.sql import functions as F
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        propagation_round,
+    )
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"), (F.col("id") % 37).alias("dst")
+    )
+    labels = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+    )
+    out = propagation_round(edges, labels)
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("ShuffledHashJoin") == 2  # neighbor join + merge
+
+
 def test_sentence_dedup_one_corpus_shuffle_no_pairs(spark):
     """Sentence dedup rides the dup-span gram law: sentence explode is
     map-local, the frequency aggregate + row-wise join-back shuffle on
