@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from binancedatapipelineinaws_spark.registry import register
 from binancedatapipelineinaws_spark.session import prepare
@@ -34,6 +35,18 @@ PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1e-12 resolution
 PR_ITERS = 3  # fixed unrolled power iterations (the gate's horizon)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 PR_MINSUP = 2  # co-purchase support floor bounding the edge list
+# Densification cap (r12): per-node top-K neighbor truncation for the
+# *_capped variants.  The r11 x1000 drill (tools/drill_graph.py
+# --shared-parts) showed that under FIXED-CATALOG densification (1000x
+# more orders over the same part catalog) the support floor stops
+# bounding anything — every pair crosses it, degrees densify, and the
+# degree-ordered wedge count grows ~9.3e5x.  Keeping only each node's
+# top-K strongest neighbors (by co-purchase support, deterministic
+# (n_sup DESC, dst) order) bounds degree at 2K after re-symmetrization,
+# so wedges are <= N*C(2K,2) REGARDLESS of order volume — a data-size
+# bound becomes a catalog-size bound.  The uncapped ids keep the
+# pinned PR_MINSUP spec; these are the registered scale-regime knob.
+GRAPH_CAP_K = 8
 
 # Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.x inlines
 # plain CTEs per use, so `und` (the quadratic-looking self-join) would
@@ -79,11 +92,11 @@ def _pr_iter_sql(i: int) -> str:
 """
 
 
-@register(
-    "q_ext_pagerank",
-    oracle="WITH "
-    + _PR_EDGES_CTE
-    + f"""
+# The unrolled power-iteration chain + final select, shared by the
+# uncapped and capped pagerank oracles (both expose CTEs named edges /
+# deg / n, which is all the iterations reference).
+_PR_BODY_SQL = (
+    f"""
 , it0 AS (
   SELECT part, deg,
          CAST({PR_SCALE} // (SELECT n_nodes FROM n) AS BIGINT) AS pr
@@ -94,24 +107,51 @@ def _pr_iter_sql(i: int) -> str:
     + f"""
 SELECT part, deg, CAST(pr AS BIGINT) AS pr_scaled
 FROM it{PR_ITERS}
-""",
+"""
 )
-def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the co-purchase part graph ({PR_ITERS} power
-    iterations, damping {PR_DAMP_NUM}/{PR_DAMP_DEN}, ranks as
-    PR_SCALE-fixed-point BIGINTs so both engines produce bit-identical
-    integers — see module docstring).
 
-    Plan: the edge list is the q_ext_copurchase_pairs support join
-    (basket-width-bounded, support floor {PR_MINSUP}) symmetrized;
-    each unrolled iteration is contribution projection (map-only
-    integer division) -> edge join keyed on src -> ONE dst-keyed
-    partial+final sum -> teleport merge.  Per-iteration cost is one
-    O(E) shuffle; nothing is ever collected to the driver, and the
-    iteration count is a constant, so the plan is a fixed pipeline of
-    {PR_ITERS} joins Catalyst schedules like any other — the Pregel
-    message pass without leaving the DataFrame API."""
-    prepare(spark)
+# Capped-edge CTE chain: identical co-purchase support join, but each
+# node keeps only its GRAPH_CAP_K strongest neighbors (n_sup DESC, dst
+# tie-break — a total order, so both engines cut identically) before
+# re-symmetrization.  Exposes the same edges / deg / n names as
+# _PR_EDGES_CTE so the kernel bodies compose unchanged.
+_PR_EDGES_CAPPED_CTE = f"""
+op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_MINSUP}
+), sym AS MATERIALIZED (
+  SELECT part_a AS src, part_b AS dst, n_sup FROM und
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst, n_sup FROM und
+), keptd AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n_sup DESC, dst) AS rn
+    FROM sym) r
+  WHERE rn <= {GRAPH_CAP_K}
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM keptd
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM keptd) u
+), deg AS MATERIALIZED (
+  SELECT src AS part, count(*) AS deg FROM edges GROUP BY src
+), n AS (
+  SELECT count(*) AS n_nodes FROM deg
+)
+"""
+
+
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered co-purchase pairs (part_a < part_b, n_sup) —
+    the shared edge source for every graph kernel."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(
@@ -120,7 +160,7 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = op.select(
         F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
     )
-    und = (
+    return (
         a.join(
             b,
             (F.col("ok") == F.col("ok2"))
@@ -130,11 +170,39 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sup"))
         .filter(F.col("n_sup") >= PR_MINSUP)
     )
-    edges = und.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+
+
+def _copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric capped edge list: per-node top-GRAPH_CAP_K neighbors
+    by (n_sup DESC, dst), then re-symmetrized + distinct so kernels
+    keep their undirected-graph invariants (degree <= 2K).  The
+    row_number cut is one shuffle on src — same key the degree count
+    pays anyway — and everything downstream is bounded by catalog
+    size, not order volume (see GRAPH_CAP_K note)."""
+    und = _copurchase_und(spark, sf_dir)
+    sym = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "n_sup"
     ).unionAll(
-        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        und.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            "n_sup",
+        )
     )
+    w = Window.partitionBy("src").orderBy(F.desc("n_sup"), F.asc("dst"))
+    keptd = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GRAPH_CAP_K)
+        .select("src", "dst")
+    )
+    return keptd.unionAll(
+        keptd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _pagerank_on(edges: DataFrame) -> DataFrame:
+    """PR_ITERS unrolled fixed-point power iterations over a symmetric
+    (src, dst) edge list; see q_ext_pagerank for the plan shape."""
     # persisted: reused by deg + every iteration's join
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
@@ -179,6 +247,54 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("part", "deg", F.col("pr").alias("pr_scaled"))
 
 
+@register(
+    "q_ext_pagerank",
+    oracle="WITH " + _PR_EDGES_CTE + _PR_BODY_SQL,
+)
+def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph ({PR_ITERS} power
+    iterations, damping {PR_DAMP_NUM}/{PR_DAMP_DEN}, ranks as
+    PR_SCALE-fixed-point BIGINTs so both engines produce bit-identical
+    integers — see module docstring).
+
+    Plan: the edge list is the q_ext_copurchase_pairs support join
+    (basket-width-bounded, support floor {PR_MINSUP}) symmetrized;
+    each unrolled iteration is contribution projection (map-only
+    integer division) -> edge join keyed on src -> ONE dst-keyed
+    partial+final sum -> teleport merge.  Per-iteration cost is one
+    O(E) shuffle; nothing is ever collected to the driver, and the
+    iteration count is a constant, so the plan is a fixed pipeline of
+    {PR_ITERS} joins Catalyst schedules like any other — the Pregel
+    message pass without leaving the DataFrame API."""
+    prepare(spark)
+    und = _copurchase_und(spark, sf_dir)
+    edges = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    return _pagerank_on(edges)
+
+
+@register(
+    "q_ext_pagerank_capped",
+    oracle="WITH " + _PR_EDGES_CAPPED_CTE + _PR_BODY_SQL,
+)
+def q_ext_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the per-node top-{GRAPH_CAP_K} co-purchase graph —
+    the densification-regime variant (VERDICT r11 item 2): under
+    fixed-catalog growth the uncapped edge list densifies without
+    bound (x1000 drill: wedge count ~9.3e5x), so production curation
+    pipelines truncate to each node's strongest neighbors before any
+    iterative kernel (the standard kNN-graph sparsification).  Same
+    {PR_ITERS} fixed-point iterations as q_ext_pagerank; the only new
+    cost is one row_number window on the src key the degree count
+    shuffles on anyway.  The uncapped id keeps the pinned PR_MINSUP
+    spec; this id registers the scale knob with its own oracle."""
+    prepare(spark)
+    return _pagerank_on(_copurchase_edges_capped(spark, sf_dir))
+
+
 # --- triangle counting / global clustering coefficient -----------------------
 # The second classic edge-partitioned graph kernel: triangles via the
 # DEGREE-ORDERED orientation (Suri & Vassilvitskii 2011, "Counting
@@ -190,11 +306,9 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skewed degree distribution.  All counts are exact integers.
 
 
-@register(
-    "q_ext_triangles",
-    oracle="WITH "
-    + _PR_EDGES_CTE
-    + """
+# Triangle/wedge oracle body over any CTE chain exposing edges + deg
+# (shared by the uncapped and capped registrations).
+_TRI_BODY_SQL = """
 , oriented AS MATERIALIZED (
   -- dv carried so wedges can be canonicalized by the SAME total
   -- order, making the closing probe a single equi-join; MATERIALIZED
@@ -219,48 +333,12 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM oriented) AS n_edges,
        (SELECT n_triangles FROM tri) AS n_triangles,
        (SELECT n_wedges FROM wed) AS n_wedges
-""",
-)
-def q_ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle and wedge counts of the co-purchase graph (the
-    global clustering coefficient's numerator 3T and denominator W as
-    exact BIGINTs — the ratio itself would be a float; consumers
-    divide).  See the orientation note above: wedges come only from
-    each vertex's HIGHER-ordered neighbors, so a hub of degree d
-    contributes wedges from its few low-ordered neighbors, not d^2.
+"""
 
-    Plan: orient (broadcast deg twice onto the edge list, map-only
-    filter; the v-side degree rides along) -> self-join on the wedge
-    pivot u (one shuffle) with the wedge endpoints canonicalized by
-    the SAME (deg, id) total order as the orientation -> close the
-    wedge with ONE equi-join back to oriented edges on the (x, y)
-    pair (an OR-of-orientations condition here would plan as a
-    nested-loop join — the canonical order makes it hash-joinable)
-    -> three 1-row aggregates crossJoined into one output row."""
-    prepare(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
-    )
-    und = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok2"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_sup"))
-        .filter(F.col("n_sup") >= PR_MINSUP)
-    )
-    edges = und.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionAll(
-        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+
+def _triangle_stats_on(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle/wedge counting over a symmetric
+    (src, dst) edge list; see q_ext_triangles for the plan shape."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("part"), "deg"
     )
@@ -310,6 +388,55 @@ def q_ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_wed))
         .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
     )
+
+
+@register(
+    "q_ext_triangles",
+    oracle="WITH " + _PR_EDGES_CTE + _TRI_BODY_SQL,
+)
+def q_ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle and wedge counts of the co-purchase graph (the
+    global clustering coefficient's numerator 3T and denominator W as
+    exact BIGINTs — the ratio itself would be a float; consumers
+    divide).  See the orientation note above: wedges come only from
+    each vertex's HIGHER-ordered neighbors, so a hub of degree d
+    contributes wedges from its few low-ordered neighbors, not d^2.
+
+    Plan: orient (broadcast deg twice onto the edge list, map-only
+    filter; the v-side degree rides along) -> self-join on the wedge
+    pivot u (one shuffle) with the wedge endpoints canonicalized by
+    the SAME (deg, id) total order as the orientation -> close the
+    wedge with ONE equi-join back to oriented edges on the (x, y)
+    pair (an OR-of-orientations condition here would plan as a
+    nested-loop join — the canonical order makes it hash-joinable)
+    -> three 1-row aggregates crossJoined into one output row."""
+    prepare(spark)
+    und = _copurchase_und(spark, sf_dir)
+    edges = und.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    return _triangle_stats_on(edges)
+
+
+@register(
+    "q_ext_triangles_capped",
+    oracle="WITH " + _PR_EDGES_CAPPED_CTE + _TRI_BODY_SQL,
+)
+def q_ext_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle/wedge counts over the per-node top-{GRAPH_CAP_K}
+    co-purchase graph — the densification-regime twin of
+    q_ext_pagerank_capped (see GRAPH_CAP_K).  This is the kernel the
+    cap exists FOR: the wedge join's O(E^1.5) bound is driven by the
+    degree distribution, and capping degree at 2K turns the x1000
+    shared-catalog wedge blow-up (~9.3e5x, tools/drill_graph.py) into
+    a hard N*C(2K,2) ceiling while keeping the strongest co-purchase
+    structure (exactly what a kNN-sparsified similarity graph keeps).
+    Same degree-ordered orientation + single closing equi-join as the
+    uncapped id."""
+    prepare(spark)
+    return _triangle_stats_on(_copurchase_edges_capped(spark, sf_dir))
 
 
 # --- k-core peeling -----------------------------------------------------------
@@ -372,24 +499,7 @@ def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: no graph surface (start_all_pipeline.py:463-464 single
     table) — engine superset, same family as q_ext_pagerank."""
     prepare(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
-    )
-    und = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok2"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_sup"))
-        .filter(F.col("n_sup") >= PR_MINSUP)
-    )
+    und = _copurchase_und(spark, sf_dir)
     edges = und.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionAll(

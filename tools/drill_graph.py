@@ -63,11 +63,17 @@ def build_corpus(spark, reps: int, shared_parts: bool, out: str) -> None:
     scaled.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
 
-def graph_counts(spark, sf_dir: str) -> dict:
+def graph_counts(spark, sf_dir: str, cap: int | None = None) -> dict:
     """Analytic pricing of the co-purchase graph: edges, degree
     moments, and the EXACT degree-ordered wedge count the triangle
     kernel would enumerate — all from aggregates, no wedge/pair join
-    materialized."""
+    materialized.  With `cap`, prices the *_capped variants' graph
+    instead (per-node top-cap neighbors by (sup DESC, dst), then
+    re-symmetrized — mirrors operators/graph._copurchase_edges_capped)
+    so the shared-parts densification rung can show the wedge bound
+    holding."""
+    from pyspark.sql.window import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.alias("a")
@@ -86,6 +92,30 @@ def graph_counts(spark, sf_dir: str) -> dict:
         .filter(F.col("sup") >= PR_MINSUP)
         .persist()
     )
+    if cap is not None:
+        sym = und.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), "sup"
+        ).unionAll(
+            und.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst"), "sup"
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("sup"), F.asc("dst"))
+        keptd = (
+            sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .select("src", "dst")
+        )
+        und_new = (
+            keptd.select(
+                F.least("src", "dst").alias("pa"),
+                F.greatest("src", "dst").alias("pb"),
+            )
+            .distinct()
+            .persist()
+        )
+        und.unpersist()
+        und = und_new
     n_und = und.count()
     deg = (
         und.select(F.col("pa").alias("p"))
@@ -160,8 +190,16 @@ def main() -> None:
     }
     try:
         if count_only:
-            res["counts"] = graph_counts(spark, out)
-            res["counts_x1"] = graph_counts(spark, SRC)
+            cap = None
+            if "--capped" in sys.argv:
+                from binancedatapipelineinaws_spark.operators.graph import (
+                    GRAPH_CAP_K,
+                )
+
+                cap = GRAPH_CAP_K
+                res["cap"] = cap
+            res["counts"] = graph_counts(spark, out, cap)
+            res["counts_x1"] = graph_counts(spark, SRC, cap)
         else:
             qs = queries()
             for name in (
