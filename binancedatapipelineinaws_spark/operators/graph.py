@@ -40,12 +40,16 @@ PR_MINSUP = 2  # co-purchase support floor bounding the edge list
 # --shared-parts) showed that under FIXED-CATALOG densification (1000x
 # more orders over the same part catalog) the support floor stops
 # bounding anything — every pair crosses it, degrees densify, and the
-# degree-ordered wedge count grows ~9.3e5x.  Keeping only each node's
-# top-K strongest neighbors (by co-purchase support, deterministic
-# (n_sup DESC, dst) order) bounds degree at 2K after re-symmetrization,
-# so wedges are <= N*C(2K,2) REGARDLESS of order volume — a data-size
-# bound becomes a catalog-size bound.  The uncapped ids keep the
-# pinned PR_MINSUP spec; these are the registered scale-regime knob.
+# degree-ordered wedge count grows ~9.3e5x.  The cap is MUTUAL top-K
+# (each node ranks neighbors by (n_sup DESC, dst); an edge survives
+# only if BOTH endpoints keep each other) — the standard mutual-kNN
+# sparsification.  Union-kNN was measured first and rejected: reverse
+# edges leave hub in-degree unbounded (x100 shared-parts drill:
+# max_deg 200 under an 8-cap).  Mutuality makes degree <= K a HARD
+# bound, so edges <= N*K/2 and wedges <= N*C(K,2) REGARDLESS of order
+# volume — a data-size bound becomes a catalog-size bound.  The
+# uncapped ids keep the pinned PR_MINSUP spec; these are the
+# registered scale-regime knob.
 GRAPH_CAP_K = 8
 
 # Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.x inlines
@@ -137,10 +141,8 @@ op AS MATERIALIZED (
     FROM sym) r
   WHERE rn <= {GRAPH_CAP_K}
 ), edges AS MATERIALIZED (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM keptd
-    UNION ALL
-    SELECT dst AS src, src AS dst FROM keptd) u
+  SELECT k.src, k.dst FROM keptd k
+  JOIN keptd r ON r.src = k.dst AND r.dst = k.src
 ), deg AS MATERIALIZED (
   SELECT src AS part, count(*) AS deg FROM edges GROUP BY src
 ), n AS (
@@ -174,11 +176,13 @@ def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric capped edge list: per-node top-GRAPH_CAP_K neighbors
-    by (n_sup DESC, dst), then re-symmetrized + distinct so kernels
-    keep their undirected-graph invariants (degree <= 2K).  The
+    by (n_sup DESC, dst), kept only when MUTUAL (the reverse direction
+    was also kept), so the symmetric edge set falls out directly and
+    degree <= K is a hard invariant (see GRAPH_CAP_K note).  The
     row_number cut is one shuffle on src — same key the degree count
-    pays anyway — and everything downstream is bounded by catalog
-    size, not order volume (see GRAPH_CAP_K note)."""
+    pays anyway — and the mutuality check is one self-semi-join of the
+    (<= N*K)-row kept list; everything downstream is bounded by
+    catalog size, not order volume."""
     und = _copurchase_und(spark, sf_dir)
     sym = und.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "n_sup"
@@ -195,9 +199,8 @@ def _copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GRAPH_CAP_K)
         .select("src", "dst")
     )
-    return keptd.unionAll(
-        keptd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    rev = keptd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return keptd.join(rev, ["src", "dst"], "left_semi")
 
 
 def _pagerank_on(edges: DataFrame) -> DataFrame:
@@ -285,8 +288,9 @@ def q_ext_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the densification-regime variant (VERDICT r11 item 2): under
     fixed-catalog growth the uncapped edge list densifies without
     bound (x1000 drill: wedge count ~9.3e5x), so production curation
-    pipelines truncate to each node's strongest neighbors before any
-    iterative kernel (the standard kNN-graph sparsification).  Same
+    pipelines truncate to each node's strongest MUTUAL neighbors
+    before any iterative kernel (the standard mutual-kNN
+    sparsification; degree <= K hard).  Same
     {PR_ITERS} fixed-point iterations as q_ext_pagerank; the only new
     cost is one row_number window on the src key the degree count
     shuffles on anyway.  The uncapped id keeps the pinned PR_MINSUP
@@ -429,10 +433,11 @@ def q_ext_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph — the densification-regime twin of
     q_ext_pagerank_capped (see GRAPH_CAP_K).  This is the kernel the
     cap exists FOR: the wedge join's O(E^1.5) bound is driven by the
-    degree distribution, and capping degree at 2K turns the x1000
-    shared-catalog wedge blow-up (~9.3e5x, tools/drill_graph.py) into
-    a hard N*C(2K,2) ceiling while keeping the strongest co-purchase
-    structure (exactly what a kNN-sparsified similarity graph keeps).
+    degree distribution, and the mutual cap's hard degree <= K bound
+    turns the x1000 shared-catalog wedge blow-up (~9.3e5x,
+    tools/drill_graph.py) into a hard N*C(K,2) ceiling while keeping
+    the strongest co-purchase structure (exactly what a mutual-kNN
+    sparsified similarity graph keeps).
     Same degree-ordered orientation + single closing equi-join as the
     uncapped id."""
     prepare(spark)

@@ -68,10 +68,10 @@ def graph_counts(spark, sf_dir: str, cap: int | None = None) -> dict:
     moments, and the EXACT degree-ordered wedge count the triangle
     kernel would enumerate — all from aggregates, no wedge/pair join
     materialized.  With `cap`, prices the *_capped variants' graph
-    instead (per-node top-cap neighbors by (sup DESC, dst), then
-    re-symmetrized — mirrors operators/graph._copurchase_edges_capped)
-    so the shared-parts densification rung can show the wedge bound
-    holding."""
+    instead (per-node top-cap neighbors by (sup DESC, dst), kept only
+    when MUTUAL — mirrors operators/graph._copurchase_edges_capped)
+    so the shared-parts densification rung can show the hard
+    degree <= cap bound holding."""
     from pyspark.sql.window import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -106,12 +106,13 @@ def graph_counts(spark, sf_dir: str, cap: int | None = None) -> dict:
             .filter(F.col("rn") <= cap)
             .select("src", "dst")
         )
+        rev = keptd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = keptd.join(rev, ["src", "dst"], "left_semi")
         und_new = (
-            keptd.select(
-                F.least("src", "dst").alias("pa"),
-                F.greatest("src", "dst").alias("pb"),
-            )
-            .distinct()
+            mutual.filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
             .persist()
         )
         und.unpersist()
