@@ -239,6 +239,104 @@ def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(spark, sf_dir)
 
 
+# --- IDF-weighted MinHash ----------------------------------------------------
+# Rarity bands, INTEGER by design: a float floor(ln(N/df)) weight could
+# flip on last-ulp ln() differences between engines; the banded compare
+# is exact everywhere.  Weighted minhash via multiset expansion (each
+# copy hashed independently, min over copies) — the classic integer
+# weighted-MinHash construction; rare shingles get IDF_W_RARE chances
+# to own a permutation's min, so signature agreement tracks a
+# rarity-weighted Jaccard instead of the uniform one.
+
+IDF_DF_RARE = 1  # document frequency <= this -> weight IDF_W_RARE
+IDF_DF_MID = 3  # document frequency <= this -> weight IDF_W_MID
+IDF_W_RARE, IDF_W_MID = 3, 2
+
+
+def _idf_weight_col() -> Column:
+    return (
+        F.when(F.col("df") <= IDF_DF_RARE, IDF_W_RARE)
+        .when(F.col("df") <= IDF_DF_MID, IDF_W_MID)
+        .otherwise(1)
+    )
+
+
+@register(
+    "q_ext_dedup_minhash_idf",
+    oracle="WITH "
+    + DUCK_SHINGLES_CTE
+    + f""",
+dfreq AS (SELECT s, count(*) AS df FROM shingle GROUP BY s),
+weighted AS (
+  SELECT sh2.doc_id, sh2.s,
+         CASE WHEN d.df <= {IDF_DF_RARE} THEN {IDF_W_RARE}
+              WHEN d.df <= {IDF_DF_MID} THEN {IDF_W_MID}
+              ELSE 1 END AS wt
+  FROM shingle sh2 JOIN dfreq d USING (s)
+),
+reps AS (
+  SELECT doc_id, s, unnest(range(1, wt + 1)) AS r FROM weighted
+),
+hashed AS (
+  SELECT doc_id,
+         {duck_hex32("s || '~' || CAST(r AS VARCHAR)")} AS x
+  FROM reps
+)
+SELECT doc_id,
+       """
+    + ",\n       ".join(
+        f"min((x * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    + """
+FROM hashed GROUP BY doc_id
+""",
+)
+def q_ext_dedup_minhash_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted MinHash signature tier (VERDICT r11 item 8): the
+    uniform MinHash treats a boilerplate shingle and a rare
+    content-bearing one identically, so boilerplate-heavy corpora
+    collide documents that share only template text.  Weighting each
+    shingle by a rarity band (df<={IDF_DF_RARE} -> x{IDF_W_RARE},
+    df<={IDF_DF_MID} -> x{IDF_W_MID}, else x1) before minhashing makes
+    signature agreement estimate the weighted Jaccard
+    sum(w_min)/sum(w_max) — the same integer multiset-expansion
+    construction the weighted-MinHash literature starts from, with
+    integer bands instead of floor(ln(N/df)) so both engines cut
+    identically (a last-ulp ln() difference could flip a float floor).
+
+    Plan: one shingle-keyed aggregate for the df table, one
+    shingle-keyed join-back (same key, co-partitioned), a bounded
+    <= x{IDF_W_RARE} replica explode map-side, then the same 16-way
+    min aggregate as q_ext_dedup_minhash — cost class unchanged, one
+    extra shuffle on the key the signature aggregate pays anyway."""
+    prepare(spark)
+    sh = shingle_rows(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    reps = (
+        sh.join(dfreq, "s")
+        .select("doc_id", "s", _idf_weight_col().alias("wt"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(1), F.col("wt"))).alias("r"),
+        )
+    )
+    rows = reps.select(
+        "doc_id",
+        hex32(
+            F.concat_ws("~", F.col("s"), F.col("r").cast("string"))
+        ).alias("x"),
+    )
+    aggs = [
+        F.min((F.col("x") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(
+            f"h{j}"
+        )
+        for j in range(N_HASHES)
+    ]
+    return rows.groupBy("doc_id").agg(*aggs)
+
+
 # --- LSH banding + verify ----------------------------------------------------
 
 

@@ -119,9 +119,9 @@ def q_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ext_bigram_lm_score",
-    oracle="""
+# Per-doc bigram-LM scoring CTE chain, shared by q_ext_bigram_lm_score
+# and the CCNet-style q_ext_perplexity_buckets oracle.
+_BIGRAM_LM_CTES = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 pos AS (
   SELECT doc_id, words, unnest(range(greatest(len(words) - 1, 0))) AS j
@@ -134,6 +134,13 @@ pos AS (
             / count(*) OVER (PARTITION BY w1)) AS logp
   FROM bg
 )
+"""
+
+
+@register(
+    "q_ext_bigram_lm_score",
+    oracle=_BIGRAM_LM_CTES
+    + """
 SELECT doc_id, count(*) AS n_bigrams,
        round(avg(logp), 6) AS avg_logp
 FROM counted GROUP BY doc_id
@@ -185,6 +192,92 @@ def q_ext_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("logp"), 6).alias("avg_logp"),
         )
+    )
+
+
+PPL_N_BUCKETS = 3  # CCNet's head / middle / tail split
+
+
+@register(
+    "q_ext_perplexity_buckets",
+    oracle=_BIGRAM_LM_CTES
+    + f""", scores AS (
+  SELECT doc_id, round(avg(logp), 6) AS s
+  FROM counted GROUP BY doc_id
+), ranked AS (
+  SELECT d.source, s.s,
+         ntile({PPL_N_BUCKETS}) OVER (
+           PARTITION BY d.source ORDER BY s.s DESC, s.doc_id) AS nt
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_lm_score
+FROM ranked GROUP BY source, nt
+ORDER BY source, nt
+""",
+)
+def q_ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus's own bigram LM
+    (q_ext_bigram_lm_score — higher avg log-likelihood = more
+    'in-distribution'), then split each source into equal-count
+    head / middle / tail buckets by LM score.  CCNet keeps head+middle
+    and drops (or down-samples) tail; the bucket table with per-bucket
+    mean scores is the artifact that decision reads.  Reference has no
+    curation tier (SURVEY §2, training-data extension).
+
+    Plan: the LM scoring plan is q_ext_bigram_lm_score's (vocabulary-
+    bounded LM, broadcast back onto the bigram stream); bucketing adds
+    ONE ntile window partitioned by source ordered by the 6dp-rounded
+    score with doc_id tie-break (a total order, so both engines cut
+    ties identically), then a tiny (source x bucket) aggregate.  The
+    per-source window shuffles one row per DOCUMENT (not per bigram),
+    and per-bucket means sum the 6dp scores in DECIMAL before ONE
+    double division, so the result is shuffle-order independent.
+    Docs with <2 words carry no bigrams and are excluded, as in
+    the scorer."""
+    prepare(spark)
+    scores = q_ext_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logp").alias("s")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = scores.join(docs, "doc_id").select(
+        "source",
+        "s",
+        F.ntile(PPL_N_BUCKETS)
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("s"), F.asc("doc_id")
+            )
+        )
+        .alias("nt"),
+    )
+    return (
+        ranked.groupBy("source", "nt")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_lm_score"),
+        )
+        .select(
+            "source",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_lm_score",
+            "nt",
+        )
+        .orderBy("source", "nt")
+        .drop("nt")
     )
 
 

@@ -1411,12 +1411,12 @@ def q_ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 5  # unrolled merge rounds for the k-round trainer
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """Unrolled-CTE DuckDB oracle for `q_ext_bpe_train_k`: round r
-    picks the (count desc, a, b)-first pair over the marker alphabet,
-    merges it into marker chr(r) via left-to-right replace(), and the
-    final select expands each winner back to its character string
-    through the earlier rounds' 1-row merge CTEs."""
+def _bpe_chain_parts(k: int) -> list[str]:
+    """The unrolled k-round BPE merge CTE chain (words, w1..w{k+1},
+    per-round winner m{r}) shared by the trainer and tokenizer-apply
+    oracles: round r picks the (count desc, a, b)-first pair over the
+    marker alphabet and merges it into marker chr(r) via left-to-right
+    replace()."""
     parts = [
         """
 WITH words AS MATERIALIZED (
@@ -1458,6 +1458,14 @@ WITH words AS MATERIALIZED (
   FROM w{r} v, m{r} m
 )"""
         )
+    return parts
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Trainer oracle: the chain's final select expands each winner
+    back to its character string through the earlier rounds' 1-row
+    merge CTEs."""
+    parts = _bpe_chain_parts(k)
     rows = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, ea AS merge_a,"
         f" eb AS merge_b, e AS merged, pc AS pair_count FROM m{r}"
@@ -1465,6 +1473,72 @@ WITH words AS MATERIALIZED (
     )
     parts.append(f"\nSELECT * FROM ({rows}) ORDER BY round")
     return "".join(parts)
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Tokenizer-apply oracle: per-round corpus compression stats off
+    the SAME chain — after round r the corpus tokenizes to
+    sum(length(w_r) * n) symbols (markers are single chars = one
+    learned token each).  The 1e-6 ratio grid uses HUGEINT floor
+    division (the sums are already HUGEINT on this side)."""
+    parts = _bpe_chain_parts(k)
+    rows = "\nUNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+  CAST(sum(length(w) * n) AS BIGINT) AS total_tokens,
+  CAST((sum(length(w) * n) * 1000000) // sum(n) AS DOUBLE) / 1000000
+    AS tokens_per_word
+FROM w{r + 1}"""
+        for r in range(0, k + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({rows}) ORDER BY round")
+    return "".join(parts)
+
+
+def _bpe_round_winner(cur: DataFrame, r: int) -> DataFrame:
+    """Round r's 1-row winning pair over a (w, n) vocab table, persisted.
+    The winner state stays MINIMAL (raw pair + count): marker expansion
+    happens once at the end, so round r's lineage carries each earlier
+    state exactly once (through the vocab rewrite chain), not once per
+    expansion join."""
+    pairs = (
+        cur.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+            "n",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("pc"))
+    )
+    return (
+        pairs.orderBy(F.desc("pc"), "a", "b")
+        .limit(1)
+        .select(
+            F.col("a").alias(f"ra{r}"),
+            F.col("b").alias(f"rb{r}"),
+            F.col("pc").alias(f"pc{r}"),
+        )
+        .persist()
+    )
+
+
+def _bpe_apply_winner(cur: DataFrame, st: DataFrame, r: int) -> DataFrame:
+    """Rewrite the vocab with round r's broadcast 1-row winner: plain
+    left-to-right replace() into marker chr(r) — exactly BPE's greedy
+    merge (q_ext_bpe_apply_merge proves the single round)."""
+    return cur.crossJoin(F.broadcast(st)).select(
+        F.replace(
+            F.col("w"),
+            F.concat(f"ra{r}", f"rb{r}"),
+            F.lit(chr(r)),
+        ).alias("w"),
+        "n",
+    )
 
 
 @register("q_ext_bpe_train_k", oracle=_bpe_train_oracle(BPE_TRAIN_ROUNDS))
@@ -1508,46 +1582,9 @@ def q_ext_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     states: list[DataFrame] = []
     cur = wc
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        pairs = (
-            cur.filter(F.length("w") >= 2)
-            .select(
-                "w",
-                "n",
-                F.explode(
-                    F.sequence(F.lit(1), F.length("w") - 1)
-                ).alias("i"),
-            )
-            .select(
-                F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
-                F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
-                "n",
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("n").alias("pc"))
-        )
-        # winner state stays MINIMAL (raw pair + count): marker
-        # expansion happens once at the end, so round r's lineage
-        # carries each earlier state exactly once (through the vocab
-        # rewrite chain), not once per expansion join
-        st = (
-            pairs.orderBy(F.desc("pc"), "a", "b")
-            .limit(1)
-            .select(
-                F.col("a").alias(f"ra{r}"),
-                F.col("b").alias(f"rb{r}"),
-                F.col("pc").alias(f"pc{r}"),
-            )
-            .persist()
-        )
+        st = _bpe_round_winner(cur, r)
         states.append(st)
-        cur = cur.crossJoin(F.broadcast(st)).select(
-            F.replace(
-                F.col("w"),
-                F.concat(f"ra{r}", f"rb{r}"),
-                F.lit(chr(r)),
-            ).alias("w"),
-            "n",
-        )
+        cur = _bpe_apply_winner(cur, st, r)
     # one 1-row frame with every round's raw winner, then expand
     # markers to character strings progressively
     merges = states[0]
@@ -1580,6 +1617,62 @@ def q_ext_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"pc{r}").cast("long").alias("pair_count"),
         )
         out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+@register(
+    "q_ext_tokenizer_apply",
+    oracle=_bpe_apply_oracle(BPE_TRAIN_ROUNDS),
+)
+def q_ext_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus — the
+    train->apply loop closed (VERDICT r11 item 8): after each of the
+    {BPE_TRAIN_ROUNDS} learned merges the corpus tokenizes to fewer
+    symbols; the output is the compression curve (round, total token
+    count, tokens-per-word on a 1e-6 grid) a tokenizer team reads to
+    pick vocab size (Sennrich et al. 2016 report exactly this curve).
+    Round 0 is the unmerged character count — the baseline fertility.
+
+    Plan: application is VOCAB SURGERY like training — the corpus
+    collapses once to the persisted word-count table, each merge is a
+    broadcast 1-row rewrite, and each round's stat is one
+    vocab-bounded aggregate; no corpus re-scan anywhere.  The ratio
+    numerator is summed in DECIMAL (DuckDB side is HUGEINT) and cut
+    to the 1e-6 grid by integer floor division, so the curve is
+    bit-identical across engines."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+
+    def stat(frame: DataFrame, r: int) -> DataFrame:
+        return frame.agg(
+            F.sum(F.length("w") * F.col("n"))
+            .cast("long")
+            .alias("total_tokens"),
+            F.expr(
+                "CAST((CAST(sum(length(w) * n) AS DECIMAL(25,0))"
+                " * 1000000) div sum(n) AS DOUBLE) / 1000000"
+            ).alias("tokens_per_word"),
+        ).select(
+            F.lit(r).cast("long").alias("round"),
+            "total_tokens",
+            "tokens_per_word",
+        )
+
+    out = stat(wc, 0)
+    cur = wc
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        st = _bpe_round_winner(cur, r)
+        cur = _bpe_apply_winner(cur, st, r)
+        out = out.unionByName(stat(cur, r))
     return out.orderBy("round")
 
 
