@@ -194,10 +194,15 @@ def _copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("n_sup"), F.asc("dst"))
+    # persisted: BOTH sides of the mutuality self-semi-join read this
+    # (unpersisted, the support join + window would evaluate twice —
+    # the whole point of the cap is that the kept list is the small
+    # N*K-row artifact everything downstream reads)
     keptd = (
         sym.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= GRAPH_CAP_K)
         .select("src", "dst")
+        .persist()
     )
     rev = keptd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return keptd.join(rev, ["src", "dst"], "left_semi")

@@ -1373,3 +1373,74 @@ def test_sentence_dedup_one_corpus_shuffle_no_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # one Generate: the sentence explode, fused into the scan side
     assert plan.count("Generate") == 2  # explode appears on both join branches
+
+
+def test_pagerank_capped_one_window_no_cartesian(spark):
+    """Capped pagerank adds one RUNTIME window pass (the per-node
+    top-K row_number cut, persisted so both mutuality semi-join sides
+    read the cache) and keeps the uncapped discipline:
+    partial-aggregated SpMV, no cartesian, no condition-bearing
+    BNLJ."""
+    import re
+
+    plan = _plan(queries()["q_ext_pagerank_capped"](spark, SF))
+    # the kept list is PERSISTED (both semi-join sides read the cache)
+    # and the static plan reprints it per reference: one window SPEC
+    # per self-join side (exprId-deduped), all over the row_number cut
+    assert len(set(re.findall(r"AS rn#\d+", plan))) <= 2
+    assert "row_number" in plan
+    assert "InMemoryTableScan" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
+    assert not bad, bad
+
+
+def test_triangles_capped_closing_join_is_hash_join(spark):
+    """Capped triangles: same equi-join closing probe as the uncapped
+    id (no condition-bearing BNLJ), plus the persisted row_number cut
+    (one runtime window pass)."""
+    import re
+
+    plan = _plan(queries()["q_ext_triangles_capped"](spark, SF))
+    assert len(set(re.findall(r"AS rn#\d+", plan))) <= 2
+    assert "row_number" in plan and "InMemoryTableScan" in plan
+    bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
+    assert not bad, bad
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_idf_partial_aggregated_no_pair_join(spark):
+    """IDF-weighted minhash: the df join-back is keyed on the SAME
+    shingle key as the df aggregate (no new shuffle class), the 16-way
+    min aggregate partial-aggregates map-side, and nothing plans a
+    pair join or cartesian."""
+    plan = _plan(queries()["q_ext_dedup_minhash_idf"](spark, SF))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_buckets_one_doc_window(spark):
+    """Perplexity bucketing: exactly ONE Window (the per-source ntile
+    over per-DOCUMENT rows — the scorer itself is groupBy-based, no
+    count-windows over the bigram stream), LM broadcast back."""
+    plan = _plan(queries()["q_ext_perplexity_buckets"](spark, SF))
+    assert plan.count(" Window [") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tokenizer_apply_rounds_never_rescan_corpus(spark):
+    """Tokenizer apply rides the trainer's vocab-surgery law: the
+    corpus collapses to the persisted word-count table once; every
+    round's stat aggregate and rewrite resolve to InMemoryTableScans
+    + TakeOrdered winners."""
+    from binancedatapipelineinaws_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    plan = _plan(queries()["q_ext_tokenizer_apply"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2 * BPE_TRAIN_ROUNDS
+    assert plan.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS

@@ -4053,3 +4053,260 @@ def test_semdedup_blocked_path_with_empty_hash_blocks(spark):
         sim.SEMDEDUP_EXACT_MAX = om
         sim.SEMDEDUP_BLOCK = ob
     assert got == exact
+
+
+def _copurchase_capped_adj(spark):
+    """Independent (pure-Python) mutual top-K capped adjacency for the
+    r12 densification-regime graph tests: support >= 2 pairs, each
+    node keeps its GRAPH_CAP_K strongest neighbors by (support DESC,
+    neighbor ASC), an edge survives only if both endpoints kept it."""
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.operators.graph import GRAPH_CAP_K
+
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    support = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    nbrs = defaultdict(list)
+    for (a, b), n in support.items():
+        if n >= 2:
+            nbrs[a].append((b, n))
+            nbrs[b].append((a, n))
+    kept = set()
+    for v, ns in nbrs.items():
+        ns.sort(key=lambda t: (-t[1], t[0]))
+        for b, _ in ns[:GRAPH_CAP_K]:
+            kept.add((v, b))
+    adj = defaultdict(set)
+    for a, b in kept:
+        if (b, a) in kept:
+            adj[a].add(b)
+    return adj
+
+
+def test_pagerank_capped_matches_python_reimplementation(spark):
+    """Same from-scratch fixed-point PageRank as the uncapped test,
+    over the independently-derived mutual top-K graph — pins both the
+    cap semantics and the kernel against a shared SQL mis-translation.
+    Also asserts the hard degree bound the cap exists for."""
+    from binancedatapipelineinaws_spark.operators.graph import GRAPH_CAP_K
+
+    adj = _copurchase_capped_adj(spark)
+    assert adj and max(len(a) for a in adj.values()) <= GRAPH_CAP_K
+    SCALE = 1_000_000_000_000
+    n = len(adj)
+    pr = {v: SCALE // n for v in adj}
+    for _ in range(3):
+        contrib = {v: pr[v] // len(adj[v]) for v in adj}
+        inc = {v: sum(contrib[u] for u in adj[v]) for v in adj}
+        pr = {
+            v: (15 * SCALE) // (100 * n) + (85 * inc[v]) // 100
+            for v in adj
+        }
+    got = {
+        r["part"]: (r["deg"], r["pr_scaled"])
+        for r in queries()["q_ext_pagerank_capped"](spark, SF).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == (len(adj[v]), pr[v]), v
+
+
+def test_triangles_capped_matches_python_reimplementation(spark):
+    from binancedatapipelineinaws_spark.operators.graph import GRAPH_CAP_K
+
+    adj = _copurchase_capped_adj(spark)
+    tri = 0
+    for v, nbrs in adj.items():
+        for a in nbrs:
+            if a <= v:
+                continue
+            for b in nbrs:
+                if b <= a:
+                    continue
+                if b in adj[a]:
+                    tri += 1
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    (row,) = queries()["q_ext_triangles_capped"](spark, SF).collect()
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == sum(len(a) for a in adj.values()) // 2
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    # the bound the cap buys: wedges <= N * C(K, 2)
+    k = GRAPH_CAP_K
+    assert row["n_wedges"] <= row["n_nodes"] * k * (k - 1) // 2
+
+
+def test_minhash_idf_matches_python_reimplementation(spark):
+    """Full IDF-weighted signature table recomputed from scratch in
+    Python (md5 hex32, rarity bands, multiset expansion, 16
+    permutations) — pins the construction independently of both SQL
+    dialects."""
+    import hashlib
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        IDF_DF_MID,
+        IDF_DF_RARE,
+        IDF_W_MID,
+        IDF_W_RARE,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_HASHES,
+    )
+
+    def hex32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    doc_sh = {}
+    dfreq = defaultdict(int)
+    for r in docs:
+        words = r.text.split(" ")
+        sh = list(dict.fromkeys(
+            "_".join(words[i : i + 3]) for i in range(len(words) - 2)
+        ))
+        doc_sh[r.doc_id] = sh
+        for s in sh:
+            dfreq[s] += 1
+
+    def weight(df: int) -> int:
+        if df <= IDF_DF_RARE:
+            return IDF_W_RARE
+        if df <= IDF_DF_MID:
+            return IDF_W_MID
+        return 1
+
+    expected = {}
+    for doc_id, sh in doc_sh.items():
+        if not sh:
+            continue
+        xs = [
+            hex32(f"{s}~{rep}")
+            for s in sh
+            for rep in range(1, weight(dfreq[s]) + 1)
+        ]
+        expected[doc_id] = tuple(
+            min((x * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P for x in xs)
+            for j in range(N_HASHES)
+        )
+    got = {
+        r["doc_id"]: tuple(r[f"h{j}"] for j in range(N_HASHES))
+        for r in queries()["q_ext_dedup_minhash_idf"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_perplexity_buckets_matches_python_reimplementation(spark):
+    """Bigram-LM scores + per-source ntile bucketing recomputed from
+    scratch: same LM MLE, same 6dp rounding, same (score DESC, doc_id)
+    total order, same ntile fill rule (first n%3 buckets get the extra
+    row)."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    c12: Counter = Counter()
+    doc_bg = {}
+    for r in docs:
+        w = r.text.split(" ")
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        doc_bg[r.doc_id] = bgs
+        c12.update(bgs)
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    by_source = defaultdict(list)
+    src_of = {r.doc_id: r.source for r in docs}
+    for doc_id, bgs in doc_bg.items():
+        if not bgs:
+            continue
+        s = round(
+            sum(math.log(c12[b] / c1[b[0]]) for b in bgs) / len(bgs), 6
+        )
+        by_source[src_of[doc_id]].append((s, doc_id))
+    expected = {}
+    for source, scored in by_source.items():
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        n, b = len(scored), 3
+        sizes = [n // b + (1 if i < n % b else 0) for i in range(b)]
+        pos = 0
+        for i, name in enumerate(["head", "middle", "tail"]):
+            chunk = scored[pos : pos + sizes[i]]
+            pos += sizes[i]
+            if not chunk:
+                continue
+            micro = sum(round(s * 1_000_000) for s, _ in chunk)
+            expected[(source, name)] = (
+                len(chunk),
+                round(micro / 1_000_000 / len(chunk), 6),
+            )
+    got = {
+        (r.source, r.bucket): (r.n_docs, r.avg_lm_score)
+        for r in queries()["q_ext_perplexity_buckets"](spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, avg) in expected.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - avg) <= 2e-6, (k, got[k][1], avg)
+
+
+def test_tokenizer_apply_matches_naive_curve(spark):
+    """The compression curve must reproduce a straight Python BPE
+    apply loop: same winners (the trainer test pins those), same
+    per-round sum(len(w) * n), same 1e-6 floor-division grid."""
+    import collections
+    import re
+
+    from binancedatapipelineinaws_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    wc: collections.Counter = collections.Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text"
+    ).collect():
+        for w in re.split(r"\s+", r.text.lower()):
+            if len(w) >= 2:
+                wc[w] += 1
+    words = dict(wc)
+    total_words = sum(words.values())
+
+    def curve_point(rnd: int) -> tuple:
+        toks = sum(len(w) * n for w, n in words.items())
+        return (rnd, toks, (toks * 1_000_000 // total_words) / 1_000_000)
+
+    expected = [curve_point(0)]
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, n in words.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += n
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        nxt: collections.Counter = collections.Counter()
+        for w, n in words.items():
+            nxt[w.replace(a + b, chr(rnd))] += n
+        words = dict(nxt)
+        expected.append(curve_point(rnd))
+    got = [
+        tuple(r)
+        for r in queries()["q_ext_tokenizer_apply"](spark, SF).collect()
+    ]
+    assert got == expected
