@@ -28,19 +28,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# r12 pruning: the driver's 2000-char stdout window caps the per-query
+# dict at ~96 ids on the 1dp degrade rung.  To admit the iterative +
+# r12 ids below, eight OVERHEAD-DOMINATED sf0.1 entries (map-only
+# projections and single-shuffle aggregates measuring ~0.1-0.5 s of
+# fixed Spark overhead, each family still covered by a heavier
+# representative) were retired: agg_sum_avg_minmax, agg_approx_distinct
+# (hll_union_error keeps the sketch path), join_inner (multiway/asof/
+# tpch keep joins), win_running_sum (moving_avg/rolling_corr keep
+# windows), sort_limit, scan_parquet (scan_orc keeps IO), text_stats
+# (tfidf/gopher keep text), canonicalize_btcusdt (every candle id runs
+# it).  Their correctness rows and x100 sweep rungs are unaffected.
 HEADLINE = [
     "q_join_multiway",
     "q_agg_ohlcv_1min",
-    "q_agg_sum_avg_minmax",
     "q_agg_rollup",
-    "q_agg_approx_distinct",
-    "q_join_inner",
     "q_join_asof",
-    "q_win_running_sum",
     "q_win_moving_avg",
-    "q_sort_limit",
-    "q_scan_parquet",
-    "q_canonicalize_btcusdt",
     "q_ext_dedup_exact",
     "q_ext_dedup_near",
     "q_ext_dedup_simhash",
@@ -48,7 +52,6 @@ HEADLINE = [
     "q_ext_ann_ivf",
     "q_ext_ann_lsh",
     "q_ext_embed_neardup",
-    "q_ext_text_stats",
     "q_ext_repetition",
     "q_ext_decontam",
     "q_ext_kmeans",
@@ -151,6 +154,20 @@ HEADLINE = [
     "q_ext_intraday_profile",
     "q_ext_runs_test",
     "q_ext_sentence_dedup",
+    # r12: now that timing is honest-cold, every ITERATIVE kernel is a
+    # headline id (VERDICT r11 item 6) — min-label propagation, the
+    # recursive-CTE reachability, and the incremental candle refresh
+    "q_ext_dedup_clusters",
+    "q_ext_transition_reach",
+    "q_ext_ohlcv_incremental",
+    # r12 batch 2: the new surface — densification-capped graph
+    # kernels, weighted-minhash signatures, CCNet bucketing, and the
+    # BPE apply curve
+    "q_ext_pagerank_capped",
+    "q_ext_triangles_capped",
+    "q_ext_dedup_minhash_idf",
+    "q_ext_perplexity_buckets",
+    "q_ext_tokenizer_apply",
 ]
 
 
