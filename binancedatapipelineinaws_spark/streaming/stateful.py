@@ -843,3 +843,79 @@ def supertrend_stream(candles: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- sentence-frequency state (streaming twin of q_ext_sentence_dedup) ------
+# The batch id computes per-source sentence-dedup accounting off a
+# global sentence-frequency table; the streaming twin maintains that
+# table AS STATE keyed by the normalized sentence, so each micro-batch
+# of crawled documents updates corpus-wide duplicate knowledge without
+# a recompute — the dropDuplicatesWithinWatermark shape generalized to
+# carry per-source counts and the global total (needed because the
+# batch statistic's "duplicated" predicate reads the GLOBAL frequency,
+# not the per-source one).
+
+SENTFREQ_SCHEMA = "s string, source string, cnt long, c_total long"
+SENTFREQ_STATE_SCHEMA = "sources array<string>, counts array<long>"
+
+
+def make_sentence_freq_fn():
+    def sentence_freq(key, pdfs, state):
+        import pandas as pd
+
+        (s,) = key
+        if state.exists:
+            srcs, cnts = state.get
+            counts = dict(zip(srcs, cnts))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            for src in pdf["source"]:
+                counts[src] = counts.get(src, 0) + 1
+        keys = sorted(counts)
+        state.update((keys, [counts[k] for k in keys]))
+        total = sum(counts.values())
+        # UPDATE semantics: re-emit every source row of this sentence
+        # with the refreshed global total, so a downstream consumer's
+        # latest row per (s, source) always carries a consistent
+        # (cnt, c_total) pair
+        yield pd.DataFrame(
+            {
+                "s": s,
+                "source": keys,
+                "cnt": [counts[k] for k in keys],
+                "c_total": total,
+            }
+        )
+
+    return sentence_freq
+
+
+def sentence_freq_stream(docs: DataFrame, min_chars: int = 20) -> DataFrame:
+    """documents stream (doc_id, source, text) -> per-(sentence,
+    source) running counts + the sentence's global count.  The
+    sentence explode is map-local exactly like the batch plan; the
+    only shuffle is the state-store key (the normalized sentence) —
+    the same ONE corpus-sized key the batch id shuffles on."""
+    from pyspark.sql import functions as F
+
+    sents = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw"),
+        )
+        .select(
+            "source",
+            F.trim(
+                F.regexp_replace(F.lower(F.col("raw")), r"\s+", " ")
+            ).alias("s"),
+        )
+        .filter(F.length("s") >= min_chars)
+    )
+    return sents.groupBy("s").applyInPandasWithState(
+        make_sentence_freq_fn(),
+        outputStructType=SENTFREQ_SCHEMA,
+        stateStructType=SENTFREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1729,3 +1729,77 @@ def test_merge_state_publish_crash_recovery(spark, tmp_path):
     _merge_recover(table_dir)
     assert os.path.isdir(table_dir)
     assert not os.path.isdir(table_dir + ".old-2")
+
+
+def test_streaming_sentence_freq_matches_batch(spark, tmp_path):
+    """Streaming twin of q_ext_sentence_dedup (VERDICT r11 item 7):
+    replay the documents corpus in 3 micro-batches through the
+    sentence-frequency state kernel; the LAST emission per
+    (sentence, source) must reconstruct the batch id's per-source
+    accounting EXACTLY — the state carries the global sentence
+    frequency across batches, so a duplicate whose copies arrive in
+    different batches is still counted as duplicated."""
+    from pyspark.sql import Window
+
+    from binancedatapipelineinaws_spark.registry import queries
+    from binancedatapipelineinaws_spark.streaming.stateful import (
+        sentence_freq_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "doc_src")
+    docs.withColumn("c", F.col("doc_id") % 3).repartition(3, "c").drop(
+        "c"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "sf_out")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        sentence_freq_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sf_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.read.parquet(out)
+    # multiple micro-batches must actually have run (state carried)
+    assert emitted.select("batch_id").distinct().count() >= 2
+    last = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("s", "source").orderBy(
+                    F.desc("batch_id")
+                )
+            ),
+        )
+        .filter("rn = 1")
+    )
+    got = (
+        last.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_sentences"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("c_total") > 1, F.col("cnt")).otherwise(0)
+            ).alias("n_duplicated"),
+        )
+        .collect()
+    )
+    want = (
+        queries()["q_ext_sentence_dedup"](spark, SF)
+        .select("source", "n_sentences", "n_distinct", "n_duplicated")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
