@@ -703,17 +703,22 @@ def q_ext_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence rows collapse IMMEDIATELY to (s, source, cnt) — the ONE
     corpus-sized shuffle, and map-side combine shrinks the shuffled
     bytes to distinct (s, source) pairs per map partition.  The
-    global frequency table and the join-back then operate on the
-    pre-aggregated rows only (distinct sentences per source, not raw
-    sentence rows — the r11 shape shuffled the raw rows twice and
-    priced x100 at 5.62).  No pair join anywhere; cost linear in
-    sentences even when one boilerplate sentence occurs in millions
-    of docs.  The dup ratio lands on a 1e-6 grid by integer floor
-    division (round() splits engines on exact half-way rationals);
-    the scaled numerator is computed in DECIMAL because the DuckDB
-    side sums in HUGEINT — a BIGINT numerator would overflow past
-    ~9.2e12 duplicated sentences where the oracle stays exact.  All
-    counts integer-exact."""
+    global frequency then comes from a sentence-partitioned WINDOW
+    SUM over the pre-aggregated rows (one shuffle of distinct pairs,
+    no ordering) — the r11 shape shuffled the RAW rows twice
+    (frequency groupBy + join-back), and the first r12 attempt kept a
+    freq JOIN whose probe side re-shuffled a third time because the
+    pre-agg partitioning is (s, source), not s (measured x100 7.96 vs
+    6.0 for this window form).  No join, no pair explosion; cost
+    linear in DISTINCT (sentence, source) pairs even when one
+    boilerplate sentence occurs in millions of docs.  The dup ratio
+    lands on a 1e-6 grid by integer floor division (round() splits
+    engines on exact half-way rationals); the scaled numerator is
+    computed in DECIMAL because the DuckDB side sums in HUGEINT — a
+    BIGINT numerator would overflow past ~9.2e12 duplicated sentences
+    where the oracle stays exact.  All counts integer-exact."""
+    from pyspark.sql.window import Window
+
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     sents = (
@@ -730,9 +735,11 @@ def q_ext_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("s") >= SENT_MIN_CHARS)
     )
     per = sents.groupBy("s", "source").agg(F.count("*").alias("cnt"))
-    freq = per.groupBy("s").agg(F.sum("cnt").alias("c"))
+    with_freq = per.withColumn(
+        "c", F.sum("cnt").over(Window.partitionBy("s"))
+    )
     return (
-        per.join(freq, "s")
+        with_freq
         .groupBy("source")
         .agg(
             F.sum("cnt").cast("long").alias("n_sentences"),

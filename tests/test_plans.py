@@ -1365,14 +1365,18 @@ def test_clusters_propagation_round_pins_shuffle_hash(spark):
 
 
 def test_sentence_dedup_one_corpus_shuffle_no_pairs(spark):
-    """Sentence dedup rides the dup-span gram law: sentence explode is
-    map-local, the frequency aggregate + row-wise join-back shuffle on
-    the sentence key, and NO pair join exists anywhere."""
+    """Sentence dedup (r12 window form): ONE sentence explode feeding
+    ONE corpus-sized (s, source) pre-aggregate; global frequency is a
+    sentence-partitioned window SUM over the pre-agg rows — no join
+    anywhere (the r11 join-back shape evaluated the explode once per
+    join branch and re-shuffled the probe side), no pair join, no
+    cartesian."""
     plan = _plan(queries()["q_ext_sentence_dedup"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # one Generate: the sentence explode, fused into the scan side
-    assert plan.count("Generate") == 2  # explode appears on both join branches
+    assert "Join" not in plan  # no join of any kind
+    assert plan.count("Generate") == 1  # the explode runs ONCE
+    assert plan.count(" Window [") == 1  # the frequency sum
+    assert "partial_count" in plan  # map-side combine on (s, source)
 
 
 def test_pagerank_capped_one_window_no_cartesian(spark):
