@@ -166,6 +166,7 @@ HEADLINE = [
     "q_ext_pagerank_capped",
     "q_ext_triangles_capped",
     "q_ext_dedup_minhash_idf",
+    "q_ext_dedup_near_idf",
     "q_ext_perplexity_buckets",
     "q_ext_tokenizer_apply",
 ]

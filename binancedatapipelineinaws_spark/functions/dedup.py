@@ -261,10 +261,11 @@ def _idf_weight_col() -> Column:
     )
 
 
-@register(
-    "q_ext_dedup_minhash_idf",
-    oracle="WITH "
-    + DUCK_SHINGLES_CTE
+# The IDF-weighted signature CTE chain (dfreq -> banded weights ->
+# multiset expansion -> 16-permutation mins), shared by the signature
+# id and the end-to-end near-dup id.
+_IDF_SIG_CTES = (
+    DUCK_SHINGLES_CTE
     + f""",
 dfreq AS (SELECT s, count(*) AS df FROM shingle GROUP BY s),
 weighted AS (
@@ -281,16 +282,23 @@ hashed AS (
   SELECT doc_id,
          {duck_hex32("s || '~' || CAST(r AS VARCHAR)")} AS x
   FROM reps
-)
-SELECT doc_id,
-       """
-    + ",\n       ".join(
+),
+sig AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
         f"min((x * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS h{j}"
         for j in range(N_HASHES)
     )
     + """
-FROM hashed GROUP BY doc_id
-""",
+  FROM hashed GROUP BY doc_id
+)"""
+)
+
+
+@register(
+    "q_ext_dedup_minhash_idf",
+    oracle="WITH " + _IDF_SIG_CTES + "\nSELECT * FROM sig",
 )
 def q_ext_dedup_minhash_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF-weighted MinHash signature tier (VERDICT r11 item 8): the
@@ -335,6 +343,104 @@ def q_ext_dedup_minhash_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(N_HASHES)
     ]
     return rows.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "q_ext_dedup_near_idf",
+    oracle="WITH "
+    + _IDF_SIG_CTES
+    + ","
+    + "".join(
+        f"""
+band{j} AS (
+  SELECT doc_id, md5(concat_ws('_', {", ".join(
+      f"CAST(h{j * ROWS_PER_BAND + k} AS VARCHAR)" for k in range(ROWS_PER_BAND)
+  )})) AS bk FROM sig
+),"""
+        for j in range(N_BANDS)
+    )
+    + """
+cand AS (
+"""
+    + "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band{j} a JOIN band{j} b ON a.bk = b.bk AND a.doc_id < b.doc_id"""
+        for j in range(N_BANDS)
+    )
+    + f"""),
+wver AS (
+  SELECT doc_id, s, wt FROM weighted
+  JOIN dfreq USING (s) WHERE df <= {SHINGLE_DF_CAP}
+),
+wsize AS (SELECT doc_id, sum(wt) AS w FROM wver GROUP BY doc_id),
+winter AS (
+  SELECT c.doc_a, c.doc_b, sum(sa.wt) AS wi
+  FROM cand c
+  JOIN wver sa ON sa.doc_id = c.doc_a
+  JOIN wver sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.wi AS DOUBLE) / (wa.w + wb.w - i.wi), 6) AS wjaccard
+FROM winter i
+JOIN wsize wa ON wa.doc_id = i.doc_a
+JOIN wsize wb ON wb.doc_id = i.doc_b
+WHERE CAST(i.wi AS DOUBLE) / (wa.w + wb.w - i.wi) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_ext_dedup_near_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-dup detection end-to-end (completes the
+    weighted tier the signature id opens): weighted signatures ->
+    the SAME banded bucket join as q_ext_dedup_near -> exact
+    WEIGHTED-Jaccard verification of candidates only, wJ =
+    sum_{s in A^B} w(s) / sum_{s in AvB} w(s) with the global rarity
+    bands (weights are a function of the shingle alone, so min/max
+    over the pair reduce to intersection/union sums).  Shared
+    boilerplate contributes weight 1 per shingle while rare content
+    counts x{IDF_W_RARE}, so template-heavy pairs that squeak past
+    the uniform threshold fall below it here.
+
+    Plan: candidate generation is the identical banded equi-join (no
+    pair explosion); the verify joins run on df-capped weighted
+    shingles where the cap FILTER rides the same df join that
+    computes the weights (no separate anti-join pass); weighted doc
+    sizes are one partial aggregate.  Cost class identical to
+    q_ext_dedup_near."""
+    prepare(spark)
+    sig = q_ext_dedup_minhash_idf(spark, sf_dir).persist()
+    cand = lsh_candidate_pairs(sig)
+    sh = shingle_rows(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    wver = (
+        sh.join(dfreq, "s")
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "s", _idf_weight_col().alias("wt"))
+        .persist()
+    )
+    wsizes = wver.groupBy("doc_id").agg(F.sum("wt").alias("w"))
+    sa = wver.alias("sa")
+    sb = wver.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("sa.wt").alias("wi"))
+    )
+    wa = wsizes.alias("wa")
+    wb = wsizes.alias("wb")
+    wjac = F.col("wi").cast("double") / (
+        F.col("wa.w") + F.col("wb.w") - F.col("wi")
+    )
+    return (
+        inter.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(wb, F.col("wb.doc_id") == F.col("doc_b"))
+        .filter(wjac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(wjac, 6).alias("wjaccard"))
+    )
 
 
 # --- LSH banding + verify ----------------------------------------------------

@@ -106,9 +106,9 @@ _FORCE_FIRST: tuple[str, ...] = (
 # Late additions explicitly queued BEHIND the earlier unverified batch
 # when a round's 50-slot window is already full.
 _DEFER: tuple[str, ...] = (
-    # r12: empty.  Window math this round: 5 new r12 ids (unverified,
-    # so they take the first 5 slots) + ~45 oldest green rows = the
-    # whole 16-row r5 tier plus the 29 oldest r6 rows.  After r12 the
+    # r12: empty.  Window math this round: 6 new r12 ids (unverified,
+    # so they take the first 6 slots) + ~44 oldest green rows = the
+    # whole 16-row r5 tier plus the 28 oldest r6 rows.  After r12 the
     # oldest latest-row anywhere is r6 (VERDICT r11 item 1's "done"
     # condition) and the staleness ratchet (STALENESS_BOUND_ROUNDS =
     # 6) stays green.

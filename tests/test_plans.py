@@ -1448,3 +1448,16 @@ def test_tokenizer_apply_rounds_never_rescan_corpus(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2 * BPE_TRAIN_ROUNDS
     assert plan.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS
+
+
+def test_dedup_near_idf_no_pair_explosion(spark):
+    """Weighted near-dup keeps the uncapped id's discipline: banded
+    equi-join candidates (no cartesian, no condition-bearing BNLJ),
+    df-capped verify where the cap FILTER rides the weight join."""
+    import re
+
+    plan = _plan(queries()["q_ext_dedup_near_idf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    bad = re.findall(r"BroadcastNestedLoopJoin Build\w+, (?!Cross)\w+", plan)
+    assert not bad, bad
+    assert "InMemoryTableScan" in plan  # sig + weighted shingles persisted

@@ -4310,3 +4310,97 @@ def test_tokenizer_apply_matches_naive_curve(spark):
         for r in queries()["q_ext_tokenizer_apply"](spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_dedup_near_idf_matches_python_reimplementation(spark):
+    """End-to-end weighted near-dup recompute from scratch: idf
+    signatures, band keys (md5 of the '_'-joined hash strings),
+    bucket candidates, df-capped weighted-Jaccard verify, threshold.
+    Pins candidate generation AND the weighted verify independently
+    of both SQL dialects."""
+    import hashlib
+    from collections import defaultdict
+
+    from binancedatapipelineinaws_spark.functions.dedup import (
+        IDF_DF_MID,
+        IDF_DF_RARE,
+        IDF_W_MID,
+        IDF_W_RARE,
+        JACCARD_THRESHOLD,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_DF_CAP,
+    )
+
+    def hex32(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    doc_sh = {}
+    dfreq = defaultdict(int)
+    for r in docs:
+        words = r.text.split(" ")
+        sh = list(dict.fromkeys(
+            "_".join(words[i : i + 3]) for i in range(len(words) - 2)
+        ))
+        doc_sh[r.doc_id] = sh
+        for s in sh:
+            dfreq[s] += 1
+
+    def weight(df: int) -> int:
+        if df <= IDF_DF_RARE:
+            return IDF_W_RARE
+        if df <= IDF_DF_MID:
+            return IDF_W_MID
+        return 1
+
+    sigs = {}
+    for doc_id, sh in doc_sh.items():
+        if not sh:
+            continue
+        xs = [
+            hex32(f"{s}~{rep}")
+            for s in sh
+            for rep in range(1, weight(dfreq[s]) + 1)
+        ]
+        sigs[doc_id] = [
+            min((x * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P for x in xs)
+            for j in range(N_HASHES)
+        ]
+    buckets = defaultdict(set)
+    for doc_id, h in sigs.items():
+        for j in range(N_BANDS):
+            key = hashlib.md5(
+                "_".join(
+                    str(h[j * ROWS_PER_BAND + k])
+                    for k in range(ROWS_PER_BAND)
+                ).encode()
+            ).hexdigest()
+            buckets[(j, key)].add(doc_id)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((a, b))
+    wset = {
+        d: {s: weight(dfreq[s]) for s in sh if dfreq[s] <= SHINGLE_DF_CAP}
+        for d, sh in doc_sh.items()
+    }
+    expected = {}
+    for a, b in cand:
+        wi = sum(w for s, w in wset[a].items() if s in wset[b])
+        union = sum(wset[a].values()) + sum(wset[b].values()) - wi
+        if union and wi / union >= JACCARD_THRESHOLD:
+            expected[(a, b)] = round(wi / union, 6)
+    got = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in queries()["q_ext_dedup_near_idf"](spark, SF).collect()
+    }
+    assert got == expected
