@@ -230,16 +230,6 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # collision-free short ids so the single stdout line fits the
-    # driver's 2000-char capture window (see module docstring)
-    def _short(name: str) -> str:
-        for prefix in ("q_ext_", "q_"):
-            if name.startswith(prefix):
-                return name[len(prefix):]
-        return name
-
-    shorts = {_short(n): n for n in timings}
-    assert len(shorts) == len(timings), "short-id collision in HEADLINE"
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -253,27 +243,42 @@ def main() -> None:
     full = dict(result, queries=timings)
     full.pop("key_note")
     print(json.dumps(full), file=sys.stderr)
+    print(compact_stdout_line(result, timings))
+
+
+def _short(name: str) -> str:
+    for prefix in ("q_ext_", "q_"):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return name
+
+
+def compact_stdout_line(result: dict, timings: dict) -> str:
+    """The ONE stdout line, guaranteed under the driver's capture
+    window: collision-free stripped short ids, 3dp->2dp->1dp degrade,
+    then the last-resort fallback (ADVICE r11 item 1) — NEVER abort
+    before printing; an assert here would lose the round's perf
+    record, the exact failure the degrade ladder guards against.
+    Drops the optional key_note, then per-query timings entirely; a
+    totals-only line is still a parseable perf record (full per-query
+    numbers are on stderr either way)."""
+    shorts = {_short(n): n for n in timings}
+    assert len(shorts) == len(timings), "short-id collision in HEADLINE"
+    result = dict(result)
     for ndigits in (3, 2, 1):
         result["queries"] = {
             s: round(timings[n], ndigits) for s, n in shorts.items()
         }
         line = json.dumps(result, separators=(",", ":"))
         if len(line) < 1950:
-            break
+            return line
+    result.pop("key_note", None)
+    line = json.dumps(result, separators=(",", ":"))
     if len(line) >= 1950:
-        # last-resort fallback (ADVICE r11 item 1): NEVER abort before
-        # printing — an assert here would lose the round's perf record,
-        # the exact failure the degrade ladder guards against.  Drop
-        # the optional keys, then per-query timings entirely; a
-        # totals-only line is still a parseable perf record (full
-        # per-query numbers are on stderr either way).
-        result.pop("key_note", None)
+        result["queries"] = {}
+        result["note"] = "per-query timings overflowed; see stderr"
         line = json.dumps(result, separators=(",", ":"))
-        if len(line) >= 1950:
-            result["queries"] = {}
-            result["note"] = "per-query timings overflowed; see stderr"
-            line = json.dumps(result, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -306,3 +306,35 @@ def test_every_registered_query_has_an_oracle():
 
     no_oracle = [n for n, s in all_specs().items() if s.oracle is None]
     assert no_oracle == [], no_oracle
+
+
+def test_bench_stdout_line_always_parseable():
+    """ADVICE r11 item 1: the stdout formatter must return a parseable
+    JSON line under 1950 chars for ANY headline set — the degrade
+    ladder for realistic sets, the totals-only fallback for absurd
+    ones — never raising past the collision assert."""
+    import json as _json
+
+    import bench
+
+    base = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": 0.1,
+        "host_calib_sec": 0.5,
+        "key_note": "ids lack their q_/q_ext_ prefix",
+    }
+    # realistic set: per-query detail survives on a degrade rung
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    line = bench.compact_stdout_line(dict(base), timings)
+    parsed = _json.loads(line)
+    assert len(line) < 1950 and len(parsed["queries"]) == len(timings)
+    # absurd set (300 long ids): totals-only fallback, still parseable
+    absurd = {f"q_ext_very_long_query_name_{i:04d}": 9.9 for i in range(300)}
+    line = bench.compact_stdout_line(dict(base), absurd)
+    parsed = _json.loads(line)
+    assert len(line) < 1950
+    assert parsed["value"] == 1.0 and parsed["queries"] == {}
+    assert "note" in parsed
