@@ -321,8 +321,14 @@ def q_ext_dedup_minhash_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     sh = shingle_rows(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # dfreq is CORPUS-SCALE (one row per distinct shingle): left alone
+    # AQE may judge it under the broadcast threshold at mid scale and
+    # build it on the shared driver — the exact OOM the r12 sf10 sweep
+    # hit on the near_idf twin of this join.  shuffle_hash is also the
+    # right 100 TB plan: the join key is the one dfreq's own aggregate
+    # already shuffled on.
     reps = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("shuffle_hash"), "s")
         .select("doc_id", "s", _idf_weight_col().alias("wt"))
         .select(
             "doc_id",
@@ -411,8 +417,11 @@ def q_ext_dedup_near_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(sig)
     sh = shingle_rows(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # corpus-scale dfreq: shuffle-hash for the same reason as the
+    # signature id (AQE broadcast of it OOM'd the shared driver in the
+    # sf10 sweep's concurrent chunk)
     wver = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("shuffle_hash"), "s")
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("doc_id", "s", _idf_weight_col().alias("wt"))
         .persist()

@@ -540,26 +540,51 @@ FROM r GROUP BY g
 )
 def q_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Spearman rank correlation between quantity and price
-    (min-rank tie handling — both engines' rank() agree, so the
-    statistic is deterministic).  Two rank windows over the same group
-    partitioning, then Pearson-on-ranks from component sums: the rank
-    products are integer-valued doubles, so every partial sum is EXACT
-    regardless of partition order — cross-engine equality at 5 dp
-    without ordering tricks.
+    (min-rank tie handling — both engines agree, so the statistic is
+    deterministic), then Pearson-on-ranks from component sums: the
+    rank products are integer-valued doubles, so every partial sum is
+    EXACT regardless of partition order — cross-engine equality at
+    5 dp without ordering tricks.
 
-    Exact ranks need the group's rows sorted on one task — inherent to
-    rank statistics; at 100 TB bucket the group by value range first
-    or use the percentile-sketch approximation."""
+    r12 plan: per-ROW rank windows (the r10 shape) sort each group's
+    entire row set on ONE task — at sf10 that starved the unified
+    memory pool under sweep concurrency, and at 100 TB it's the
+    serialize-a-group-through-one-reducer hazard.  min-rank is a
+    function of the VALUE alone: rank(v) = #(rows < v) + 1, so rank
+    tables come from the (group, value) COUNT aggregate + a
+    cumulative window over DISTINCT VALUES (|V| rows per group, the
+    q_ext_quantile_norm range-table discipline) and join back onto
+    the fact by (group, value) — two ordinary co-keyed shuffle joins,
+    no task ever sorts the fact.  Values are hash-identical to the
+    window form (oracle unchanged)."""
     from pyspark.sql import Window
 
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    gw_x = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    gw_y = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    r = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.rank().over(gw_x).cast("double").alias("rx"),
-        F.rank().over(gw_y).cast("double").alias("ry"),
+
+    def value_ranks(col: str, out: str) -> DataFrame:
+        vt = li.groupBy("l_returnflag", col).agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vt.select(
+            "l_returnflag",
+            col,
+            (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+            .cast("double")
+            .alias(out),
+        )
+
+    r = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(value_ranks("l_quantity", "rx"), ["l_returnflag", "l_quantity"])
+        .join(
+            value_ranks("l_extendedprice", "ry"),
+            ["l_returnflag", "l_extendedprice"],
+        )
+        .select(F.col("l_returnflag").alias("g"), "rx", "ry")
     )
     n = F.count("*")
     sx, sy = F.sum("rx"), F.sum("ry")
